@@ -1,0 +1,147 @@
+"""HTML main-content extraction (boilerplate stripping).
+
+This is the web-page analog of the reference's 4-stage image
+preprocessing + OCR (north_star): instead of enhance/denoise/deskew/
+binarize over pixels we score DOM blocks by **text density** and
+**link density** (readability/jusText-style) and keep high-text,
+low-link blocks.
+
+Structure deliberately mirrors the reference's dispatcher pattern
+(/root/reference/backend/app/core/image_processors/binarizer.py:14-41):
+a method registry with an ``auto`` mode that branches on input
+statistics (binarizer.py:43-62 branches on pixel std; we branch on
+overall link share).
+
+Pure Python on purpose: this module is called from inside a
+``mapInPandas`` stage (one Arrow batch at a time); it must not import
+pyspark. Uses only stdlib ``html.parser`` (no bs4/lxml dependency).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from html.parser import HTMLParser
+
+# tags that open a new text block (flush the current segment)
+BLOCK_TAGS = {
+    "p", "div", "article", "section", "main", "li", "ul", "ol",
+    "h1", "h2", "h3", "h4", "h5", "h6", "td", "tr", "table",
+    "blockquote", "pre", "br", "hr", "body", "html",
+}
+# subtrees dropped entirely (never contribute text)
+DROP_TAGS = {
+    "script", "style", "head", "title", "nav", "footer", "header",
+    "aside", "form", "noscript", "svg", "button", "select", "option",
+    "iframe", "template",
+}
+VOID_TAGS = {"br", "hr", "img", "meta", "link", "input"}
+
+
+@dataclass
+class Block:
+    text: str
+    chars: int
+    link_chars: int
+
+    @property
+    def link_density(self) -> float:
+        return self.link_chars / self.chars if self.chars else 0.0
+
+
+class _BlockCollector(HTMLParser):
+    """Event-driven segmenter: text accumulates into the current block;
+    block-level start/end tags flush; DROP_TAGS subtrees are skipped."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._chunks: list[str] = []
+        self._link_chars = 0
+        self._drop_depth = 0
+        self._link_depth = 0
+
+    def _flush(self) -> None:
+        text = " ".join("".join(self._chunks).split())
+        if text:
+            self.blocks.append(Block(text, len(text), min(self._link_chars, len(text))))
+        self._chunks = []
+        self._link_chars = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in DROP_TAGS:
+            if tag not in VOID_TAGS:
+                self._drop_depth += 1
+            return
+        if tag == "a":
+            self._link_depth += 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in DROP_TAGS:
+            self._drop_depth = max(0, self._drop_depth - 1)
+            return
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth:
+            return
+        self._chunks.append(data)
+        if self._link_depth:
+            self._link_chars += len("".join(data.split()))  # approx; refined below
+
+    def close(self) -> None:  # noqa: D102
+        super().close()
+        self._flush()
+
+
+def extract_blocks(html_str: str) -> list[Block]:
+    parser = _BlockCollector()
+    parser.feed(html_str)
+    parser.close()
+    return parser.blocks
+
+
+# ------------------------------------------------------- method registry
+def _density_filter(blocks: list[Block], min_chars: int, max_link_density: float) -> list[str]:
+    return [
+        b.text
+        for b in blocks
+        if b.chars >= min_chars and b.link_density <= max_link_density
+    ]
+
+
+def _plain(blocks: list[Block], min_chars: int, max_link_density: float) -> list[str]:
+    return [b.text for b in blocks if b.text]
+
+
+_METHODS = {
+    "density": _density_filter,
+    "plain": _plain,
+}
+
+
+def main_text(
+    html_str: str,
+    method: str = "auto",
+    min_block_chars: int = 12,
+    max_link_density: float = 0.35,
+) -> str:
+    """Extract main content; kept blocks joined by ``\\n``.
+
+    ``auto`` (reference ``_auto_binarize`` pattern, binarizer.py:43-62):
+    pages with zero link text have no boilerplate signal -> ``plain``;
+    otherwise ``density``.
+    """
+    blocks = extract_blocks(html_str)
+    if method == "auto":
+        total_link = sum(b.link_chars for b in blocks)
+        method = "plain" if total_link == 0 else "density"
+    try:
+        fn = _METHODS[method]
+    except KeyError:
+        raise ValueError(f"unknown html extraction method: {method!r}") from None
+    return "\n".join(fn(blocks, min_block_chars, max_link_density))

@@ -1,0 +1,128 @@
+"""OCR engine registry with per-worker caching.
+
+Re-expresses the reference's engine factory + cache:
+
+- registry & default:  /root/reference/backend/app/core/ocr_engines/
+  engine_factory.py:15-84 (registry :18-22, default :33-34)
+- tesseract explicitly blocked with an error: engine_factory.py:43-47
+  (the engine is broken/dead in the reference — SURVEY.md section 2.7)
+- per-process engine cache keyed ``{engine}_{language}``:
+  ocr_service.py:170-186 — here a module-level dict, so each Spark
+  Python worker initializes an engine once and reuses it across Arrow
+  batches (the canonical mapInPandas heavy-state pattern; relies on
+  ``spark.python.worker.reuse=true``).
+
+Real OCR models (easyocr/paddleocr) are not installable in this
+environment and are nondeterministic across versions; the byte-identity
+contract is carried by ``StubOCREngine``, which is registered behind
+the same ``BaseExtractor`` contract the real engines would implement
+(reference base_engine.py:11-69).
+"""
+
+from __future__ import annotations
+
+from typing import Protocol
+
+
+class BaseExtractor(Protocol):
+    """Our analog of the reference's BaseOCREngine ABC
+    (base_engine.py:11-69): initialize once, then per-page process."""
+
+    engine_name: str
+
+    def process_page(self, page_text: str, language: str) -> dict: ...
+
+
+class StubOCREngine:
+    """Deterministic stand-in OCR: returns the page payload verbatim
+    with a content-derived confidence (so reruns are byte-identical —
+    the property evidenced by the reference's 4 identical
+    hospitalbill_*.json fixtures)."""
+
+    engine_name = "stub"
+
+    def __init__(self, language: str = "en") -> None:
+        self.language = language
+
+    def process_page(self, page_text: str, language: str | None = None) -> dict:
+        conf = float(80 + len(page_text) % 20)
+        return {
+            "text": page_text,
+            "confidence": conf,
+            "engine": self.engine_name,
+            "language": language or self.language,
+        }
+
+
+class _UnavailableEngine:
+    """Real engines exist in the registry (name parity with
+    engine_factory.py:18-22) but cannot initialize here."""
+
+    def __init__(self, name: str) -> None:
+        self.engine_name = name
+
+    def process_page(self, page_text: str, language: str | None = None) -> dict:
+        raise NotImplementedError(
+            f"OCR engine {self.engine_name!r} is not available in this "
+            "environment; use 'stub' or install the engine package."
+        )
+
+
+def _make_easyocr(language: str):
+    try:
+        import easyocr  # noqa: F401
+    except ImportError:
+        return _UnavailableEngine("easyocr")
+    return _UnavailableEngine("easyocr")  # real impl would wrap easyocr.Reader
+
+
+def _make_paddle(language: str):
+    try:
+        import paddleocr  # noqa: F401
+    except ImportError:
+        return _UnavailableEngine("paddleocr")
+    return _UnavailableEngine("paddleocr")
+
+
+_REGISTRY = {
+    "stub": lambda lang: StubOCREngine(lang),
+    "easyocr": _make_easyocr,
+    "paddle": _make_paddle,
+    "paddleocr": _make_paddle,
+}
+
+DEFAULT_ENGINE = "stub"
+
+
+def available_engines() -> list[str]:
+    """Reference: OCREngineFactory.get_available_engines
+    (engine_factory.py:86-110)."""
+    return sorted(_REGISTRY)
+
+
+def create_engine(name: str | None = None, language: str = "en") -> BaseExtractor:
+    name = (name or DEFAULT_ENGINE).lower()
+    if name == "tesseract":
+        # parity with the reference's explicit block (engine_factory.py:43-47)
+        raise ValueError(
+            "tesseract engine is disabled (broken in the reference; "
+            "registry slot kept for parity)"
+        )
+    try:
+        factory = _REGISTRY[name]
+    except KeyError:
+        raise ValueError(f"unknown OCR engine: {name!r}") from None
+    return factory(language)
+
+
+# per-Python-worker cache, keyed like the reference's `{engine}_{language}`
+_ENGINE_CACHE: dict[str, BaseExtractor] = {}
+
+
+def get_engine(name: str | None = None, language: str = "en") -> BaseExtractor:
+    key = f"{name or DEFAULT_ENGINE}_{language}"
+    eng = _ENGINE_CACHE.get(key)
+    if eng is None:
+        eng = create_engine(name, language)
+        _ENGINE_CACHE[key] = eng
+    return eng

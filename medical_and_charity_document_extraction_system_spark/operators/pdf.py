@@ -1,0 +1,66 @@
+"""PDF-style layout parsing: open/validate, page-text extraction, and
+the scanned-vs-text predicate.
+
+Reference semantics re-expressed:
+
+- open/validate with degrade-don't-fail:
+  /root/reference/backend/app/services/pdf_service.py:107-121, :174-180
+- per-page text extraction (flatMap doc -> pages):
+  pdf_service.py:164-229
+- scanned predicate: sample first <=3 pages, average stripped chars
+  per page < 50 => scanned; **any parse error defaults to scanned**:
+  pdf_service.py:231-259 (threshold :249, error-default :258)
+
+Real PDFs (``%PDF`` magic) are parsed with PyMuPDF when available
+(gated import — fitz is not installed in this environment). For
+deterministic testing we define a trivial container format
+``%FPDF\\n<page>\\f<page>...`` (see sources/pages.py) whose pages are
+UTF-8 text payloads; scanned-classified payloads are treated as
+"pixels" and routed through the OCR engine registry.
+
+Pure Python: called from inside mapInPandas stages.
+"""
+
+from __future__ import annotations
+
+from ..sources.pages import FAKE_PDF_MAGIC, PAGE_SEP
+
+PDF_MAGIC = b"%PDF"
+
+try:  # pragma: no cover - not installed in this environment
+    import fitz  # PyMuPDF
+except ImportError:
+    fitz = None
+
+
+def is_pdf_bytes(data: bytes | None) -> bool:
+    return data is not None and (
+        data.startswith(FAKE_PDF_MAGIC) or data.startswith(PDF_MAGIC)
+    )
+
+
+def extract_pdf_pages(data: bytes) -> list[str]:
+    """Returns page texts; raises ValueError on undecodable payloads
+    (the caller converts that into an error record / scanned default,
+    mirroring pdf_service.py:258)."""
+    if data.startswith(FAKE_PDF_MAGIC):
+        payload = data[len(FAKE_PDF_MAGIC):].decode("utf-8")
+        return payload.split(PAGE_SEP)
+    if data.startswith(PDF_MAGIC):
+        if fitz is None:
+            raise ValueError("real PDF input but PyMuPDF is not installed")
+        doc = fitz.open(stream=data, filetype="pdf")
+        if doc.is_encrypted or doc.page_count == 0:
+            raise ValueError("encrypted or empty PDF")
+        return [page.get_text() for page in doc]
+    raise ValueError("not a PDF payload")
+
+
+def is_scanned(page_texts: list[str], sample_pages: int = 3, char_threshold: float = 50.0) -> bool:
+    """Average stripped chars/page over the first <=sample_pages pages
+    below char_threshold => scanned (pdf_service.py:231-259)."""
+    if not page_texts:
+        return True
+    sample = page_texts[: max(1, sample_pages)]
+    avg = sum(len(t.strip()) for t in sample) / len(sample)
+    return avg < char_threshold

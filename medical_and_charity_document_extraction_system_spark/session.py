@@ -1,0 +1,28 @@
+"""SparkSession builder with the engine's standard physical knobs."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .config import DEFAULT_CONFIG, ExtractionConfig, spark_conf_overrides
+
+
+def get_spark(
+    app_name: str = "extraction-engine",
+    master: str | None = None,
+    cfg: ExtractionConfig = DEFAULT_CONFIG,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in spark_conf_overrides(cfg).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

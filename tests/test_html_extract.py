@@ -1,0 +1,63 @@
+"""Unit tests for the boilerplate stripper (the analog of the
+reference's preprocessing smoke tests,
+/root/reference/scripts/test_preprocessing.py)."""
+
+from medical_and_charity_document_extraction_system_spark.functions.html_extract import (
+    extract_blocks,
+    main_text,
+)
+
+PAGE = b"""<html><head><title>T</title><style>a{color:red}</style></head><body>
+<nav><a href="/">Home</a> <a href="/x">About page</a></nav>
+<div><ul><li><a href="/1">Linked sidebar item one</a></li><li><a href="/2">Linked sidebar item two</a></li></ul></div>
+<article><p>This is the real main content of the page, long enough to keep.</p>
+<p>Second paragraph with more body text in it.</p></article>
+<footer><a href="/p">Privacy</a> copyright</footer>
+</body></html>""".decode()
+
+
+def test_density_strips_boilerplate():
+    text = main_text(PAGE, method="density")
+    assert text == (
+        "This is the real main content of the page, long enough to keep.\n"
+        "Second paragraph with more body text in it."
+    )
+
+
+def test_auto_dispatches_plain_when_no_links():
+    html = "<html><body><p>only content here no anchors at all</p></body></html>"
+    assert main_text(html, method="auto") == "only content here no anchors at all"
+
+
+def test_auto_dispatches_density_when_links_present():
+    assert main_text(PAGE, method="auto") == main_text(PAGE, method="density")
+
+
+def test_drop_tags_never_contribute():
+    html = "<html><head><title>ttt</title></head><body><script>var x=1;</script><p>keep this paragraph text</p></body></html>"
+    out = main_text(html, method="plain")
+    assert "ttt" not in out and "var x" not in out and "keep this paragraph text" in out
+
+
+def test_link_density_computed_per_block():
+    blocks = extract_blocks(PAGE)
+    link_heavy = [b for b in blocks if b.link_density > 0.5]
+    assert link_heavy, "sidebar links must be link-dense"
+
+
+def test_whitespace_normalized_within_block():
+    html = "<p>a  b\n\tc</p>"
+    assert main_text(html, method="plain") == "a b c"
+
+
+def test_unknown_method_raises():
+    import pytest
+
+    with pytest.raises(ValueError):
+        main_text(PAGE, method="nope")
+
+
+def test_malformed_html_degrades_gracefully():
+    # html.parser is tolerant; truncated tags still yield text
+    out = main_text("<p>hello wor<ld </p", method="plain")
+    assert "hello" in out
