@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md section 2; ``oracle_sql()`` gives the DuckDB twin for each
+(construction oracles for the extraction pipeline, expression twins
+for the analytics — see medical_and_charity_document_extraction_system_spark/oracles.py).
 """
 
 from __future__ import annotations
@@ -12,27 +12,233 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from medical_and_charity_document_extraction_system_spark import oracles
+from medical_and_charity_document_extraction_system_spark.functions import textstats as ts
+from medical_and_charity_document_extraction_system_spark.operators.rollup import rollup_pages
+from medical_and_charity_document_extraction_system_spark.plans import run_extraction
+from medical_and_charity_document_extraction_system_spark.sources import synthesize_pages
+
+SF_DEFAULT = "/root/testdata/sf0.001"
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_extraction(synthesize_pages(spark, sf_dir))
+
+
+def _doc_id():
+    # classic-mode Columns need an active session; build lazily
+    return F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id")
+
+
+# --------------------------------------------------------------- queries
+def q_extraction_doc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full end-to-end extraction, one document record per url
+    (reference document record shape, ocr_service.py:215-227)."""
+    out = _extract(spark, sf_dir)
+    return out.select(
+        _doc_id(),
+        "url",
+        "is_scanned",
+        "processing_method",
+        "page_count",
+        "total_characters",
+        "total_words",
+        "average_confidence",
+        "text",
+        "engine",
+        "lang",
+    )
+
+
+def q_extraction_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded field spans with char offsets (reference word-record
+    analog, easyocr_engine.py:79-91)."""
+    out = _extract(spark, sf_dir)
+    s = out.select(_doc_id(), F.explode("spans").alias("s"))
+    return s.select(
+        "doc_id",
+        F.col("s.field").alias("field"),
+        F.col("s.value").alias("value"),
+        F.col("s.start").alias("span_start"),
+        F.col("s.end").alias("span_end"),
+    )
+
+
+def q_rollup_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed A1 rollup (ocr_service.py:188-227) over documents
+    grouped as synthetic 'pages' of their source."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pages = docs.select(
+        "source", "text", F.row_number().over(w).alias("page_number"),
+        F.lit(100.0).alias("confidence"),
+    )
+    return rollup_pages(pages, key="source").select(
+        "source", "page_count", "total_characters", "text"
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", ts.token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ts.token_count(t).alias("n_tokens"),
+        ts.stopword_ratio(t).alias("stopword_ratio"),
+        ts.punct_ratio(t).alias("punct_ratio"),
+        ts.quality_score(t).alias("quality"),
+    )
+
+
+def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", ts.lang_guess(F.col("text")).alias("lang_guess")
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", ts.fingerprint_md5(F.col("text")).alias("fp")
+    )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(ts.fingerprint_md5(F.col("text")).alias("fp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keeper"),
+        )
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", ts.word_shingles(F.col("text"), 3).alias("sh")
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    joined = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+    return joined.where(
+        (F.size("a.sh") > 0) & (F.size("b.sh") > 0)
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        ts.jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _cos(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k to the vec_id=0 embedding. Scale path:
+    broadcast the query vector; the scan stays embarrassingly parallel."""
+    e = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = F.broadcast(e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv")))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select("vec_id", _cos(F.col("v"), F.col("qv")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine near-duplicates above 0.3 (baseline; the
+    LSH-bucketed variant is operators/similarity.py)."""
+    e = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = _cos(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") > 0.3)
+    )
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch twin of the
+    streaming rollup in streaming/)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_extraction_doc_records(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extraction_doc_records": q_extraction_doc_records,
+        "extraction_spans": q_extraction_spans,
+        "rollup_source": q_rollup_source,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_guess": q_lang_guess,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "topk_cosine": q_topk_cosine,
+        "embedding_near_dup": q_embedding_near_dup,
+        "events_tumbling": q_events_tumbling,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extraction_doc_records": oracles.extraction_doc_records_sql(),
+        "extraction_spans": oracles.extraction_spans_sql(),
+        "rollup_source": oracles.rollup_source_sql(),
+        "token_count": oracles.token_count_sql(),
+        "quality_score": oracles.quality_score_sql(),
+        "lang_guess": oracles.lang_guess_sql(),
+        "fingerprint": oracles.fingerprint_sql(),
+        "exact_dedup": oracles.exact_dedup_sql(),
+        "ngram_jaccard": oracles.ngram_jaccard_sql(),
+        "topk_cosine": oracles.topk_cosine_sql(),
+        "embedding_near_dup": oracles.embedding_near_dup_sql(),
+        "events_tumbling": oracles.events_tumbling_sql(),
+    }
