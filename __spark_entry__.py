@@ -191,6 +191,49 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (shingle->minhash->band->bucket-join) with
+    exact-Jaccard verification; at j>=0.9 the result equals the true
+    pair set, which is what the oracle computes all-pairs."""
+    from medical_and_charity_document_extraction_system_spark.operators.dedup import (
+        minhash_near_dup,
+    )
+
+    return minhash_near_dup(_docs(spark, sf_dir), threshold=0.9)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints (rows-only check: the bit-voting
+    has no ANSI-SQL twin; pytest carries the oracle)."""
+    from medical_and_charity_document_extraction_system_spark.operators.dedup import simhash64
+
+    return simhash64(_docs(spark, sf_dir))
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH (rows-only check:
+    approximate by design; recall tested in pytest vs numpy)."""
+    from medical_and_charity_document_extraction_system_spark.operators.similarity import (
+        ann_topk_lsh,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == 0).first().embedding
+    return ann_topk_lsh(emb.where("vec_id <> 0"), [float(x) for x in q], 10, tables=16, bits=4)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload -> feature stage (decode
+    stubbed; deterministic fake features; rows-only check)."""
+    from medical_and_charity_document_extraction_system_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_media_features,
+    )
+
+    media = attach_fake_media(_docs(spark, sf_dir))
+    return extract_media_features(media).select("media_id", "kind", "n_bytes")
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation (batch twin of the
     streaming rollup in streaming/)."""
@@ -224,6 +267,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine": q_topk_cosine,
         "embedding_near_dup": q_embedding_near_dup,
         "events_tumbling": q_events_tumbling,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash": q_simhash,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "media_features": q_media_features,
     }
 
 
@@ -241,4 +288,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_cosine": oracles.topk_cosine_sql(),
         "embedding_near_dup": oracles.embedding_near_dup_sql(),
         "events_tumbling": oracles.events_tumbling_sql(),
+        "minhash_near_dup": oracles.minhash_near_dup_sql(),
+        # simhash / ann_topk_lsh / media_features: no ANSI-SQL twin
+        # (bit-voting, approximate LSH, binary feature stage) — the
+        # driver records rows-only checks; pytest carries their oracles.
     }

@@ -1,0 +1,110 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` plus
+typed metadata, with decode/feature/resize/frame-sample stages as
+vectorized Arrow stages.
+
+The decode kernels need image/audio libraries that are NOT in this
+container, so the decode step is stubbed (clearly-marked
+NotImplementedError, or a deterministic fake) while the Spark-side
+plumbing — schema, partitioning, UDF signature, Arrow batch shape —
+is real and tested. Mirrors how the reference gates real OCR engines
+behind the registry while the deterministic stub carries the tests
+(operators/engines.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # pragma: no cover - not installed here
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def attach_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic binary payloads derived from the id column —
+    the test stand-in for real WARC image/audio payloads."""
+    payload = F.encode(
+        F.concat(F.lit("MEDIA:"), F.col(id_col).cast("string"), F.lit(":"),
+                 F.md5(F.col(id_col).cast("string"))),
+        "UTF-8",
+    )
+    kind = F.when(F.col(id_col) % 3 == 0, "image").when(
+        F.col(id_col) % 3 == 1, "audio"
+    ).otherwise("video")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.create_map(F.lit("source"), F.lit("synthetic")).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Real decode requires PIL/cv2 — STUB in this environment."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL/cv2, not installed in this container"
+        )
+    raise NotImplementedError("real decode path not exercised in tests")
+
+
+def deterministic_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic fake feature vector: blake2b hash chunks -> floats
+    in [0, 1). Stands in for a real embedding model; same signature and
+    batch shape."""
+    h = hashlib.blake2b(payload, digest_size=dim * 4).digest()
+    ints = np.frombuffer(h, dtype=np.uint32)
+    return (ints.astype(np.float64) / 2**32).astype(np.float32).tolist()
+
+
+def extract_media_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature-extraction stage over MEDIA_SCHEMA rows.
+    The Arrow plumbing (iterator form, per-batch numpy work, binary
+    columns) is exactly what a real decoder stage uses."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "features": [
+                        deterministic_features(bytes(p)) if p is not None else None
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, schema=_FEATURES_SCHEMA)

@@ -1,0 +1,164 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- ``topk_cosine``          — brute-force cosine top-k (the baseline):
+  broadcast query vector, JVM-side fold for the dot product, one
+  narrow scan + a k-row global sort. Embarrassingly parallel.
+- ``lsh_bucket``/``ann_topk_lsh`` — the scale path: random-hyperplane
+  LSH (sign bits of seeded Gaussian projections, numpy in a
+  vectorized pandas_udf), multi-table bucketing; search touches only
+  buckets matching the query, so cost drops from O(N) dot products to
+  O(N / 2^bits x tables).
+- ``embedding_near_dup_lsh`` — near-duplicate pairs via shared LSH
+  bucket + exact cosine verification (the embedding-cosine analog of
+  MinHash near-dup in operators/dedup.py).
+
+Determinism: the projection matrix is a pure function of
+(seed, tables, bits, dim) — identical on every executor and every run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LSH_SEED = 42
+
+
+def dot_fold(a: Column, b: Column) -> Column:
+    """Left-fold dot product — IEEE order matches the DuckDB oracle."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_fold(a, b) / (F.sqrt(dot_fold(a, a)) * F.sqrt(dot_fold(b, b)))
+
+
+def topk_cosine(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector."""
+    v = F.col(vec_col).cast("array<double>")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(F.col(id_col), cosine(v, q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def _projections(dim: int, tables: int, bits: int, seed: int = LSH_SEED) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((tables, bits, dim))
+
+
+def lsh_bucket_udf(dim: int, tables: int = 8, bits: int = 12, seed: int = LSH_SEED):
+    """Returns a pandas_udf mapping embedding -> array of per-table
+    bucket keys (bits packed into an int). One numpy matmul per Arrow
+    batch — vectorized, never per-row Python."""
+    proj = _projections(dim, tables, bits, seed).reshape(tables * bits, dim)
+    powers = (1 << np.arange(bits, dtype=np.int64))
+
+    @F.pandas_udf("array<long>")
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())  # (n, dim)
+        signs = (mat @ proj.T) >= 0  # (n, tables*bits)
+        signs = signs.reshape(len(mat), tables, bits)
+        keys = (signs * powers).sum(axis=2)  # (n, tables)
+        return pd.Series(list(keys))
+
+    return _bucket
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    tables: int = 8,
+    bits: int = 12,
+    seed: int = LSH_SEED,
+) -> DataFrame:
+    bucket = lsh_bucket_udf(dim, tables, bits, seed)
+    return df.withColumn("_buckets", bucket(F.col(vec_col).cast("array<double>")))
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tables: int = 8,
+    bits: int = 12,
+    seed: int = LSH_SEED,
+) -> DataFrame:
+    """Approximate top-k: only rows sharing >=1 LSH bucket with the
+    query are scored. Candidate filter is a JVM array-overlap on the
+    precomputable bucket column; recall grows with `tables`."""
+    dim = len(query_vec)
+    proj = _projections(dim, tables, bits, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    powers = 1 << np.arange(bits, dtype=np.int64)
+    qkeys = [int((((p @ qv) >= 0) * powers).sum()) for p in proj]
+    # per-table match: buckets[t] == qkeys[t] for some t
+    match = None
+    for t, qk in enumerate(qkeys):
+        cond = F.element_at("_buckets", t + 1) == F.lit(qk)
+        match = cond if match is None else (match | cond)
+    bucketed = with_lsh_buckets(df, dim, vec_col, tables, bits, seed)
+    v = F.col(vec_col).cast("array<double>")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        bucketed.where(match)
+        .select(F.col(id_col), cosine(v, q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tables: int = 8,
+    bits: int = 10,
+    seed: int = LSH_SEED,
+) -> DataFrame:
+    """Candidate pairs share an LSH bucket in >=1 table; verified with
+    exact cosine >= threshold. Scale: bucket-equality shuffle instead
+    of all-pairs."""
+    bucketed = with_lsh_buckets(df, dim, vec_col, tables, bits, seed)
+    exploded = bucketed.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.posexplode("_buckets").alias("table", "key"),
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return cands.select(
+        "vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+    ).where(F.col("cos_sim") >= threshold)

