@@ -1,0 +1,95 @@
+"""spark-submit entrypoint (north_rule: launched via
+``spark-submit --py-files``).
+
+    spark-submit --py-files mcdes_spark.zip \
+        -m medical_and_charity_document_extraction_system_spark.job \
+        --input /data/pages --output /data/extractions \
+        --metrics /data/metrics --manifest /data/manifest \
+        --run-id run1 --buckets 4096 --partitions 4096
+
+Replaces the reference's uvicorn/FastAPI serving layer
+(main.py:82-88): one batch job = one resumable run over an input
+table, with salted repartition, checkpointed buckets, and metrics
+writes.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+
+# absolute imports: spark-submit executes this file as a __main__
+# script, so relative imports are unavailable; the package arrives on
+# executors via --py-files
+from medical_and_charity_document_extraction_system_spark.config import (
+    ExtractionConfig,
+    spark_conf_overrides,
+)
+from medical_and_charity_document_extraction_system_spark.plans.checkpoint import (
+    run_checkpointed,
+)
+from medical_and_charity_document_extraction_system_spark.plans.metrics import (
+    host_quality_metrics,
+    partition_metrics,
+    write_metrics,
+)
+from medical_and_charity_document_extraction_system_spark.plans.salting import (
+    find_heavy_hosts,
+    repartition_by_url,
+)
+from medical_and_charity_document_extraction_system_spark.schema import PAGES_SCHEMA
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="PySpark extraction job")
+    p.add_argument("--input", required=True, help="pages parquet/Iceberg path")
+    p.add_argument("--output", required=True)
+    p.add_argument("--metrics", required=True)
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--run-id", required=True)
+    p.add_argument("--buckets", type=int, default=256, help="checkpoint buckets")
+    p.add_argument("--partitions", type=int, default=None, help="input repartition width")
+    p.add_argument("--salt-buckets", type=int, default=8)
+    p.add_argument("--engine", default="stub")
+    p.add_argument("--html-method", default="auto")
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> dict:
+    args = build_parser().parse_args(argv)
+    cfg = ExtractionConfig(
+        ocr_engine=args.engine,
+        html_method=args.html_method,
+        salt_buckets=args.salt_buckets,
+    )
+    owns_spark = spark is None
+    if owns_spark:
+        builder = SparkSession.builder.appName(f"extraction-{args.run_id}")
+        for k, v in spark_conf_overrides(cfg).items():
+            builder = builder.config(k, v)
+        spark = builder.getOrCreate()
+
+    try:
+        pages = spark.read.schema(PAGES_SCHEMA).parquet(args.input)
+        if args.partitions:
+            pages = repartition_by_url(pages, args.partitions)
+        heavy = find_heavy_hosts(pages, sample_fraction=0.1)
+
+        done = run_checkpointed(
+            spark, pages, args.output, args.manifest, args.run_id,
+            n_buckets=args.buckets, cfg=cfg,
+        )
+        extracted = spark.read.parquet(args.output)
+        write_metrics(partition_metrics(extracted, args.run_id), args.metrics)
+        write_metrics(
+            host_quality_metrics(extracted, args.run_id), args.metrics + "_hosts"
+        )
+        return {"completed_parts": done, "heavy_hosts": heavy}
+    finally:
+        if owns_spark:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""Structured-Streaming front-end for the extraction pipeline.
+
+The reference is request/response (no streaming — SURVEY.md section
+2.8) and the north_rule specifies batch with checkpoint resume; this
+module exists because the same DataFrame plan runs unchanged as a
+stream: ``run_extraction`` is narrow transformations + mapInPandas,
+all streaming-compatible. Use case: continuous ingestion of new WARC
+drops into the extractions table.
+
+``trigger(availableNow=True)`` gives batch-like one-shot draining with
+streaming checkpoints — the recommended pattern for incremental
+backfills.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..config import DEFAULT_CONFIG, ExtractionConfig
+from ..plans.pipeline import run_extraction
+from ..schema import PAGES_SCHEMA
+
+
+def run_extraction_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg: ExtractionConfig = DEFAULT_CONFIG,
+    available_now: bool = True,
+) -> StreamingQuery:
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    # repartition is not stream-safe pre-agg in all modes; the stream
+    # path relies on source file splitting for parallelism
+    stream_cfg = cfg if cfg.repartition is None else ExtractionConfig(
+        **{**cfg.__dict__, "repartition": None}
+    )
+    out = run_extraction(stream, stream_cfg)
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

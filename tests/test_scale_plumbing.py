@@ -1,0 +1,155 @@
+"""North_rule plumbing: salting, checkpoint/resume, metrics, streaming,
+spark-submit job entrypoint."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from medical_and_charity_document_extraction_system_spark.plans.checkpoint import (
+    run_checkpointed,
+    with_part_id,
+)
+from medical_and_charity_document_extraction_system_spark.plans.metrics import (
+    host_quality_metrics,
+    partition_metrics,
+)
+from medical_and_charity_document_extraction_system_spark.plans.salting import (
+    find_heavy_hosts,
+    salted_host_agg,
+    salted_host_repartition,
+    repartition_by_url,
+)
+from medical_and_charity_document_extraction_system_spark.plans import run_extraction
+from medical_and_charity_document_extraction_system_spark.streaming import (
+    run_extraction_stream,
+)
+
+
+def test_find_heavy_hosts(pages_small):
+    heavy = find_heavy_hosts(pages_small, heavy_fraction=0.2)
+    assert heavy == ["host0.example.com"]  # planted ~40% skew
+
+
+def test_salted_repartition_splits_heavy_host(pages_small):
+    heavy = ["host0.example.com"]
+    df = salted_host_repartition(pages_small, 16, heavy, salt_buckets=8)
+    sizes = (
+        df.groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    # without salting host0's ~200 rows land in one partition
+    assert sizes < 150
+
+
+def test_salted_agg_equals_plain_agg(pages_small):
+    heavy = ["host0.example.com"]
+    salted = {
+        (r.host, r.n_docs, r.total_chars)
+        for r in salted_host_agg(pages_small.fillna({"text": ""}), heavy).collect()
+    }
+    from medical_and_charity_document_extraction_system_spark.plans.salting import host_of
+
+    plain = {
+        (r.host, r.n, r.c)
+        for r in pages_small.fillna({"text": ""})
+        .groupBy(host_of(F.col("url")).alias("host"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("text")).alias("c"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_repartition_by_url_balances(pages_small):
+    df = repartition_by_url(pages_small, 16)
+    counts = [r["count"] for r in df.groupBy(F.spark_partition_id()).count().collect()]
+    assert len(counts) == 16
+    assert max(counts) < 2.0 * (sum(counts) / len(counts))
+
+
+def test_checkpoint_resume_equals_single_run(spark, pages_small, tmp_path):
+    out1 = str(tmp_path / "out_full")
+    man1 = str(tmp_path / "man_full")
+    done = run_checkpointed(spark, pages_small, out1, man1, "run1", n_buckets=8)
+    assert done == list(range(8))
+    full = spark.read.parquet(out1)
+
+    # interrupted run: only buckets 0-2 complete, then resume
+    out2 = str(tmp_path / "out_resume")
+    man2 = str(tmp_path / "man_resume")
+    first = run_checkpointed(
+        spark, pages_small, out2, man2, "run1", n_buckets=8, only_parts=[0, 1, 2]
+    )
+    assert first == [0, 1, 2]
+    second = run_checkpointed(spark, pages_small, out2, man2, "run1", n_buckets=8)
+    assert second == [3, 4, 5, 6, 7]  # exactly N-K buckets reprocessed
+    resumed = spark.read.parquet(out2)
+
+    a = sorted((r.url, r.text) for r in full.collect())
+    b = sorted((r.url, r.text) for r in resumed.collect())
+    assert a == b
+
+    # idempotent: nothing left
+    assert run_checkpointed(spark, pages_small, out2, man2, "run1", n_buckets=8) == []
+
+
+def test_partition_metrics_totals(extracted_small):
+    m = partition_metrics(extracted_small, "run1")
+    tot = m.agg(F.sum("docs_in"), F.sum("docs_ok"), F.sum("docs_error")).first()
+    assert tot[0] == 500
+    assert tot[1] + tot[2] == 500
+    assert tot[2] == 10  # planted error rows
+
+
+def test_host_quality_metrics(extracted_small):
+    rows = {r.host: r for r in host_quality_metrics(extracted_small, "run1").collect()}
+    assert "host0.example.com" in rows
+    total = sum(r.docs for r in rows.values())
+    assert total == 500
+    for r in rows.values():
+        assert 0.0 <= r.error_share <= 1.0
+
+
+def test_streaming_matches_batch(spark, pages_small, tmp_path):
+    inp = str(tmp_path / "stream_in")
+    outp = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "stream_ckpt")
+    pages_small.write.parquet(inp)
+    q = run_extraction_stream(spark, inp, outp, ckpt)
+    q.awaitTermination(300)
+    got = sorted(
+        (r.url, r.text, r.processing_method)
+        for r in spark.read.parquet(outp).collect()
+    )
+    exp = sorted(
+        (r.url, r.text, r.processing_method)
+        for r in run_extraction(pages_small).collect()
+    )
+    assert got == exp
+
+
+def test_job_entrypoint(spark, pages_small, tmp_path):
+    inp = str(tmp_path / "job_in")
+    pages_small.write.parquet(inp)
+    from medical_and_charity_document_extraction_system_spark.job import main
+
+    res = main(
+        [
+            "--input", inp,
+            "--output", str(tmp_path / "job_out"),
+            "--metrics", str(tmp_path / "job_metrics"),
+            "--manifest", str(tmp_path / "job_manifest"),
+            "--run-id", "jobrun",
+            "--buckets", "8",
+        ],
+        spark=spark,
+    )
+    assert res["completed_parts"] == list(range(8))
+    # default threshold 5%: the three planted heavy hosts (40/20/10%)
+    assert "host0.example.com" in res["heavy_hosts"]
+    out = spark.read.parquet(str(tmp_path / "job_out"))
+    assert out.count() == 500
+    metrics = spark.read.parquet(str(tmp_path / "job_metrics"))
+    assert metrics.agg(F.sum("docs_in")).first()[0] == 500
