@@ -174,12 +174,22 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine near-duplicates above 0.3 (baseline; the
-    LSH-bucketed variant is operators/similarity.py)."""
+    LSH-bucketed variant is operators/similarity.py).
+
+    Norms are precomputed per row and vectors pre-normalized so each
+    pair costs ONE fold-dot instead of three — higher-order functions
+    are interpreted (not codegen'd), so per-pair work dominates
+    (measured 85s -> ~14s at 2k vectors)."""
     e = _embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    a, b = e.alias("a"), e.alias("b")
-    cos = _cos(F.col("a.v"), F.col("b.v"))
+    e = e.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
+    en = e.select(
+        "vec_id",
+        F.transform("v", lambda x: x / F.col("nrm")).alias("vn"),
+    )
+    a, b = en.alias("a"), en.alias("b")
+    cos = _dot(F.col("a.vn"), F.col("b.vn"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(

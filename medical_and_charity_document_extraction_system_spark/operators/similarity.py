@@ -138,9 +138,17 @@ def embedding_near_dup_lsh(
     exact cosine >= threshold. Scale: bucket-equality shuffle instead
     of all-pairs."""
     bucketed = with_lsh_buckets(df, dim, vec_col, tables, bits, seed)
+    # pre-normalize once per row: pairs then cost a single fold-dot
+    bucketed = bucketed.withColumn(
+        "_nrm", F.sqrt(dot_fold(F.col(vec_col).cast("array<double>"),
+                                F.col(vec_col).cast("array<double>")))
+    ).withColumn(
+        "_vn",
+        F.transform(F.col(vec_col).cast("array<double>"), lambda x: x / F.col("_nrm")),
+    )
     exploded = bucketed.select(
         F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("v"),
+        F.col("_vn").alias("v"),
         F.posexplode("_buckets").alias("table", "key"),
     )
     a, b = exploded.alias("a"), exploded.alias("b")
@@ -160,5 +168,5 @@ def embedding_near_dup_lsh(
         .dropDuplicates(["vec_a", "vec_b"])
     )
     return cands.select(
-        "vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+        "vec_a", "vec_b", dot_fold(F.col("va"), F.col("vb")).alias("cos_sim")
     ).where(F.col("cos_sim") >= threshold)

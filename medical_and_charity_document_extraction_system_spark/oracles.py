@@ -293,11 +293,18 @@ LIMIT {k}
 
 
 def embedding_near_dup_sql(threshold: float = 0.3) -> str:
+    # pre-normalized form: must stay in IEEE lock-step with
+    # q_embedding_near_dup (norm per row, one fold-dot per pair)
+    norm = _DOT.format(n=64, a="v", b="v")
+    dot = _DOT.format(n=64, a="a.vn", b="b.vn")
     return f"""
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_cos('a.v', 'b.v')} AS cos_sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE {_cos('a.v', 'b.v')} > {threshold}
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id, sqrt({norm}) AS nrm, v FROM e),
+vn AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM n)
+SELECT * FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {dot} AS cos_sim
+  FROM vn a JOIN vn b ON a.vec_id < b.vec_id
+) WHERE cos_sim > {threshold}
 """
 
 

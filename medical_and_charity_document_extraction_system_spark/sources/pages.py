@@ -191,14 +191,32 @@ _PAGES_OUT_SCHEMA = T.StructType(
 )
 
 
-def synthesize_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synthesize_pages(
+    spark: SparkSession,
+    sf_dir: str,
+    repeat: int = 1,
+    partitions: int | None = None,
+) -> DataFrame:
     """documents.parquet -> pages table (url, warc_ts, html, text, lang).
 
     Rendering runs as a vectorized ``mapInPandas`` stage — the
     column-shaped pieces (url, warc_ts) are pure ``pyspark.sql.functions``
     so only the HTML/PDF byte rendering pays the Python worker cost.
+
+    ``repeat`` amplifies the corpus for benchmarking (distinct doc_ids
+    ``doc_id + rep * 10^7`` keep urls unique and formulas
+    deterministic); oracle queries use the default ``repeat=1``.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
+    if repeat > 1:
+        reps = spark.range(repeat).withColumnRenamed("id", "rep")
+        docs = (
+            docs.crossJoin(reps)
+            .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(10_000_000))
+            .drop("rep")
+        )
+    if partitions:
+        docs = docs.repartition(partitions)
 
     def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
