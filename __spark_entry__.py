@@ -244,6 +244,44 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(media).select("media_id", "kind", "n_bytes")
 
 
+def q_merge_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-merge of N inputs + A4 count rollup (reference merge_pdfs,
+    pdf_service.py:23-85)."""
+    from medical_and_charity_document_extraction_system_spark.operators.maintenance import merge_sources
+
+    docs = _docs(spark, sf_dir)
+    merged = merge_sources(docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1"))
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def q_retention_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention keep-filter survivors per type (reference
+    cleanup_files, file_utils.py:75-126)."""
+    import datetime
+
+    from medical_and_charity_document_extraction_system_spark.operators.maintenance import retention_filter
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    kept = retention_filter(ev, "ts", datetime.datetime(2024, 1, 15))
+    return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+def q_image_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full E/D/K/B image chain over binary page images (rows-only
+    check: no SQL twin for image kernels; pytest carries the planted
+    skew-angle oracle in tests/test_preprocess_stage.py)."""
+    from medical_and_charity_document_extraction_system_spark.operators.multimodal import attach_page_images
+    from medical_and_charity_document_extraction_system_spark.operators.preprocess import preprocess_images
+
+    docs = _docs(spark, sf_dir).where("doc_id < 200")
+    return preprocess_images(attach_page_images(docs)).select(
+        "media_id", "width", "height", "skew_angle", "error"
+    )
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation (batch twin of the
     streaming rollup in streaming/)."""
@@ -281,6 +319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_topk_lsh": q_ann_topk_lsh,
         "media_features": q_media_features,
+        "merge_sources": q_merge_sources,
+        "retention_cleanup": q_retention_cleanup,
+        "image_preprocess": q_image_preprocess,
     }
 
 
@@ -299,7 +340,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": oracles.embedding_near_dup_sql(),
         "events_tumbling": oracles.events_tumbling_sql(),
         "minhash_near_dup": oracles.minhash_near_dup_sql(),
-        # simhash / ann_topk_lsh / media_features: no ANSI-SQL twin
+        "merge_sources": oracles.merge_sources_sql(),
+        "retention_cleanup": oracles.retention_cleanup_sql(),
+        # simhash / ann_topk_lsh / media_features / image_preprocess:
+        # no ANSI-SQL twin
         # (bit-voting, approximate LSH, binary feature stage) — the
         # driver records rows-only checks; pytest carries their oracles.
     }

@@ -70,6 +70,57 @@ def attach_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def render_page_image(doc_id: int, height: int = 120, width: int = 240) -> np.ndarray:
+    """Deterministic synthetic page: white background, black text-line
+    bars, doc-dependent skew in [-3, 3]° and sprinkled noise pixels —
+    the reference's create_test_image analog
+    (/root/reference/scripts/test_preprocessing.py:22-49), as a pure
+    function of doc_id (no RNG) so goldens are construction-time."""
+    img = np.full((height, width), 255, np.uint8)
+    for y0 in range(15, height - 15, 24):
+        x = 15
+        while x < width - 30:
+            wlen = 12 + (x * 7 + y0 + doc_id) % 24
+            img[y0 : y0 + 8, x : x + wlen] = 0
+            x += wlen + 8
+    skew = float((doc_id % 7) - 3)
+    from ..functions import image_ops
+
+    img = image_ops.rotate_image(img, skew)
+    # deterministic speckle (hash pattern, not RNG)
+    yy, xx = np.meshgrid(np.arange(img.shape[0]), np.arange(img.shape[1]), indexing="ij")
+    mask = ((xx * 2654435761 + yy * 40503 + doc_id * 7919) % 9973) < 30
+    img[mask] = np.where(img[mask] > 127, 0, 255).astype(np.uint8)
+    return img
+
+
+def attach_page_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) -> (media_id, payload=binary PGM) via a mapInPandas render
+    stage; the test/bench feeder for operators/preprocess.py."""
+    from ..functions import netpbm
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        netpbm.encode(render_page_image(int(i))) for i in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, schema=schema)
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
     """Real decode requires PIL/cv2 — STUB in this environment."""
     if not _HAS_PIL:

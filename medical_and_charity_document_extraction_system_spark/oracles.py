@@ -332,3 +332,30 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
+
+
+def merge_sources_sql() -> str:
+    """Twin of operators/maintenance.merge_sources (reference
+    merge_pdfs, pdf_service.py:23-85): UNION ALL of the two halves,
+    then the A4 page-count aggregation."""
+    return """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM (
+  SELECT * FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT * FROM documents WHERE doc_id % 2 = 1
+)
+GROUP BY source
+"""
+
+
+def retention_cleanup_sql(cutoff: str = "2024-01-15 00:00:00") -> str:
+    """Twin of operators/maintenance.retention_filter (reference
+    cleanup_files, file_utils.py:75-126): survivors per event_type."""
+    return f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept
+FROM events WHERE ts >= TIMESTAMP '{cutoff}'
+GROUP BY event_type
+"""
