@@ -132,7 +132,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(
-        "doc_id", ts.word_shingles(F.col("text"), 3).alias("sh")
+        "doc_id", ts.word_shingles_fast(3)(F.col("text")).alias("sh")
     )
     a = docs.alias("a")
     b = docs.alias("b")

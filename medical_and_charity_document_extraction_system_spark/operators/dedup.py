@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.textstats import jaccard, tokens, word_shingles
+from ..functions.textstats import jaccard, tokens, word_shingles_fast
 
 MINHASH_SEED = 42
 
@@ -172,7 +172,7 @@ def minhash_near_dup(
     )
     sh = (
         df.join(cand_ids, id_col, "left_semi")
-        .select(F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("sh"))
+        .select(F.col(id_col), word_shingles_fast(shingle_k)(F.col(text_col)).alias("sh"))
     )
     verified = (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -271,7 +271,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard for a given candidate-pair set (id_a, id_b)."""
-    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("sh"))
+    sh = df.select(F.col(id_col), word_shingles_fast(shingle_k)(F.col(text_col)).alias("sh"))
     return (
         candidate_pairs.join(
             sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a"

@@ -33,6 +33,35 @@ class BaseExtractor(Protocol):
     def process_page(self, page_text: str, language: str) -> dict: ...
 
 
+# X3 — language-code mapping (SURVEY.md §2.6): tesseract-style codes ->
+# engine codes, with `+`-joined multi-language strings split and mapped
+# individually. Reference tables: easyocr 31 langs
+# (easyocr_engine.py:147-186), paddle 13 (paddle_engine.py:171-192);
+# the stub accepts everything, so one shared map covers the contract.
+LANGUAGE_MAP = {
+    "eng": "en", "hin": "hi", "deu": "de", "ger": "de", "fra": "fr",
+    "fre": "fr", "spa": "es", "ita": "it", "por": "pt", "nld": "nl",
+    "dut": "nl", "pol": "pl", "rus": "ru", "ukr": "uk", "tur": "tr",
+    "ara": "ar", "jpn": "ja", "kor": "ko", "chi_sim": "ch_sim",
+    "chi_tra": "ch_tra", "tha": "th", "vie": "vi", "ben": "bn",
+    "tam": "ta", "tel": "te", "mar": "mr", "urd": "ur", "swe": "sv",
+    "dan": "da", "nor": "no", "fin": "fi", "ces": "cs", "cze": "cs",
+}
+
+
+def map_language(code: str | None, default: str = "en") -> str:
+    """tesseract-style -> engine code; '+'-joined multi-language input
+    maps each part (easyocr_engine.py:178-186 parity). Unknown codes
+    pass through lowercased (already engine-style)."""
+    if not code:
+        return default
+    parts = [p for p in str(code).strip().lower().split("+") if p]
+    if not parts:
+        return default
+    mapped = [LANGUAGE_MAP.get(p, p) for p in parts]
+    return "+".join(dict.fromkeys(mapped))  # dedupe, keep order
+
+
 class StubOCREngine:
     """Deterministic stand-in OCR: returns the page payload verbatim
     with a content-derived confidence (so reruns are byte-identical —
@@ -120,6 +149,7 @@ _ENGINE_CACHE: dict[str, BaseExtractor] = {}
 
 
 def get_engine(name: str | None = None, language: str = "en") -> BaseExtractor:
+    language = map_language(language)
     key = f"{name or DEFAULT_ENGINE}_{language}"
     eng = _ENGINE_CACHE.get(key)
     if eng is None:

@@ -18,6 +18,8 @@ Determinism: the projection matrix is a pure function of
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -194,29 +196,52 @@ def embedding_near_dup_exact(
     rows = df.select(id_col, vec_col).collect()  # small side, held once
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    # normalize with SEQUENTIAL-fold norms (the IEEE order the SQL
+    # oracle and the JVM `aggregate` fold use) — numpy pairwise sums
+    # differ in the last ulp, and emitted values must be bit-identical
+    norms = np.array([math.sqrt(_fold_dot(v, v)) for v in mat])
+    mat = mat / norms[:, None]
     order = np.argsort(ids)
     ids, mat = ids[order], mat[order]
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(mat)
+    margin = 1e-9  # covers GEMM-vs-fold rounding at the threshold cut
 
     def block(batches):
         for pdf in batches:
             all_ids, all_mat = b_ids.value, b_mat.value
             row_ids = pdf[id_col].to_numpy(dtype=np.int64)
             rv = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            rv /= np.linalg.norm(rv, axis=1, keepdims=True)
-            sims = rv @ all_mat.T  # (block, N)
-            mask = (sims > threshold) & (row_ids[:, None] < all_ids[None, :])
+            rnorm = np.array([math.sqrt(_fold_dot(v, v)) for v in rv])
+            rv = rv / rnorm[:, None]
+            sims = rv @ all_mat.T  # (block, N) — GEMM prefilter
+            mask = (sims > threshold - margin) & (row_ids[:, None] < all_ids[None, :])
             ai, bj = np.nonzero(mask)
+            # exact sequential-fold recompute for the few survivors
+            out_a, out_b, out_c = [], [], []
+            for i, j in zip(ai, bj):
+                c = _fold_dot(rv[i], all_mat[j])
+                if c > threshold:
+                    out_a.append(row_ids[i])
+                    out_b.append(all_ids[j])
+                    out_c.append(c)
             yield pd.DataFrame(
                 {
-                    "vec_a": row_ids[ai],
-                    "vec_b": all_ids[bj],
-                    "cos_sim": sims[ai, bj],
+                    "vec_a": pd.Series(out_a, dtype="int64"),
+                    "vec_b": pd.Series(out_b, dtype="int64"),
+                    "cos_sim": pd.Series(out_c, dtype="float64"),
                 }
             )
 
     return df.select(id_col, vec_col).mapInPandas(
         block, "vec_a long, vec_b long, cos_sim double"
     )
+
+
+def _fold_dot(a, b) -> float:
+    """Strict left-fold dot product — bit-identical to the SQL/JVM
+    ``aggregate(zip_with(a,b,*), 0.0, +)`` evaluation order."""
+    acc = 0.0
+    for x, y in zip(a.tolist(), b.tolist()):
+        acc += x * y
+    return acc

@@ -35,7 +35,8 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        return f"{v:.17g}"  # bit-exact bar: the in-repo contract test
+        # compares full-precision reprs, so hold this checker to it too
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, bytes):
