@@ -1,1 +1,5 @@
-from .stream import run_extraction_stream  # noqa: F401
+from .stream import (  # noqa: F401
+    dedup_url_stream,
+    host_rate_stream,
+    run_extraction_stream,
+)

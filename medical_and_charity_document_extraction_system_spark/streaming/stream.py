@@ -50,3 +50,75 @@ def run_extraction_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def host_rate_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Watermarked tumbling-window per-host page counts — the
+    streaming twin of plans/metrics.host_quality_metrics. Late pages
+    inside the watermark update their window; older ones are dropped
+    (state stays bounded — the property that matters on an unbounded
+    WARC firehose)."""
+    from pyspark.sql import functions as F
+
+    from ..plans.salting import host_of
+
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    agg = (
+        stream.withWatermark("warc_ts", watermark)
+        .groupBy(
+            F.window("warc_ts", window).alias("w"),
+            host_of(F.col("url")).alias("host"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "host",
+            "n_pages",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")  # windows emit once their watermark passes
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def dedup_url_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming exact dedup by url: re-crawled pages arriving within
+    the watermark are dropped, state is evicted after it. The
+    streaming analog of operators/dedup.exact_dedup keyed on url —
+    upstream of the extraction stream this makes reprocessing
+    idempotent per crawl window."""
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    deduped = stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -153,3 +153,54 @@ def test_job_entrypoint(spark, pages_small, tmp_path):
     assert out.count() == 500
     metrics = spark.read.parquet(str(tmp_path / "job_metrics"))
     assert metrics.agg(F.sum("docs_in")).first()[0] == 500
+
+
+def test_host_rate_stream_windowed_counts(spark, pages_small, tmp_path):
+    """Watermarked tumbling window counts match the batch twin."""
+    from medical_and_charity_document_extraction_system_spark.streaming import host_rate_stream
+
+    inp = str(tmp_path / "rate_in")
+    outp = str(tmp_path / "rate_out")
+    ckpt = str(tmp_path / "rate_ckpt")
+    pages_small.write.parquet(inp)
+    q = host_rate_stream(spark, inp, outp, ckpt)
+    q.awaitTermination(300)
+    got = {
+        (r.window_start, r.host): r.n_pages
+        for r in spark.read.parquet(outp).collect()
+    }
+    from medical_and_charity_document_extraction_system_spark.plans.salting import host_of
+
+    import datetime
+
+    max_ts = pages_small.agg(F.max("warc_ts")).first()[0]
+    # append mode emits a window once the watermark (max event time -
+    # 2h) passes its END; trailing windows stay in state
+    cutoff = max_ts - datetime.timedelta(hours=2)
+    exp = {
+        (r.w, r.host): r.n
+        for r in pages_small.groupBy(
+            F.date_trunc("hour", "warc_ts").alias("w"),
+            host_of(F.col("url")).alias("host"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r.w + datetime.timedelta(hours=1) <= cutoff
+    }
+    assert got == exp
+    assert sum(got.values()) > 300  # the bulk of the 500 pages emitted
+
+
+def test_dedup_url_stream_drops_recrawls(spark, pages_small, tmp_path):
+    from medical_and_charity_document_extraction_system_spark.streaming import dedup_url_stream
+
+    inp = str(tmp_path / "dd_in")
+    outp = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    doubled = pages_small.unionByName(pages_small)  # every url re-crawled
+    doubled.write.parquet(inp)
+    q = dedup_url_stream(spark, inp, outp, ckpt)
+    q.awaitTermination(300)
+    out = spark.read.parquet(outp)
+    assert out.count() == 500
+    assert out.select("url").distinct().count() == 500
