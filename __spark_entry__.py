@@ -267,6 +267,17 @@ def q_image_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2: PDF doc -> one row per page (mapInPandas flatMap;
+    reference per-page loops pdf_service.py:130-143, :185-195)."""
+    from medical_and_charity_document_extraction_system_spark.operators.pdf import explode_pdf_pages
+
+    pages = synthesize_pages(spark, sf_dir)
+    return explode_pdf_pages(pages).select(
+        _doc_id(), "page_number", "page_text", "char_count"
+    )
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation (batch twin of the
     streaming rollup in streaming/)."""
@@ -307,6 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_sources": q_merge_sources,
         "retention_cleanup": q_retention_cleanup,
         "image_preprocess": q_image_preprocess,
+        "pdf_pages": q_pdf_pages,
     }
 
 
@@ -327,6 +339,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup": oracles.minhash_near_dup_sql(),
         "merge_sources": oracles.merge_sources_sql(),
         "retention_cleanup": oracles.retention_cleanup_sql(),
+        "pdf_pages": oracles.pdf_pages_sql(),
         # simhash / ann_topk_lsh / media_features / image_preprocess:
         # no ANSI-SQL twin
         # (bit-voting, approximate LSH, binary feature stage) — the

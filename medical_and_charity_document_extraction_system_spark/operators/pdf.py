@@ -64,3 +64,39 @@ def is_scanned(page_texts: list[str], sample_pages: int = 3, char_threshold: flo
     sample = page_texts[: max(1, sample_pages)]
     avg = sum(len(t.strip()) for t in sample) / len(sample)
     return avg < char_threshold
+
+
+def explode_pdf_pages(pages_df):
+    """F1/F2 as a standalone Spark operator: PDF documents -> one row
+    per page (the reference's per-page loops at pdf_service.py:130-143
+    and :185-195, re-expressed as a mapInPandas flatMap — more output
+    rows than input rows). Non-PDF and unparseable payloads are
+    skipped (degrade-don't-fail). Columns:
+    (url, page_number 1-based, page_text, char_count)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            urls, pns, texts, chars = [], [], [], []
+            for url, data in zip(pdf["url"], pdf["html"]):
+                if data is None:
+                    continue
+                b = bytes(data)
+                if not is_pdf_bytes(b):
+                    continue
+                try:
+                    for i, t in enumerate(extract_pdf_pages(b)):
+                        urls.append(url)
+                        pns.append(i + 1)
+                        texts.append(t)
+                        chars.append(len(t))
+                except ValueError:
+                    continue
+            yield pd.DataFrame(
+                {"url": urls, "page_number": pns, "page_text": texts,
+                 "char_count": chars}
+            )
+
+    return pages_df.select("url", "html").mapInPandas(
+        run, "url string, page_number int, page_text string, char_count int"
+    )

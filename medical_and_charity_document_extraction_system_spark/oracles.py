@@ -359,3 +359,24 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept
 FROM events WHERE ts >= TIMESTAMP '{cutoff}'
 GROUP BY event_type
 """
+
+
+def pdf_pages_sql() -> str:
+    """Construction oracle for the F1/F2 page explode: pdf_text docs
+    (m in [4,10)) have pages [text, p2]; pdf_scanned (m in [10,14))
+    a single scan_text page (sources/pages.py bucket/payload rules)."""
+    return f"""
+WITH {base_cte()}
+SELECT doc_id, page_number, page_text,
+       CAST(length(page_text) AS INT) AS char_count
+FROM (
+  SELECT doc_id, 1 AS page_number, text AS page_text
+  FROM rec WHERE m >= 4 AND m < 10
+  UNION ALL
+  SELECT doc_id, 2 AS page_number, p2 AS page_text
+  FROM rec WHERE m >= 4 AND m < 10
+  UNION ALL
+  SELECT doc_id, 1 AS page_number, scan_text AS page_text
+  FROM rec WHERE m >= 10 AND m < 14
+)
+"""
