@@ -96,6 +96,21 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", ts.bpe_token_count(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming<=3 near-dup pairs via 16-bit chunk blocking
+    (rows-only: the bit-voting fingerprint has no ANSI-SQL twin;
+    pytest carries the oracle)."""
+    from medical_and_charity_document_extraction_system_spark.operators.dedup import simhash_near_dup
+
+    return simhash_near_dup(_docs(spark, sf_dir))
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     return _docs(spark, sf_dir).select(
@@ -319,6 +334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cleanup": q_retention_cleanup,
         "image_preprocess": q_image_preprocess,
         "pdf_pages": q_pdf_pages,
+        "bpe_token_count": q_bpe_token_count,
+        "simhash_near_dup": q_simhash_near_dup,
     }
 
 
@@ -340,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_sources": oracles.merge_sources_sql(),
         "retention_cleanup": oracles.retention_cleanup_sql(),
         "pdf_pages": oracles.pdf_pages_sql(),
+        "bpe_token_count": oracles.bpe_token_count_sql(),
         # simhash / ann_topk_lsh / media_features / image_preprocess:
         # no ANSI-SQL twin
         # (bit-voting, approximate LSH, binary feature stage) — the

@@ -129,3 +129,14 @@ def word_shingles_fast(k: int = 3):
         return pd.Series(out)
 
     return _sh
+
+
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish subword-boundary token count: alpha runs, digit runs,
+    and individual punctuation marks each count as one token (the
+    regex family GPT-2-style tokenizers split on before merges).
+    Whitespace-token counting is ``token_count`` above."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)).cast("long")

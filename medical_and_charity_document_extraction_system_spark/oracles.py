@@ -380,3 +380,11 @@ FROM (
   FROM rec WHERE m >= 10 AND m < 14
 )
 """
+
+
+def bpe_token_count_sql() -> str:
+    return r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""

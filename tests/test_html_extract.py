@@ -61,3 +61,28 @@ def test_malformed_html_degrades_gracefully():
     # html.parser is tolerant; truncated tags still yield text
     out = main_text("<p>hello wor<ld </p", method="plain")
     assert "hello" in out
+
+
+def test_fast_scanner_equals_stdlib_parser():
+    """The regex scanner (default) and the html.parser collector must
+    segment identically on the whole synthetic corpus + edge cases."""
+    from medical_and_charity_document_extraction_system_spark.functions.html_extract import (
+        extract_blocks,
+        extract_blocks_fast,
+    )
+    from medical_and_charity_document_extraction_system_spark.sources.pages import render_html
+
+    for i in range(500):
+        h = render_html(i, f"synthetic body text {i} " * 20).decode()
+        assert extract_blocks(h) == extract_blocks_fast(h), i
+    cases = [
+        "<html><head><title>t</title></head><body><p>Hi &amp; bye</p></body></html>",
+        "<div><script>if (a<b) { x(); }</script><p>kept</p></div>",
+        "<p>one<br/>two</p><ul><li><a>link</a> body words</li></ul>",
+        "<P CLASS='x'>Upper</P><!-- c --><p>after <b>b</b> &lt;tag&gt;</p>",
+        "<style>p > a { color: red }</style><p>styled</p>",
+        "",
+        "plain text, no tags at all",
+    ]
+    for c in cases:
+        assert extract_blocks(c) == extract_blocks_fast(c), c
