@@ -232,6 +232,17 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(emb.where("vec_id <> 0"), [float(x) for x in q], 10, tables=16, bits=4)
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic k-means coarse quantizer,
+    nprobe-cluster pruning (rows-only check: approximate by design;
+    recall + exact-degeneration tested in pytest)."""
+    from medical_and_charity_document_extraction_system_spark.operators.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    return ivf_topk(emb.where("vec_id <> 0"), q, k=10, nprobe=4)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload -> feature stage (decode
     stubbed; deterministic fake features; rows-only check)."""
@@ -336,6 +347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_pages": q_pdf_pages,
         "bpe_token_count": q_bpe_token_count,
         "simhash_near_dup": q_simhash_near_dup,
+        "ann_topk_ivf": q_ann_topk_ivf,
     }
 
 

@@ -245,3 +245,83 @@ def _fold_dot(a, b) -> float:
     for x, y in zip(a.tolist(), b.tolist()):
         acc += x * y
     return acc
+
+
+# ------------------------------------------------------------------ IVF
+def train_ivf_centroids(
+    df: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 10000,
+    iters: int = 10,
+    seed: int = LSH_SEED,
+) -> np.ndarray:
+    """Deterministic k-means (Lloyd, fixed seed/iteration count) over a
+    driver-collected sample — the IVF coarse quantizer. At web scale
+    the sample is a tiny seeded fraction of the corpus; training cost
+    is independent of corpus size. Returns (n_clusters, dim) float64,
+    L2-normalized rows (so centroid assignment = max dot product =
+    max cosine)."""
+    sample = df.select(vec_col).limit(sample_rows).collect()
+    mat = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)
+    cent = mat[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def with_ivf_cluster(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds ``_ivf`` (nearest-centroid id) via one numpy matmul per
+    Arrow batch. At scale this column is written once and the table is
+    partitioned/clustered by it — probes then prune partitions."""
+    cent = centroids
+
+    @F.pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        mat = np.array([list(v) for v in vecs], dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mat @ cent.T, axis=1).astype(np.int32))
+
+    return df.withColumn("_ivf", _assign(F.col(vec_col).cast("array<double>")))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    centroids: np.ndarray | None = None,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+) -> DataFrame:
+    """IVF approximate top-k: score only rows in the ``nprobe``
+    clusters nearest the query. Cost drops from O(N) to
+    O(N * nprobe / n_clusters); recall grows with nprobe (nprobe =
+    n_clusters degenerates to exact brute force)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(df, n_clusters=n_clusters, vec_col=vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(centroids @ q))[:nprobe].tolist()
+    clustered = with_ivf_cluster(df, centroids, vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        clustered.where(F.col("_ivf").isin([int(p) for p in probe]))
+        .select(F.col(id_col), cosine(v, qcol).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )

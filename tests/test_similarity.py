@@ -87,3 +87,51 @@ def test_near_dup_lsh_subset_of_brute_force(emb, emb_np):
     assert got <= true_pairs
     if true_pairs:
         assert len(got) / len(true_pairs) >= 0.5
+
+
+def test_ivf_deterministic_and_normalized(spark, emb):
+    from medical_and_charity_document_extraction_system_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    c1 = train_ivf_centroids(emb, n_clusters=8)
+    c2 = train_ivf_centroids(emb, n_clusters=8)
+    assert np.array_equal(c1, c2)
+    assert c1.shape[0] == 8
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_ivf_full_probe_equals_brute_force(spark, emb):
+    from medical_and_charity_document_extraction_system_spark.operators.similarity import (
+        ivf_topk,
+        topk_cosine,
+        train_ivf_centroids,
+    )
+
+    q = [float(x) for x in emb.where("vec_id = 0").first().embedding]
+    rest = emb.where("vec_id <> 0")
+    cents = train_ivf_centroids(rest, n_clusters=8)
+    exact = [r.vec_id for r in topk_cosine(rest, q, k=10).collect()]
+    full = [
+        r.vec_id
+        for r in ivf_topk(rest, q, k=10, centroids=cents, nprobe=8).collect()
+    ]
+    assert full == exact  # probing every cluster degenerates to exact
+
+
+def test_ivf_partial_probe_recall(spark, emb):
+    from medical_and_charity_document_extraction_system_spark.operators.similarity import (
+        ivf_topk,
+        topk_cosine,
+        train_ivf_centroids,
+    )
+
+    q = [float(x) for x in emb.where("vec_id = 0").first().embedding]
+    rest = emb.where("vec_id <> 0")
+    cents = train_ivf_centroids(rest, n_clusters=16)
+    exact = {r.vec_id for r in topk_cosine(rest, q, k=10).collect()}
+    approx = {
+        r.vec_id
+        for r in ivf_topk(rest, q, k=10, centroids=cents, nprobe=4).collect()
+    }
+    assert len(exact & approx) >= 6  # recall@10 >= 0.6 probing 1/4 of space
