@@ -1,5 +1,6 @@
 from .stream import (  # noqa: F401
     dedup_url_stream,
+    host_running_totals_stream,
     host_rate_stream,
     run_extraction_stream,
 )

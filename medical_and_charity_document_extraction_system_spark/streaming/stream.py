@@ -122,3 +122,63 @@ def dedup_url_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def host_running_totals_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int = 4,
+) -> StreamingQuery:
+    """Custom stateful operator via ``applyInPandasWithState``:
+    per-host RUNNING totals (pages, bytes) maintained across
+    micro-batches — cumulative state that windowed aggregation cannot
+    express. Each micro-batch emits the updated running row per host
+    touched; state is one tiny tuple per host (bounded by host
+    cardinality, not input size)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..plans.salting import host_of
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    hosts = stream.select(
+        host_of(F.col("url")).alias("host"),
+        F.coalesce(F.length("html"), F.lit(0)).alias("n_bytes"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        (host,) = key
+        pages, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            pages += len(pdf)
+            total += int(pdf["n_bytes"].sum())
+        state.update((pages, total))
+        yield pd.DataFrame(
+            {"host": [host], "total_pages": [pages], "total_bytes": [total]}
+        )
+
+    out = hosts.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType="host string, total_pages long, total_bytes long",
+        stateStructType="total_pages long, total_bytes long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

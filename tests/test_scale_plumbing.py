@@ -204,3 +204,40 @@ def test_dedup_url_stream_drops_recrawls(spark, pages_small, tmp_path):
     out = spark.read.parquet(outp)
     assert out.count() == 500
     assert out.select("url").distinct().count() == 500
+
+
+def test_host_running_totals_stateful_stream(spark, pages_small, tmp_path):
+    """applyInPandasWithState keeps per-host running totals across
+    micro-batches; the final row per host equals the batch totals."""
+    from medical_and_charity_document_extraction_system_spark.plans.salting import host_of
+    from medical_and_charity_document_extraction_system_spark.streaming import (
+        host_running_totals_stream,
+    )
+
+    inp = str(tmp_path / "rt_in")
+    outp = str(tmp_path / "rt_out")
+    ckpt = str(tmp_path / "rt_ckpt")
+    pages_small.repartition(8).write.parquet(inp)  # 8 files -> 2 micro-batches
+    q = host_running_totals_stream(spark, inp, outp, ckpt, max_files_per_trigger=4)
+    q.awaitTermination(300)
+    out = spark.read.parquet(outp)
+    # running rows accumulate; the max per host is the final total
+    final = {
+        r.host: (r.total_pages, r.total_bytes)
+        for r in out.groupBy("host")
+        .agg(
+            F.max("total_pages").alias("total_pages"),
+            F.max("total_bytes").alias("total_bytes"),
+        )
+        .collect()
+    }
+    exp = {
+        r.host: (r.n, r.b)
+        for r in pages_small.groupBy(host_of(F.col("url")).alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.length("html"), F.lit(0))).alias("b"),
+        )
+        .collect()
+    }
+    assert final == exp
