@@ -293,6 +293,18 @@ def q_image_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host extraction-quality rollup over the pipeline output —
+    the operator dashboard table (plans/metrics.host_quality_metrics,
+    reference health probe analog health_routes.py:22-62)."""
+    from medical_and_charity_document_extraction_system_spark.plans.metrics import (
+        host_quality_metrics,
+    )
+
+    out = _extract(spark, sf_dir)
+    return host_quality_metrics(out, "gate").drop("run_id")
+
+
 def q_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F2: PDF doc -> one row per page (mapInPandas flatMap;
     reference per-page loops pdf_service.py:130-143, :185-195)."""
@@ -348,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "host_quality": q_host_quality,
     }
 
 
@@ -370,6 +383,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_cleanup": oracles.retention_cleanup_sql(),
         "pdf_pages": oracles.pdf_pages_sql(),
         "bpe_token_count": oracles.bpe_token_count_sql(),
+        "host_quality": oracles.host_quality_sql(),
         # simhash / ann_topk_lsh / media_features / image_preprocess:
         # no ANSI-SQL twin
         # (bit-voting, approximate LSH, binary feature stage) — the

@@ -388,3 +388,30 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
 FROM documents
 """
+
+
+def host_quality_sql() -> str:
+    """Construction oracle for plans/metrics.host_quality_metrics over
+    the extraction output: per-doc error/scanned/confidence/span-count
+    values are pure functions of doc_id (sources/pages.py), aggregated
+    by host. All averaged values are integers, so double sums are
+    exact in any order and the single final division matches Spark
+    bit-for-bit."""
+    return f"""
+WITH {base_cte()}
+SELECT
+  'host' || CAST(hidx AS VARCHAR) || '.example.com' AS host,
+  CAST(count(*) AS BIGINT) AS docs,
+  avg(CASE WHEN m >= 14 AND m < 16 THEN 1.0 ELSE 0.0 END) AS error_share,
+  avg(CASE WHEN m >= 10 AND m < 14 THEN 1.0 ELSE 0.0 END) AS scanned_share,
+  avg(CASE WHEN m >= 14 AND m < 16 THEN 0.0
+           WHEN m >= 10 AND m < 14 THEN 80 + length(scan_text) % 20
+           ELSE 100.0 END) AS avg_confidence,
+  avg(CASE WHEN m >= 10 AND m < 16 THEN 0.0 ELSE 5.0 END) AS avg_spans,
+  CAST(sum(CASE WHEN m >= 14 AND m < 16 THEN 0
+                WHEN m >= 10 AND m < 14 THEN length(scan_text)
+                WHEN m >= 4 AND m < 10 THEN length(text) + length(p2)
+                ELSE length(main) END) AS BIGINT) AS total_chars
+FROM rec
+GROUP BY 1
+"""
