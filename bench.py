@@ -109,9 +109,13 @@ def main() -> None:
 
     qs = entry_mod.queries()
     for name in CATALOG_QUERIES:
-        t0 = time.time()
-        qs[name](spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
+        best_q = None
+        for _ in range(2):  # best-of-2: same steady-state protocol as
+            t0 = time.time()  # the extraction headline
+            qs[name](spark, SF_DIR).count()
+            dt = time.time() - t0
+            best_q = dt if best_q is None else min(best_q, dt)
+        timings[name] = round(best_q, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -159,7 +159,19 @@ def minhash_near_dup(
     probability 1-(1-0.9^4)^16 ~ 1-1e-12; false positives are removed
     by the verification join.
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, bands)
+    # fan out before the signature stage: a single-file input leaves
+    # the Arrow UDF on one core (a 40 MB corpus file is one split
+    # under the default 128 MB maxPartitionBytes); the repartition
+    # shuffles only (id, text) rows and buys full-width signatures
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    # cache the signatures: they feed BOTH sides of the band self-join
+    # and are the expensive stage (Arrow UDF over every doc) — without
+    # the cache Spark recomputes them once per join side, and at wide
+    # shuffle widths the recompute multiplies across task waves
+    # (measured 31s -> 2s at local[32], shuffle=64)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, bands).cache()
     cands = lsh_candidate_pairs(sigs, id_col).cache()
     # shingle arrays are built ONLY for docs that appear in a candidate
     # pair (left_semi first) — at web scale the candidate set is a tiny
