@@ -10,7 +10,10 @@ lang STRING)``:
 - HTML boilerplate stripping via text-density / link-density DOM
   heuristics (the web-scale analog of the reference's 4-stage image
   preprocessing + OCR, /root/reference/backend/app/services/
-  preprocessing_service.py:82-133).
+  preprocessing_service.py:82-133) — plus the ACTUAL image operator
+  inventory (enhance/denoise/deskew/binarize, ~30 methods) in pure
+  numpy as a mapInPandas stage over binary image columns
+  (functions/image_ops.py, operators/preprocess.py).
 - PDF-style layout parse with a scanned-vs-text predicate and an
   OCR-engine registry with per-worker engine caching
   (ocr_service.py:170-186 pattern).
