@@ -293,6 +293,28 @@ def q_image_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ocr_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded OCR word records (F3 word expansion; reference
+    easyocr_engine.py:73-95) — doc -> pages -> words double explode."""
+    out = _extract(spark, sf_dir).where("processing_method = 'ocr_pipeline'")
+    p = out.select(_doc_id(), F.explode("pages").alias("p"))
+    w = p.select(
+        "doc_id",
+        F.col("p.page_number").alias("page_number"),
+        F.col("p.confidence").alias("confidence"),
+        F.explode("p.words").alias("w"),
+    )
+    return w.select(
+        "doc_id",
+        "page_number",
+        F.col("w.word_num").alias("word_num"),
+        F.col("w.text").alias("word"),
+        F.col("w.start").alias("w_start"),
+        F.col("w.end").alias("w_end"),
+        "confidence",
+    )
+
+
 def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host extraction-quality rollup over the pipeline output —
     the operator dashboard table (plans/metrics.host_quality_metrics,
@@ -361,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "ann_topk_ivf": q_ann_topk_ivf,
         "host_quality": q_host_quality,
+        "ocr_words": q_ocr_words,
     }
 
 
@@ -384,6 +407,7 @@ def oracle_sql() -> dict[str, str]:
         "pdf_pages": oracles.pdf_pages_sql(),
         "bpe_token_count": oracles.bpe_token_count_sql(),
         "host_quality": oracles.host_quality_sql(),
+        "ocr_words": oracles.ocr_words_sql(),
         # simhash / ann_topk_lsh / media_features / image_preprocess:
         # no ANSI-SQL twin
         # (bit-voting, approximate LSH, binary feature stage) — the

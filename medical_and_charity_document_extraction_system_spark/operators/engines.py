@@ -21,7 +21,10 @@ the same ``BaseExtractor`` contract the real engines would implement
 
 from __future__ import annotations
 
+import re
 from typing import Protocol
+
+_WORD_RE = re.compile(r"\S+")
 
 
 class BaseExtractor(Protocol):
@@ -75,11 +78,24 @@ class StubOCREngine:
 
     def process_page(self, page_text: str, language: str | None = None) -> dict:
         conf = float(80 + len(page_text) % 20)
+        # word records with char offsets standing in for the pixel
+        # bbox (reference easyocr_engine.py:79-91; F3 word expansion)
+        words = [
+            {
+                "text": m.group(0),
+                "confidence": conf,
+                "start": m.start(),
+                "end": m.end(),
+                "word_num": i + 1,
+            }
+            for i, m in enumerate(_WORD_RE.finditer(page_text))
+        ]
         return {
             "text": page_text,
             "confidence": conf,
             "engine": self.engine_name,
             "language": language or self.language,
+            "words": words,
         }
 
 

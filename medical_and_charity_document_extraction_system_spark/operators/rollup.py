@@ -54,8 +54,11 @@ def combine_page_results(pages: list[dict]) -> dict:
                 "char_count": len(t),
                 "word_count": len(t.split()),
                 "confidence": c,
+                # OCR engine pages carry word records; text/html pages
+                # have none (reference: words[] only in engine output)
+                "words": p.get("words"),
             }
-            for i, (t, c) in enumerate(zip(texts, confs))
+            for i, (t, c, p) in enumerate(zip(texts, confs, pages))
         ],
     }
 

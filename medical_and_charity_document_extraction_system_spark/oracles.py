@@ -415,3 +415,26 @@ SELECT
 FROM rec
 GROUP BY 1
 """
+
+
+def ocr_words_sql() -> str:
+    """Construction oracle for the exploded OCR word records (F3):
+    scanned docs' single page text is 'scan ' || doc_id, so the two
+    word records and their char offsets are pure doc_id arithmetic;
+    confidence matches the stub engine's 80 + len % 20."""
+    return f"""
+WITH {base_cte()}
+SELECT doc_id, CAST(1 AS INT) AS page_number,
+       CAST(word_num AS INT) AS word_num, word,
+       CAST(w_start AS INT) AS w_start, CAST(w_end AS INT) AS w_end,
+       CAST(80 + length(scan_text) % 20 AS DOUBLE) AS confidence
+FROM (
+  SELECT doc_id, scan_text, 1 AS word_num, 'scan' AS word,
+         0 AS w_start, 4 AS w_end
+  FROM rec WHERE m >= 10 AND m < 14
+  UNION ALL
+  SELECT doc_id, scan_text, 2 AS word_num, CAST(doc_id AS VARCHAR) AS word,
+         5 AS w_start, 5 + length(CAST(doc_id AS VARCHAR)) AS w_end
+  FROM rec WHERE m >= 10 AND m < 14
+)
+"""

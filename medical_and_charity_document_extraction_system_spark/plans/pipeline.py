@@ -74,6 +74,7 @@ from ..schema import (
     METHOD_HTML,
     METHOD_OCR,
     SPAN_STRUCT,
+    WORD_STRUCT,
 )
 from ..sources.pages import FAKE_PDF_MAGIC
 
@@ -310,6 +311,7 @@ def run_extraction_branching(
                 F.length(page_text).cast("int").alias("char_count"),
                 n_words.cast("int").alias("word_count"),
                 F.lit(100.0).alias("confidence"),
+                F.lit(None).cast(T.ArrayType(WORD_STRUCT)).alias("words"),
             )
         ).alias("pages"),
         _spans_udf(full_text).alias("spans"),

@@ -29,6 +29,20 @@ PAGES_SCHEMA = T.StructType(
 )
 
 # ---------------------------------------------------------------- output
+# word record (OCR pages only) — the reference's word primitive with
+# `(start, end)` char offsets in place of the pixel bbox
+# (easyocr_engine.py:79-91; block/line nums collapse to word_num in a
+# text-payload engine)
+WORD_STRUCT = T.StructType(
+    [
+        T.StructField("text", T.StringType(), True),
+        T.StructField("confidence", T.DoubleType(), True),
+        T.StructField("start", T.IntegerType(), True),
+        T.StructField("end", T.IntegerType(), True),
+        T.StructField("word_num", T.IntegerType(), True),
+    ]
+)
+
 PAGE_STRUCT = T.StructType(
     [
         T.StructField("page_number", T.IntegerType(), False),
@@ -36,6 +50,9 @@ PAGE_STRUCT = T.StructType(
         T.StructField("char_count", T.IntegerType(), True),
         T.StructField("word_count", T.IntegerType(), True),
         T.StructField("confidence", T.DoubleType(), True),
+        # populated only on the OCR path (reference: words[] exists
+        # only in engine page records, base_engine.py:53-69)
+        T.StructField("words", T.ArrayType(WORD_STRUCT), True),
     ]
 )
 

@@ -106,3 +106,23 @@ def test_rerun_determinism(spark, pages_small):
     a = run_extraction(pages_small).select("url", "text", "processing_method").collect()
     b = run_extraction(pages_small).select("url", "text", "processing_method").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ocr_pages_carry_word_records(by_url):
+    """OCR pages carry word records with char offsets (F3 word
+    expansion, easyocr_engine.py:79-91 analog); text/html pages have
+    none, mirroring the reference where words[] exists only in engine
+    output."""
+    n_ocr = 0
+    for url, r in by_url.items():
+        for p in r.pages:
+            if r.processing_method == "ocr_pipeline":
+                assert p.words is not None and len(p.words) >= 1
+                for i, w in enumerate(p.words):
+                    assert w.word_num == i + 1
+                    assert p.text[w.start:w.end] == w.text  # offsets index page text
+                    assert w.confidence == p.confidence
+                n_ocr += 1
+            else:
+                assert p.words is None
+    assert n_ocr > 10
