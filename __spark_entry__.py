@@ -293,6 +293,17 @@ def q_image_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_route_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing/predicate distribution (P1 scanned-vs-text + content
+    routing): documents per processing method with totals."""
+    out = _extract(spark, sf_dir)
+    return out.groupBy("processing_method").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("page_count").cast("long").alias("n_pages"),
+        F.sum("total_characters").alias("sum_chars"),
+    )
+
+
 def q_ocr_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded OCR word records (F3 word expansion; reference
     easyocr_engine.py:73-95) — doc -> pages -> words double explode."""
@@ -383,7 +394,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "ann_topk_ivf": q_ann_topk_ivf,
         "host_quality": q_host_quality,
+        "host_quality": q_host_quality,
         "ocr_words": q_ocr_words,
+        "route_stats": q_route_stats,
     }
 
 
@@ -408,6 +421,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count": oracles.bpe_token_count_sql(),
         "host_quality": oracles.host_quality_sql(),
         "ocr_words": oracles.ocr_words_sql(),
+        "route_stats": oracles.route_stats_sql(),
         # simhash / ann_topk_lsh / media_features / image_preprocess:
         # no ANSI-SQL twin
         # (bit-voting, approximate LSH, binary feature stage) — the

@@ -39,6 +39,9 @@ from medical_and_charity_document_extraction_system_spark.plans.salting import (
     repartition_by_url,
 )
 from medical_and_charity_document_extraction_system_spark.schema import PAGES_SCHEMA
+from medical_and_charity_document_extraction_system_spark.sources.validate import (
+    validate_pages_schema,
+)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -72,6 +75,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
 
     try:
         pages = spark.read.schema(PAGES_SCHEMA).parquet(args.input)
+        validate_pages_schema(pages)  # real check, unlike the
+        # reference's empty validator stubs (core/validators/*.py)
         if args.partitions:
             pages = repartition_by_url(pages, args.partitions)
         heavy = find_heavy_hosts(pages, sample_fraction=0.1)

@@ -438,3 +438,26 @@ FROM (
   FROM rec WHERE m >= 10 AND m < 14
 )
 """
+
+
+def route_stats_sql() -> str:
+    """Construction oracle for the routing distribution (P1): bucket
+    membership and per-bucket page counts/chars are doc_id arithmetic
+    (sources/pages.py bucket rules)."""
+    return f"""
+WITH {base_cte()}
+SELECT
+  CASE WHEN m < 10 THEN 'direct_text_extraction'
+       WHEN m < 14 THEN 'ocr_pipeline'
+       WHEN m < 16 THEN 'error'
+       ELSE 'html_extraction' END AS processing_method,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN m >= 14 AND m < 16 THEN 0
+                WHEN m >= 4 AND m < 10 THEN 2 ELSE 1 END) AS BIGINT) AS n_pages,
+  CAST(sum(CASE WHEN m >= 14 AND m < 16 THEN 0
+                WHEN m >= 10 AND m < 14 THEN length(scan_text)
+                WHEN m >= 4 AND m < 10 THEN length(text) + length(p2)
+                ELSE length(main) END) AS BIGINT) AS sum_chars
+FROM rec
+GROUP BY 1
+"""
