@@ -31,8 +31,19 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+_EXTRACT_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_extraction(synthesize_pages(spark, sf_dir))
+    """Extraction output, cached per (session, sf_dir): six catalog
+    queries project/aggregate the same 500-row pipeline result — one
+    cached run instead of six end-to-end re-executions."""
+    key = (id(spark), sf_dir)
+    df = _EXTRACT_CACHE.get(key)
+    if df is None:
+        df = run_extraction(synthesize_pages(spark, sf_dir)).cache()
+        _EXTRACT_CACHE[key] = df
+    return df
 
 
 def _doc_id():
