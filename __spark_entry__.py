@@ -304,6 +304,41 @@ def q_image_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 10% sample — membership a pure function of the key
+    (md5-prefix bucket), identical on any engine/run."""
+    from medical_and_charity_document_extraction_system_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    return deterministic_sample(_docs(spark, sf_dir), "doc_id", 0.1).select("doc_id")
+
+
+def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment (0.8/0.1/0.1)."""
+    from medical_and_charity_document_extraction_system_spark.operators.sampling import (
+        assign_split,
+    )
+
+    out = assign_split(_docs(spark, sf_dir), "doc_id")
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def q_top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key top-N via window rank (largest documents per source)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .select("source", "doc_id", "n_chars", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 3)
+    )
+
+
 def q_route_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Routing/predicate distribution (P1 scanned-vs-text + content
     routing): documents per processing method with totals."""
@@ -408,6 +443,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_quality": q_host_quality,
         "ocr_words": q_ocr_words,
         "route_stats": q_route_stats,
+        "sample_10pct": q_sample_10pct,
+        "split_counts": q_split_counts,
+        "top_docs_per_source": q_top_docs_per_source,
     }
 
 
@@ -433,6 +471,9 @@ def oracle_sql() -> dict[str, str]:
         "host_quality": oracles.host_quality_sql(),
         "ocr_words": oracles.ocr_words_sql(),
         "route_stats": oracles.route_stats_sql(),
+        "sample_10pct": oracles.sample_10pct_sql(),
+        "split_counts": oracles.split_counts_sql(),
+        "top_docs_per_source": oracles.top_docs_per_source_sql(),
         # simhash / ann_topk_lsh / media_features / image_preprocess:
         # no ANSI-SQL twin
         # (bit-voting, approximate LSH, binary feature stage) — the

@@ -1,0 +1,61 @@
+"""Deterministic sampling & split assignment.
+
+Training-data pipelines need *reproducible* subsets: the same row
+lands in the same sample/split on every run, on every cluster, with
+no RNG state. Both operators key on a stable hash of an id column —
+``md5`` (not ``xxhash64``) so the DuckDB oracle computes the identical
+assignment, and any other engine (Trino, DuckDB, pandas) can
+re-derive membership.
+
+At 10^12 rows these are pure narrow filters: the hash is computed in
+whole-stage codegen, the predicate pushes into the scan's row-group
+filtering when the table is bucketed by the same hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash_mod(col: Column, buckets: int = 10000) -> Column:
+    """Stable bucket in [0, buckets): first 8 hex chars of md5 as an
+    integer, mod buckets. conv() returns string -> cast."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % buckets
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, buckets: int = 10000
+) -> DataFrame:
+    """Keep ~fraction of rows, membership a pure function of the key
+    (same rows on every run/engine — unlike ``df.sample`` whose output
+    depends on partitioning)."""
+    cutoff = int(fraction * buckets)
+    return df.where(_hash_mod(F.col(key_col), buckets) < cutoff)
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float] | None = None,
+    buckets: int = 10000,
+    out_col: str = "split",
+) -> DataFrame:
+    """Adds a train/val/test (or arbitrary) split label, deterministic
+    per key. Fractions must sum to <= 1; remainder rows get the last
+    label."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    b = _hash_mod(F.col(key_col), buckets)
+    expr = None
+    lo = 0
+    labels = list(fractions.items())
+    for name, frac in labels[:-1]:
+        hi = lo + int(frac * buckets)
+        cond = (b >= lo) & (b < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    last = labels[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)

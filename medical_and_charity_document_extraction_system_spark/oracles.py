@@ -461,3 +461,39 @@ SELECT
 FROM rec
 GROUP BY 1
 """
+
+
+_BUCKET = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000")
+
+
+def sample_10pct_sql() -> str:
+    """Twin of operators/sampling.deterministic_sample(fraction=0.1):
+    identical md5-prefix bucket arithmetic in both engines."""
+    return f"SELECT doc_id FROM documents WHERE {_BUCKET} < 1000"
+
+
+def split_counts_sql() -> str:
+    """Twin of operators/sampling.assign_split(0.8/0.1/0.1)."""
+    return f"""
+WITH b AS (SELECT doc_id, n_chars, {_BUCKET} AS bkt FROM documents)
+SELECT CASE WHEN bkt < 8000 THEN 'train'
+            WHEN bkt < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM b GROUP BY 1
+"""
+
+
+def top_docs_per_source_sql(k: int = 3) -> str:
+    """Per-key top-N (window rank) twin."""
+    return f"""
+SELECT source, doc_id, n_chars, CAST(rk AS INT) AS rk
+FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= {k}
+"""

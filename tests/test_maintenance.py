@@ -72,3 +72,35 @@ def test_validate_pages_sample(spark, pages_small):
     stats = validate_pages_sample(pages_small)
     assert stats["rows_sampled"] == 100
     assert stats["bad_schemes"] == 0
+
+
+def test_deterministic_sample_is_stable_and_sized(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    df = spark.range(10000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in deterministic_sample(df, "doc_id", 0.1).collect()}
+    b = {r.doc_id for r in deterministic_sample(df, "doc_id", 0.1).collect()}
+    assert a == b  # same membership every run
+    assert 800 < len(a) < 1200  # ~10%
+    sub = {r.doc_id for r in deterministic_sample(df, "doc_id", 0.05).collect()}
+    assert sub <= a  # nested cutoffs -> nested samples
+
+
+def test_assign_split_partitions_everything(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.sampling import (
+        assign_split,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(10000).withColumnRenamed("id", "doc_id")
+    out = assign_split(df, "doc_id")
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 10000
+    assert counts["train"] > 7500
+    # stable: same doc -> same split on rerun
+    a = {(r.doc_id, r.split) for r in out.collect()}
+    b = {(r.doc_id, r.split) for r in assign_split(df, "doc_id").collect()}
+    assert a == b
