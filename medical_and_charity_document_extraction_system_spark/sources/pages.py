@@ -89,7 +89,10 @@ def url_for(doc_id: int) -> str:
 
 
 def warc_ts_for(doc_id: int) -> datetime:
-    return EPOCH + timedelta(seconds=doc_id * 137)
+    # wrap within ~20 years so amplified corpora (doc_id up to ~1e10
+    # under repeat amplification) stay inside the datetime range;
+    # identity for unamplified ids (sf<=0.1: doc_id*137 << the bound)
+    return EPOCH + timedelta(seconds=(doc_id * 137) % 630_720_000)
 
 
 # ------------------------------------------------------ planted fields
