@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) for the pure kernels — the
+invariants that must hold for ANY input, not just fixtures."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from medical_and_charity_document_extraction_system_spark.functions import image_ops as I
+from medical_and_charity_document_extraction_system_spark.functions import netpbm
+from medical_and_charity_document_extraction_system_spark.functions.fields import extract_spans
+from medical_and_charity_document_extraction_system_spark.functions.html_extract import (
+    extract_blocks,
+    extract_blocks_fast,
+    main_text,
+)
+from medical_and_charity_document_extraction_system_spark.operators.rollup import (
+    combine_page_results,
+)
+
+gray_images = arrays(
+    np.uint8,
+    st.tuples(st.integers(8, 40), st.integers(8, 40)),
+    elements=st.integers(0, 255),
+)
+
+texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(gray_images)
+def test_netpbm_roundtrip_any_gray(img):
+    assert np.array_equal(netpbm.decode(netpbm.encode(img)), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(gray_images)
+def test_binarize_always_two_valued(img):
+    for method in ("auto", "otsu", "adaptive", "sauvola", "niblack", "triangle"):
+        out = I.binarize(img, method)
+        assert set(np.unique(out)).issubset({0, 255}), method
+        assert out.shape == img.shape
+
+
+@settings(max_examples=25, deadline=None)
+@given(gray_images)
+def test_enhance_preserves_shape_dtype(img):
+    for method in ("clahe", "histogram", "sharpen", "gamma"):
+        out = I.enhance(img, method)
+        assert out.shape == img.shape and out.dtype == np.uint8, method
+
+
+@settings(max_examples=15, deadline=None)
+@given(gray_images)
+def test_denoise_preserves_shape_dtype(img):
+    for method in ("gaussian", "median", "morphology"):
+        out = I.denoise(img, method)
+        assert out.shape == img.shape and out.dtype == np.uint8, method
+
+
+@settings(max_examples=20, deadline=None)
+@given(gray_images, st.floats(-30.0, 30.0))
+def test_rotate_roundtrip_canvas_and_determinism(img, angle):
+    a = I.rotate_image(img, angle)
+    b = I.rotate_image(img, angle)
+    assert np.array_equal(a, b)
+    assert a.shape[0] >= img.shape[0] - 1 or abs(angle) < 0.1
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts)
+def test_spans_always_slice_to_value(text):
+    for s in extract_spans(text):
+        assert text[s["start"] : s["end"]] == s["value"]
+        assert 0 <= s["start"] < s["end"] <= len(text)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(texts, max_size=6))
+def test_rollup_totals_consistent(page_texts):
+    pages = [{"text": t, "confidence": 50.0} for t in page_texts]
+    rec = combine_page_results(pages)
+    assert rec["page_count"] == len(pages)
+    assert rec["total_characters"] == sum(len(t) for t in page_texts)
+    assert rec["total_words"] == sum(len(t.split()) for t in page_texts)
+    if pages:
+        assert rec["average_confidence"] == 50.0
+    for i, p in enumerate(rec["pages"]):
+        assert p["page_number"] == i + 1
+
+
+# html: the two parsers must agree on any tag-free text, and never
+# crash on arbitrary input
+@settings(max_examples=60, deadline=None)
+@given(texts)
+def test_html_parsers_agree_on_plain_text(text):
+    if "<" in text or "&" in text:
+        main_text(text)  # must not raise
+        return
+    assert extract_blocks(text) == extract_blocks_fast(text)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=300))
+def test_main_text_never_crashes_on_decodable_garbage(data):
+    try:
+        s = data.decode("utf-8")
+    except UnicodeDecodeError:
+        return
+    out = main_text(s)
+    assert isinstance(out, str)
