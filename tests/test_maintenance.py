@@ -104,3 +104,23 @@ def test_assign_split_partitions_everything(spark):
     a = {(r.doc_id, r.split) for r in out.collect()}
     b = {(r.doc_id, r.split) for r in assign_split(df, "doc_id").collect()}
     assert a == b
+
+
+def test_api_process_documents(spark, pages_small):
+    from medical_and_charity_document_extraction_system_spark.api import process_documents
+
+    resp = process_documents(spark, pages_small)
+    assert resp["status"] == "success"
+    assert resp["results"].count() == 500
+
+
+def test_api_engines_and_health(spark):
+    from medical_and_charity_document_extraction_system_spark.api import (
+        get_available_engines,
+        health_check,
+    )
+
+    eng = get_available_engines()
+    assert "stub" in eng["engines"] and eng["blocked"] == ["tesseract"]
+    h = health_check(spark)
+    assert h["status"] == "healthy" and h["default_parallelism"] >= 1
