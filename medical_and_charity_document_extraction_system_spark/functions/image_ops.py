@@ -582,28 +582,59 @@ def detect_skew_projection(
     return -best_angle
 
 
-def _label_components(binary: np.ndarray, max_iters: int = 512) -> np.ndarray:
-    """4/8-connected component labels via iterative min-propagation
-    (no scipy/cv2). 0 = background; labels are arbitrary positive ints."""
+def _label_components(binary: np.ndarray) -> np.ndarray:
+    """8-connected component labels via two-pass run-length
+    union-find (no scipy/cv2) — O(H·W) for ANY component shape
+    (a naive min-propagation sweep is O(path length) per image and
+    degrades quadratically on serpentine components).
+    0 = background; labels are positive ints (root-canonical)."""
     h, w = binary.shape
-    INF = np.iinfo(np.int64).max
-    lab = np.where(binary, np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w), INF)
-    for _ in range(max_iters):
-        prev = lab
-        m = lab.copy()
-        m[1:, :] = np.minimum(m[1:, :], lab[:-1, :])
-        m[:-1, :] = np.minimum(m[:-1, :], lab[1:, :])
-        m[:, 1:] = np.minimum(m[:, 1:], lab[:, :-1])
-        m[:, :-1] = np.minimum(m[:, :-1], lab[:, 1:])
-        m[1:, 1:] = np.minimum(m[1:, 1:], lab[:-1, :-1])
-        m[:-1, :-1] = np.minimum(m[:-1, :-1], lab[1:, 1:])
-        m[1:, :-1] = np.minimum(m[1:, :-1], lab[:-1, 1:])
-        m[:-1, 1:] = np.minimum(m[:-1, 1:], lab[1:, :-1])
-        lab = np.where(binary, m, INF)
-        if np.array_equal(lab, prev):
-            break
-    lab = np.where(binary, lab, 0)
-    return lab
+    labels = np.zeros((h, w), dtype=np.int64)
+    parent: list[int] = []
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> int:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra > rb:
+                ra, rb = rb, ra
+            parent[rb] = ra
+        return ra
+
+    prev_runs: list[tuple[int, int, int]] = []  # (start, end_excl, label)
+    pad = np.zeros(1, dtype=np.int8)
+    for r in range(h):
+        row = binary[r].astype(np.int8)
+        edges = np.flatnonzero(np.diff(np.concatenate((pad, row, pad))))
+        cur: list[tuple[int, int, int]] = []
+        j = 0
+        for s, e in zip(edges[0::2], edges[1::2]):
+            s, e = int(s), int(e)
+            # prev run [ps, pe) 8-connects iff ps <= e and pe >= s
+            while j < len(prev_runs) and prev_runs[j][1] < s:
+                j += 1
+            lbl = -1
+            k = j
+            while k < len(prev_runs) and prev_runs[k][0] <= e:
+                lbl = find(prev_runs[k][2]) if lbl < 0 else union(lbl, prev_runs[k][2])
+                k += 1
+            if lbl < 0:
+                lbl = len(parent)
+                parent.append(lbl)
+            cur.append((s, e, lbl))
+            labels[r, s:e] = lbl + 1  # provisional
+        prev_runs = cur
+    if parent:
+        lut = np.concatenate(
+            ([0], np.array([find(i) for i in range(len(parent))], dtype=np.int64) + 1)
+        )
+        labels = lut[labels]
+    return labels
 
 
 def detect_skew_contour(image: np.ndarray) -> float:

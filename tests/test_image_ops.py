@@ -263,3 +263,31 @@ def test_preprocess_deterministic(skewed):
     a, _ = I.preprocess_image_array(skewed)
     b, _ = I.preprocess_image_array(skewed)
     assert np.array_equal(a, b)
+
+
+def test_label_components_pathological_shapes():
+    """Run-length union-find handles any topology in O(HW) — the
+    serpentine snake that defeats naive min-propagation, diagonal-only
+    chains (8-connectivity), and disjoint blobs."""
+    from medical_and_charity_document_extraction_system_spark.functions.image_ops import (
+        _label_components,
+    )
+
+    h, w = 60, 80
+    snake = np.zeros((h, w), bool)
+    for r in range(0, h, 2):
+        snake[r, :] = True
+        if (r // 2) % 2 == 0 and r + 1 < h:
+            snake[r + 1, w - 1] = True
+        elif r + 1 < h:
+            snake[r + 1, 0] = True
+    assert len(np.unique(_label_components(snake)[snake])) == 1
+
+    diag = np.zeros((10, 10), bool)
+    np.fill_diagonal(diag, True)
+    assert len(np.unique(_label_components(diag)[diag])) == 1
+
+    two = np.zeros((10, 10), bool)
+    two[1:3, 1:3] = True
+    two[6:9, 6:9] = True
+    assert len(np.unique(_label_components(two)[two])) == 2
