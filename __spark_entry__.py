@@ -31,14 +31,16 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-_EXTRACT_CACHE: dict[tuple[int, str], DataFrame] = {}
+_EXTRACT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction output, cached per (session, sf_dir): six catalog
     queries project/aggregate the same 500-row pipeline result — one
-    cached run instead of six end-to-end re-executions."""
-    key = (id(spark), sf_dir)
+    cached run instead of six end-to-end re-executions. Keyed on
+    applicationId, which is unique per session lifetime (an id(spark)
+    key can be reused by a new session after GC of a stopped one)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
     df = _EXTRACT_CACHE.get(key)
     if df is None:
         df = run_extraction(synthesize_pages(spark, sf_dir)).cache()
@@ -439,7 +441,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_topk_ivf": q_ann_topk_ivf,
-        "host_quality": q_host_quality,
         "host_quality": q_host_quality,
         "ocr_words": q_ocr_words,
         "route_stats": q_route_stats,

@@ -10,12 +10,18 @@ IEEE-reproducible: same operation order, no reliance on rounding.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+# Java regex \s — ASCII-only [ \t\n\x0B\f\r]; the Python twin of the
+# JVM F.split(r"\s+") tokenizer must use the same class.
+_ASCII_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
 
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "a", "is"),
@@ -109,13 +115,17 @@ def word_shingles_fast(k: int = 3):
     distinct k-gram shingles in first-occurrence order). The JVM
     higher-order form above is interpreted, not codegen'd (~9ms/doc);
     this pandas_udf is ~20x faster and is what the hot paths (pairwise
-    jaccard, MinHash verification) use. Returns a Column function."""
+    jaccard, MinHash verification) use. Returns a Column function.
+
+    Tokenizes with the same ASCII whitespace class Java regex ``\\s+``
+    uses — ``str.split()`` also splits on Unicode whitespace (U+00A0
+    …), which would diverge from the JVM twin on non-ASCII text."""
 
     @F.pandas_udf("array<string>")
     def _sh(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = (t or "").split()
+            toks = [w for w in _ASCII_WS_RE.split(t or "") if w]
             if len(toks) < k:
                 out.append([])
                 continue

@@ -27,6 +27,7 @@ otherwise — AQE decides).
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -39,6 +40,10 @@ from ..functions.textstats import jaccard, tokens, word_shingles_fast
 
 MINHASH_SEED = 42
 
+# Java regex \s (what F.split(r"\s+") uses) is ASCII-only:
+# [ \t\n\x0B\f\r]. Python's str.split()/re-\s are Unicode-wide.
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per distinct text; keeps the smallest id (deterministic)."""
@@ -49,8 +54,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def _shingle_base_hashes(text: str, k: int) -> np.ndarray:
     """Distinct k-gram word shingles -> stable 64-bit base hashes
-    (blake2b-8; deterministic across processes, unlike ``hash()``)."""
-    toks = text.split()
+    (blake2b-8; deterministic across processes, unlike ``hash()``).
+    Tokenization matches the JVM/SQL twins exactly (Java regex ``\\s+``
+    is ASCII-only; Python ``str.split`` also splits on U+00A0 etc.,
+    which would silently diverge on non-ASCII whitespace)."""
+    toks = [t for t in _ASCII_WS.split(text) if t]
     if len(toks) < k:
         return np.empty(0, dtype=np.uint64)
     shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
@@ -162,9 +170,12 @@ def minhash_near_dup(
     # fan out before the signature stage: a single-file input leaves
     # the Arrow UDF on one core (a 40 MB corpus file is one split
     # under the default 128 MB maxPartitionBytes); the repartition
-    # shuffles only (id, text) rows and buys full-width signatures
+    # shuffles only (id, text) rows and buys full-width signatures.
+    # file count is a plan-only width proxy (a df.rdd probe would
+    # force an RDD conversion of the logical plan just to read it)
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    n_files = len(df.inputFiles())
+    if 0 < n_files < sc.defaultParallelism:
         df = df.repartition(sc.defaultParallelism)
     # cache the signatures: they feed BOTH sides of the band self-join
     # and are the expensive stage (Arrow UDF over every doc) — without

@@ -58,9 +58,12 @@ def extract_pdf_pages(data: bytes) -> list[str]:
 
 def is_scanned(page_texts: list[str], sample_pages: int = 3, char_threshold: float = 50.0) -> bool:
     """Average stripped chars/page over the first <=sample_pages pages
-    below char_threshold => scanned (pdf_service.py:231-259)."""
+    below char_threshold => scanned (pdf_service.py:231-259). A 0-page
+    PDF returns False, matching the reference's early-return
+    (pdf_service.py:234-237); in practice 0-page payloads raise during
+    extraction and become error records before reaching this check."""
     if not page_texts:
-        return True
+        return False
     sample = page_texts[: max(1, sample_pages)]
     avg = sum(len(t.strip()) for t in sample) / len(sample)
     return avg < char_threshold

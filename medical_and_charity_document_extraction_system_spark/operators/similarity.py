@@ -252,6 +252,7 @@ def train_ivf_centroids(
     df: DataFrame,
     n_clusters: int = 16,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     sample_rows: int = 10000,
     iters: int = 10,
     seed: int = LSH_SEED,
@@ -261,8 +262,17 @@ def train_ivf_centroids(
     the sample is a tiny seeded fraction of the corpus; training cost
     is independent of corpus size. Returns (n_clusters, dim) float64,
     L2-normalized rows (so centroid assignment = max dot product =
-    max cosine)."""
-    sample = df.select(vec_col).limit(sample_rows).collect()
+    max cosine).
+
+    The sample is the ``sample_rows`` smallest ids (TakeOrdered): a
+    bare ``limit`` is partition-layout-dependent, which would make the
+    centroids — and every ivf_topk answer — change when the input's
+    file layout changes, against the determinism-everywhere
+    invariant."""
+    sample = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(sample_rows)
+        .select(vec_col).collect()
+    )
     mat = np.array([list(r[0]) for r in sample], dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
