@@ -116,9 +116,9 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming<=3 near-dup pairs via 16-bit chunk blocking
-    (rows-only: the bit-voting fingerprint has no ANSI-SQL twin;
-    pytest carries the oracle)."""
+    """SimHash Hamming<=3 near-dup pairs via 16-bit chunk blocking.
+    Oracle: full from-scratch SQL recompute (md5-derived token hashes,
+    bit voting, chunk blocking — oracles.simhash_near_dup_sql)."""
     from medical_and_charity_document_extraction_system_spark.operators.dedup import simhash_near_dup
 
     return simhash_near_dup(_docs(spark, sf_dir))
@@ -214,6 +214,20 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_exact(_embeddings(spark, sf_dir), threshold=0.3)
 
 
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-broadcast scale path for embedding near-dup: LSH
+    bucket-join candidate generation + exact-cosine verification — no
+    driver collect, the only shuffle is bucket-key equality. Oracle:
+    DuckDB re-derives the same seeded projection constants, buckets,
+    candidates and fold-dot verification from scratch
+    (oracles.embedding_near_dup_lsh_sql)."""
+    from medical_and_charity_document_extraction_system_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+    )
+
+    return embedding_near_dup_lsh(_embeddings(spark, sf_dir), dim=64, threshold=0.3)
+
+
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (shingle->minhash->band->bucket-join) with
     exact-Jaccard verification; at j>=0.9 the result equals the true
@@ -226,16 +240,20 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash document fingerprints (rows-only check: the bit-voting
-    has no ANSI-SQL twin; pytest carries the oracle)."""
+    """SimHash document fingerprints. Oracle: bit-voting recomputed
+    from scratch in SQL over md5-derived token hashes
+    (oracles.simhash_sql)."""
     from medical_and_charity_document_extraction_system_spark.operators.dedup import simhash64
 
     return simhash64(_docs(spark, sf_dir))
 
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH (rows-only check:
-    approximate by design; recall tested in pytest vs numpy)."""
+    """Approximate top-k via random-hyperplane LSH. Oracle: the
+    seeded projection constants are re-derived as SQL literals and
+    DuckDB recomputes buckets, the candidate set, and exact-cosine
+    scoring from scratch (oracles.ann_topk_lsh_sql); pytest keeps the
+    numpy recall oracle."""
     from medical_and_charity_document_extraction_system_spark.operators.similarity import (
         ann_topk_lsh,
     )
@@ -256,9 +274,22 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb.where("vec_id <> 0"), q, k=10, nprobe=4)
 
 
+def q_ann_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe = n_clusters — the exact-degeneration contract:
+    probing every cluster must equal brute force, which gives this
+    approximate operator a full SQL oracle (the brute-force cosine
+    twin). The nprobe=4 pruned variant stays as `ann_topk_ivf`."""
+    from medical_and_charity_document_extraction_system_spark.operators.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    return ivf_topk(emb.where("vec_id <> 0"), q, k=10, nprobe=16, n_clusters=16)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload -> feature stage (decode
-    stubbed; deterministic fake features; rows-only check)."""
+    stubbed; deterministic fake payloads). Oracle: payload length and
+    kind are doc_id arithmetic (oracles.media_features_sql)."""
     from medical_and_charity_document_extraction_system_spark.operators.multimodal import (
         attach_fake_media,
         extract_media_features,
@@ -294,9 +325,12 @@ def q_retention_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full E/D/K/B image chain over binary page images (rows-only
-    check: no SQL twin for image kernels; pytest carries the planted
-    skew-angle oracle in tests/test_preprocess_stage.py)."""
+    """Full E/D/K/B image chain over binary page images. Oracle:
+    golden-fixture construction — the same deterministic kernels run
+    once single-process on the driver and the expected
+    (width, height, skew_angle) land in the SQL as literals
+    (oracles.image_preprocess_sql); pytest carries the independent
+    planted-skew oracle (tests/test_preprocess_stage.py)."""
     from medical_and_charity_document_extraction_system_spark.operators.multimodal import attach_page_images
     from medical_and_charity_document_extraction_system_spark.operators.preprocess import preprocess_images
 
@@ -429,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "topk_cosine": q_topk_cosine,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "events_tumbling": q_events_tumbling,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
@@ -441,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_ivf_exact": q_ann_topk_ivf_exact,
         "host_quality": q_host_quality,
         "ocr_words": q_ocr_words,
         "route_stats": q_route_stats,
@@ -475,8 +511,16 @@ def oracle_sql() -> dict[str, str]:
         "sample_10pct": oracles.sample_10pct_sql(),
         "split_counts": oracles.split_counts_sql(),
         "top_docs_per_source": oracles.top_docs_per_source_sql(),
-        # simhash / ann_topk_lsh / media_features / image_preprocess:
-        # no ANSI-SQL twin
-        # (bit-voting, approximate LSH, binary feature stage) — the
-        # driver records rows-only checks; pytest carries their oracles.
+        "simhash": oracles.simhash_sql(),
+        "simhash_near_dup": oracles.simhash_near_dup_sql(),
+        "embedding_near_dup_lsh": oracles.embedding_near_dup_lsh_sql(),
+        "ann_topk_lsh": oracles.ann_topk_lsh_sql(),
+        "ann_topk_ivf_exact": oracles.topk_cosine_sql(),
+        "media_features": oracles.media_features_sql(),
+        "image_preprocess": oracles.image_preprocess_sql(),
+        # ann_topk_ivf (nprobe=4): approximate by design, centroid
+        # training is driver-side k-means with no SQL image — rows-only
+        # here; its exactness contract is checked via ann_topk_ivf_exact
+        # (nprobe = n_clusters degenerates to the brute-force twin) and
+        # the pytest recall oracle.
     }

@@ -1,0 +1,253 @@
+"""Minimal real ``%PDF`` writer + text extractor, pure Python.
+
+Why this exists: the reference's flagship input is real PDFs parsed
+with PyMuPDF (/root/reference/backend/app/services/pdf_service.py:
+107-229), but fitz is not installable in this environment — without
+this module the real-PDF branch of ``operators/pdf.py`` would be an
+untested import-gate. Here we implement the common *text-PDF* subset
+from the PDF 1.4 spec (public ISO 32000):
+
+- ``build_pdf(pages)``         — emits a structurally valid PDF:
+  catalog -> page tree -> per-page FlateDecode (or raw) content
+  streams, one ``Tj`` text-show per line, correct xref table.
+- ``extract_text_pages(data)`` — walks the page tree (/Kids order),
+  inflates content streams, and concatenates ``Tj``/``'``/``TJ``
+  string operands inside BT/ET blocks; ``Td``/``TD``/``T*`` between
+  shows emit line breaks. PDF string escapes and balanced parens are
+  handled.
+- ``merge_pdfs(datas)``        — page-level merge: re-emits one PDF
+  whose pages are the concatenation of the inputs' extracted pages
+  (the reference's merge_pdfs artifact, pdf_service.py:23-85).
+
+Scope: text extraction covers uncompressed and FlateDecode content
+streams with literal-string operands — exactly what ``build_pdf``
+and the overwhelming majority of machine-generated text PDFs emit.
+Hex strings, CMap-encoded fonts, and object streams raise ValueError
+so callers degrade to the scanned/error route (pdf_service.py:258
+semantics) instead of silently extracting garbage.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)(?:\r?\n)?endstream", re.DOTALL)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
+_CONTENTS_RE = re.compile(rb"/Contents\s+(?:\[(.*?)\]|(\d+)\s+\d+\s+R)", re.DOTALL)
+
+# text-showing / positioning operators inside a BT..ET block
+_TEXT_OP_RE = re.compile(
+    rb"""
+    \( ( (?: [^()\\] | \\. )* ) \)      \s* (Tj|')   # literal string show
+  | \[ ( (?: [^\]\\] | \\. )* ) \]      \s* TJ       # array show
+  | (T\*|Td|TD)                                      # line positioning
+  | < [0-9A-Fa-f\s]* >                  \s* Tj       # hex string: refuse
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _escape_pdf_string(s: str) -> bytes:
+    out = s.encode("latin-1", errors="strict")
+    out = out.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+    return out.replace(b"\r", b"\\r").replace(b"\n", b"\\n")
+
+
+def _unescape_pdf_string(raw: bytes) -> str:
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i : i + 1]
+        if c != b"\\":
+            out += c
+            i += 1
+            continue
+        nxt = raw[i + 1 : i + 2]
+        if nxt in _ESCAPES:
+            out += _ESCAPES[nxt]
+            i += 2
+        elif nxt.isdigit():  # octal \d{1,3}
+            j = i + 1
+            while j < len(raw) and j < i + 4 and raw[j : j + 1].isdigit():
+                j += 1
+            out.append(int(raw[i + 1 : j], 8) & 0xFF)
+            i = j
+        elif nxt in (b"\n", b"\r"):  # line continuation
+            i += 2
+        else:  # lone backslash: drop it (spec: ignore)
+            i += 1
+    return out.decode("latin-1")
+
+
+# ------------------------------------------------------------------ write
+def build_pdf(pages: list[str], compress: bool = True) -> bytes:
+    """Emit a valid single-font text PDF, one input string per page;
+    lines inside a page become separate Tj shows with Td line moves.
+    Deterministic: same pages -> same bytes."""
+    objs: list[bytes] = []  # 1-indexed bodies, object n = index n-1
+    n_pages = len(pages)
+    # 1: catalog, 2: page tree, 3: font; pages at 4..3+n; contents after
+    kids = b" ".join(b"%d 0 R" % (4 + i) for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
+    )
+    objs.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    content_ids = []
+    for i in range(n_pages):
+        cid = 4 + n_pages + i
+        content_ids.append(cid)
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>" % cid
+        )
+    for i, page in enumerate(pages):
+        shows = []
+        for line in page.split("\n"):
+            shows.append(b"(" + _escape_pdf_string(line) + b") Tj")
+        body = (
+            b"BT /F1 11 Tf 72 720 Td "
+            + b" 0 -14 Td ".join(shows)
+            + b" ET"
+        )
+        if compress:
+            data = zlib.compress(body, 9)
+            objs.append(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(data)
+                + data + b"\nendstream"
+            )
+        else:
+            objs.append(
+                b"<< /Length %d >>\nstream\n" % len(body) + body + b"\nendstream"
+            )
+    # assemble with xref
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % n + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_pos)
+    )
+    return bytes(out)
+
+
+# ------------------------------------------------------------------- read
+def _stream_bytes(body: bytes) -> bytes:
+    m = _STREAM_RE.search(body)
+    if m is None:
+        raise ValueError("content object has no stream")
+    data = m.group(1)
+    if b"/FlateDecode" in body[: m.start()]:
+        try:
+            data = zlib.decompress(data)
+        except zlib.error as exc:
+            raise ValueError(f"bad FlateDecode stream: {exc}") from None
+    elif b"/Filter" in body[: m.start()]:
+        raise ValueError("unsupported stream filter")
+    return data
+
+
+def _text_from_content(content: bytes) -> str:
+    """Concatenate text shows; Td/TD/T* between shows start a new
+    line. Only inspects BT..ET spans, mirroring what a layout-aware
+    extractor (fitz get_text) returns for build_pdf-shaped pages."""
+    lines: list[str] = []
+    cur: list[str] = []
+    for bt in re.finditer(rb"BT\b(.*?)ET\b", content, re.DOTALL):
+        block = bt.group(1)
+        first_move = True
+        for m in _TEXT_OP_RE.finditer(block):
+            if m.group(4):  # Td/TD/T*
+                if first_move:  # the initial cursor placement
+                    first_move = False
+                    continue
+                lines.append("".join(cur))
+                cur = []
+            elif m.group(1) is not None:
+                cur.append(_unescape_pdf_string(m.group(1)))
+            elif m.group(3) is not None:
+                # TJ array: show the string elements, skip kern numbers
+                for s in re.finditer(
+                    rb"\( ( (?: [^()\\] | \\. )* ) \)", m.group(3), re.VERBOSE | re.DOTALL
+                ):
+                    cur.append(_unescape_pdf_string(s.group(1)))
+            else:
+                raise ValueError("hex-string text operand not supported")
+        if cur:
+            lines.append("".join(cur))
+            cur = []
+    return "\n".join(lines)
+
+
+def extract_text_pages(data: bytes) -> list[str]:
+    """Page texts in /Kids order. Raises ValueError on encrypted,
+    page-less, or unsupported-filter PDFs (callers route those to the
+    error/scanned path, pdf_service.py:258)."""
+    if not data.startswith(b"%PDF"):
+        raise ValueError("not a %PDF payload")
+    if b"/Encrypt" in data:
+        raise ValueError("encrypted PDF")
+    objs: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(data):
+        objs[int(m.group(1))] = m.group(2)
+    pages_nodes = [
+        (n, b) for n, b in objs.items()
+        if b"/Type" in b and re.search(rb"/Type\s*/Pages\b", b)
+    ]
+    page_ids: list[int] = []
+    for _, body in sorted(pages_nodes):
+        km = _KIDS_RE.search(body)
+        if km:
+            page_ids.extend(int(r.group(1)) for r in _REF_RE.finditer(km.group(1)))
+    if not page_ids:  # no page tree: fall back to object order
+        page_ids = sorted(
+            n for n, b in objs.items() if re.search(rb"/Type\s*/Page\b", b)
+        )
+    page_ids = [
+        n for n in page_ids
+        if n in objs and re.search(rb"/Type\s*/Page\b", objs[n])
+    ]
+    if not page_ids:
+        raise ValueError("PDF has no pages")
+    out = []
+    for pid in page_ids:
+        cm = _CONTENTS_RE.search(objs[pid])
+        if cm is None:
+            out.append("")
+            continue
+        refs = (
+            [int(r.group(1)) for r in _REF_RE.finditer(cm.group(1))]
+            if cm.group(1) is not None
+            else [int(cm.group(2))]
+        )
+        content = b"\n".join(_stream_bytes(objs[r]) for r in refs if r in objs)
+        out.append(_text_from_content(content))
+    return out
+
+
+def merge_pdfs(datas: list[bytes], compress: bool = True) -> bytes:
+    """One merged PDF whose pages are the inputs' pages concatenated
+    in order — the reference's merge_pdfs output document
+    (pdf_service.py:23-85), page-level (re-emitted, not object-copied,
+    which is all the text-PDF subset needs)."""
+    pages: list[str] = []
+    for d in datas:
+        pages.extend(extract_text_pages(d))
+    return build_pdf(pages, compress=compress)

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import argparse
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 # absolute imports: spark-submit executes this file as a __main__
 # script, so relative imports are unavailable; the package arrives on
@@ -37,6 +37,7 @@ from medical_and_charity_document_extraction_system_spark.plans.metrics import (
 from medical_and_charity_document_extraction_system_spark.plans.salting import (
     find_heavy_hosts,
     repartition_by_url,
+    salted_host_repartition,
 )
 from medical_and_charity_document_extraction_system_spark.schema import PAGES_SCHEMA
 from medical_and_charity_document_extraction_system_spark.sources.validate import (
@@ -59,6 +60,25 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def choose_layout(
+    pages: DataFrame, partitions: int | None, salt_buckets: int
+) -> tuple[DataFrame, list[str]]:
+    """north_rule partitioning: detect heavy hosts on a seeded sample
+    FIRST, then repartition once. With heavy hosts the layout is
+    host-grouped with the heavy keys salted across
+    pmod(xxhash64(url), salt_buckets) — host locality for downstream
+    per-host ops without the 40%-of-rows-in-one-task penalty; with no
+    skew detected, uniform url-hash (perfect balance for the per-row
+    extraction map). Returns (repartitioned_df, heavy_hosts)."""
+    heavy = find_heavy_hosts(pages, sample_fraction=0.1)
+    if partitions:
+        if heavy:
+            pages = salted_host_repartition(pages, partitions, heavy, salt_buckets)
+        else:
+            pages = repartition_by_url(pages, partitions)
+    return pages, heavy
+
+
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> dict:
     args = build_parser().parse_args(argv)
     cfg = ExtractionConfig(
@@ -77,9 +97,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
         pages = spark.read.schema(PAGES_SCHEMA).parquet(args.input)
         validate_pages_schema(pages)  # real check, unlike the
         # reference's empty validator stubs (core/validators/*.py)
-        if args.partitions:
-            pages = repartition_by_url(pages, args.partitions)
-        heavy = find_heavy_hosts(pages, sample_fraction=0.1)
+        pages, heavy = choose_layout(pages, args.partitions, args.salt_buckets)
 
         done = run_checkpointed(
             spark, pages, args.output, args.manifest, args.run_id,

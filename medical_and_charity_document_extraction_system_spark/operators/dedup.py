@@ -227,13 +227,23 @@ def _simhash_from_hashes(hash_arrays: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _md5_token_hash(tok: Column) -> Column:
+    """64-bit token hash = first 16 hex chars of md5, as a signed
+    long (two 32-bit halves OR'd — conv() of a full 16-hex value
+    would overflow the signed range). md5 instead of xxhash64 because
+    md5 exists identically in DuckDB, so the oracle gate recomputes
+    the same hashes from scratch (oracles.simhash_sql)."""
+    hexd = F.md5(F.encode(tok, "UTF-8"))
+    hi = F.conv(F.substring(hexd, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hexd, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document. Token hashing stays JVM-side
-    (xxhash64 in a transform); only the bit-voting crosses to Python,
-    as int64 arrays through Arrow."""
-    token_hashes = F.transform(
-        tokens(F.col(text_col)), lambda x: F.xxhash64(x, F.lit(MINHASH_SEED))
-    )
+    (md5-derived, engine-portable — see _md5_token_hash); only the
+    bit-voting crosses to Python, as int64 arrays through Arrow."""
+    token_hashes = F.transform(tokens(F.col(text_col)), _md5_token_hash)
     return df.select(
         F.col(id_col), _simhash_from_hashes(token_hashes).alias("simhash")
     )

@@ -113,12 +113,77 @@ class _UnavailableEngine:
         )
 
 
+class EasyOCRAdapter:
+    """Wraps ``easyocr.Reader`` behind the BaseExtractor contract
+    (reference easyocr_engine.py:56-137). One Reader per Python worker
+    via the engine cache (model load is the expensive init the cache
+    exists for). Accepts image bytes — binary netpbm (decoded here,
+    the in-repo image carrier) or any codec easyocr itself decodes —
+    and maps easyocr's (bbox, text, confidence) triples into the word
+    records the rollup consumes (easyocr_engine.py:79-91), in reading
+    order (top-to-bottom, then left-to-right), confidences scaled to
+    0-100 like the reference's percentage convention."""
+
+    engine_name = "easyocr"
+
+    def __init__(self, language: str = "en") -> None:
+        import easyocr
+
+        self.language = language
+        langs = [p for p in language.split("+") if p] or ["en"]
+        self._reader = easyocr.Reader(langs, gpu=False, verbose=False)
+
+    def process_page(self, page_payload, language: str | None = None) -> dict:
+        if not isinstance(page_payload, (bytes, bytearray, memoryview)):
+            raise ValueError(
+                "easyocr processes image bytes; text pages take the "
+                "direct-extraction route"
+            )
+        data = bytes(page_payload)
+        if data[:2] in (b"P5", b"P6"):  # binary netpbm, decoded in-repo
+            from ..functions import netpbm
+
+            img = netpbm.decode(data)
+        else:
+            img = data  # png/jpeg etc. — easyocr's own decoders
+        results = self._reader.readtext(img, detail=1, paragraph=False)
+
+        def reading_order(r):
+            box = r[0]
+            return (min(p[1] for p in box), min(p[0] for p in box))
+
+        words, parts, pos = [], [], 0
+        confs = []
+        for i, (box, txt, conf) in enumerate(sorted(results, key=reading_order), 1):
+            conf100 = float(conf) * 100.0
+            confs.append(conf100)
+            words.append(
+                {
+                    "text": txt,
+                    "confidence": conf100,
+                    "start": pos,
+                    "end": pos + len(txt),
+                    "word_num": i,
+                }
+            )
+            parts.append(txt)
+            pos += len(txt) + 1  # the joining space
+        text = " ".join(parts)
+        return {
+            "text": text,
+            "confidence": sum(confs) / len(confs) if confs else 0.0,
+            "engine": self.engine_name,
+            "language": language or self.language,
+            "words": words,
+        }
+
+
 def _make_easyocr(language: str):
     try:
         import easyocr  # noqa: F401
     except ImportError:
         return _UnavailableEngine("easyocr")
-    return _UnavailableEngine("easyocr")  # real impl would wrap easyocr.Reader
+    return EasyOCRAdapter(language)
 
 
 def _make_paddle(language: str):

@@ -46,6 +46,57 @@ def merge_sources(*dfs: DataFrame) -> DataFrame:
     return out
 
 
+def merge_pdfs_by_key(
+    df: DataFrame,
+    key_col: str = "source",
+    payload_col: str = "pdf",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """The reference's merge_pdfs *output document*
+    (pdf_service.py:23-85) as a distributed operator: per key, merge
+    the group's PDF binaries (ordered by ``order_col``) into ONE
+    merged ``%PDF`` artifact, skipping unparseable members
+    (pdf_service.py:44-49 degrade path). Grouped applyInPandas — each
+    key's merge runs where its group lands after the hash shuffle; at
+    scale keys are independent and the merge is embarrassingly
+    parallel across groups. Returns (key, merged_pdf, page_count,
+    n_inputs, n_skipped)."""
+    import pandas as pd
+
+    from ..functions.minipdf import build_pdf, extract_text_pages
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        pages: list[str] = []
+        skipped = 0
+        for raw in pdf[payload_col]:
+            try:
+                pages.extend(extract_text_pages(bytes(raw)))
+            except (ValueError, TypeError):
+                skipped += 1
+        if not pages:  # pdf_service.py:51-53 — empty merge is an error
+            merged = None
+        else:
+            merged = build_pdf(pages)
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "merged_pdf": [merged],
+                "page_count": [len(pages)],
+                "n_inputs": [len(pdf)],
+                "n_skipped": [skipped],
+            }
+        )
+
+    return df.select(key_col, order_col, payload_col).groupBy(key_col).applyInPandas(
+        merge,
+        schema=(
+            f"{key_col} string, merged_pdf binary, page_count int, "
+            "n_inputs int, n_skipped int"
+        ),
+    )
+
+
 def retention_filter(
     df: DataFrame, ts_col: str, cutoff: datetime.datetime
 ) -> DataFrame:

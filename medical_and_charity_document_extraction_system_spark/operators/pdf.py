@@ -48,7 +48,14 @@ def extract_pdf_pages(data: bytes) -> list[str]:
         return payload.split(PAGE_SEP)
     if data.startswith(PDF_MAGIC):
         if fitz is None:
-            raise ValueError("real PDF input but PyMuPDF is not installed")
+            # pure-Python fallback for the text-PDF subset
+            # (functions/minipdf.py): uncompressed / FlateDecode
+            # content streams with literal-string Tj/TJ operands.
+            # Unsupported shapes raise ValueError and degrade to the
+            # error record, the pdf_service.py:258 semantics.
+            from ..functions.minipdf import extract_text_pages
+
+            return extract_text_pages(data)
         doc = fitz.open(stream=data, filetype="pdf")
         if doc.is_encrypted or doc.page_count == 0:
             raise ValueError("encrypted or empty PDF")

@@ -307,6 +307,26 @@ def with_ivf_cluster(
     return df.withColumn("_ivf", _assign(F.col(vec_col).cast("array<double>")))
 
 
+def _probe_clusters(
+    centroids: np.ndarray, query_vec: list[float], nprobe: int
+) -> list[int]:
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    return [int(p) for p in np.argsort(-(centroids @ q))[:nprobe]]
+
+
+def _score_topk(
+    df: DataFrame, query_vec: list[float], k: int, vec_col: str, id_col: str
+) -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(F.col(id_col), cosine(v, qcol).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -320,18 +340,51 @@ def ivf_topk(
     """IVF approximate top-k: score only rows in the ``nprobe``
     clusters nearest the query. Cost drops from O(N) to
     O(N * nprobe / n_clusters); recall grows with nprobe (nprobe =
-    n_clusters degenerates to exact brute force)."""
+    n_clusters degenerates to exact brute force). Here ``_ivf`` is
+    computed on the fly (full scan, filtered post-assignment); the
+    materialized layout below prunes at the source instead."""
     if centroids is None:
         centroids = train_ivf_centroids(df, n_clusters=n_clusters, vec_col=vec_col)
-    q = np.asarray(query_vec, dtype=np.float64)
-    q = q / max(np.linalg.norm(q), 1e-12)
-    probe = np.argsort(-(centroids @ q))[:nprobe].tolist()
+    probe = _probe_clusters(centroids, query_vec, nprobe)
     clustered = with_ivf_cluster(df, centroids, vec_col)
-    v = F.col(vec_col).cast("array<double>")
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        clustered.where(F.col("_ivf").isin([int(p) for p in probe]))
-        .select(F.col(id_col), cosine(v, qcol).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), id_col)
-        .limit(k)
+    return _score_topk(
+        clustered.where(F.col("_ivf").isin(probe)), query_vec, k, vec_col, id_col
     )
+
+
+def write_ivf_clustered(
+    df: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF layout: assign ``_ivf`` once and write the
+    table PARTITIONED by it — the write-once cost that makes every
+    subsequent probe read ``nprobe / n_clusters`` of the data. At
+    100 TB this is the difference between an ANN query scanning 100 TB
+    (on-the-fly assignment) and scanning ~6 TB at nprobe=4/64: the
+    probe's ``_ivf IN (...)`` predicate becomes a PartitionFilters
+    entry, pruned at file listing before a single byte is read."""
+    with_ivf_cluster(df, centroids, vec_col).write.mode("overwrite").partitionBy(
+        "_ivf"
+    ).parquet(path)
+
+
+def ivf_topk_pruned(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the materialized IVF layout written by
+    ``write_ivf_clustered``: the cluster filter is a partition-column
+    predicate, so Spark prunes unprobed clusters at planning time
+    (verify with .explain(\"formatted\") — PartitionFilters contains
+    ``_ivf IN …`` and the scanned-file count drops accordingly)."""
+    probe = _probe_clusters(centroids, query_vec, nprobe)
+    df = spark.read.parquet(path).where(F.col("_ivf").isin(probe))
+    return _score_topk(df, query_vec, k, vec_col, id_col)

@@ -463,6 +463,227 @@ GROUP BY 1
 """
 
 
+# ----------------------------------------------------------- LSH twins
+def _lsh_proj_values(tables: int, bits: int, dim: int) -> str:
+    """The random-hyperplane projection matrix as SQL literals — the
+    SAME constants the Spark side derives (similarity._projections,
+    seeded RandomState), emitted with shortest-round-trip repr so
+    DuckDB parses bit-identical doubles. This makes the *approximate*
+    LSH operators fully oracle-checkable: DuckDB re-derives buckets,
+    candidates and verification from scratch."""
+    from .operators.similarity import _projections
+
+    proj = _projections(dim, tables, bits)
+    rows = []
+    for t in range(tables):
+        for b in range(bits):
+            vec = ", ".join(repr(float(x)) for x in proj[t, b])
+            rows.append(f"({t}, {b}, [{vec}])")
+    return ",\n".join(rows)
+
+
+def _lsh_keys_cte(tables: int, bits: int, dim: int) -> str:
+    """CTEs ``proj`` + ``keys``: per-(vector, table) bucket key =
+    sum over bits of 2^bit where sign(dot(projection, v)) >= 0 —
+    the SQL image of similarity.lsh_bucket_udf's packed sign bits.
+    (The UDF computes the dots as one GEMM; sign() is robust to the
+    last-ulp summation-order difference for any non-degenerate dot.)"""
+    pdot = _DOT.format(n=dim, a="proj.p", b="e.v")
+    return f"""proj(tbl, bit, p) AS (VALUES {_lsh_proj_values(tables, bits, dim)}),
+keys AS (
+  SELECT e.vec_id, proj.tbl,
+         CAST(sum(CASE WHEN ({pdot}) >= 0
+                       THEN (CAST(1 AS BIGINT) << proj.bit) ELSE 0 END) AS BIGINT) AS key
+  FROM e CROSS JOIN proj
+  GROUP BY e.vec_id, proj.tbl
+)"""
+
+
+def embedding_near_dup_lsh_sql(
+    threshold: float = 0.3, tables: int = 8, bits: int = 10, dim: int = 64
+) -> str:
+    """Twin of similarity.embedding_near_dup_lsh: candidates share an
+    LSH bucket in >=1 table; verification is one fold-dot over the
+    pre-normalized vectors (IEEE order matches the JVM aggregate)."""
+    norm = _DOT.format(n=dim, a="v", b="v")
+    dot = _DOT.format(n=dim, a="a.vn", b="b.vn")
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+{_lsh_keys_cte(tables, bits, dim)},
+n AS (SELECT vec_id, sqrt({norm}) AS nrm, v FROM e),
+vn AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM n),
+cand AS (
+  SELECT DISTINCT ka.vec_id AS vec_a, kb.vec_id AS vec_b
+  FROM keys ka JOIN keys kb
+    ON ka.tbl = kb.tbl AND ka.key = kb.key AND ka.vec_id < kb.vec_id
+)
+SELECT * FROM (
+  SELECT cand.vec_a, cand.vec_b, {dot} AS cos_sim
+  FROM cand JOIN vn a ON a.vec_id = cand.vec_a
+            JOIN vn b ON b.vec_id = cand.vec_b
+) WHERE cos_sim >= {threshold}
+"""
+
+
+def ann_topk_lsh_sql(
+    k: int = 10,
+    tables: int = 16,
+    bits: int = 4,
+    dim: int = 64,
+    query_vec_id: int = 0,
+) -> str:
+    """Twin of similarity.ann_topk_lsh: score only vectors sharing a
+    bucket with the query in >=1 table, exact cosine, top-k."""
+    cosexpr = _cos("e.v", "q.qv", dim)
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+{_lsh_keys_cte(tables, bits, dim)},
+q AS (SELECT v AS qv FROM e WHERE vec_id = {query_vec_id}),
+qk AS (SELECT tbl, key FROM keys WHERE vec_id = {query_vec_id}),
+cand AS (
+  SELECT DISTINCT k.vec_id
+  FROM keys k JOIN qk ON k.tbl = qk.tbl AND k.key = qk.key
+  WHERE k.vec_id <> {query_vec_id}
+)
+SELECT e.vec_id, {cosexpr} AS cos_sim
+FROM cand JOIN e ON e.vec_id = cand.vec_id CROSS JOIN q
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT {k}
+"""
+
+
+# -------------------------------------------------- multimodal / images
+def media_features_sql() -> str:
+    """Construction oracle for the multimodal feature stage: the fake
+    payload is 'MEDIA:<id>:<md5(id)>' (multimodal.attach_fake_media),
+    so kind and byte length are pure doc_id arithmetic."""
+    return """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                                    WHEN 1 THEN 'audio'
+                                    ELSE 'video' END AS kind,
+       CAST(length('MEDIA:' || CAST(doc_id AS VARCHAR) || ':'
+                   || md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+def _image_preprocess_rows(n: int = 200) -> list[tuple[int, int, int, float]]:
+    """Expected (media_id, width, height, skew_angle) for the synthetic
+    page images, computed once on the driver with the pure-numpy kernel
+    chain — the golden-fixture pattern (reference
+    storage/json_tasks/hospitalbill_*.json): the distributed run must
+    byte-match a single-process run of the same deterministic kernels.
+    Pytest carries the independent semantic oracle (planted skew/dims,
+    tests/test_preprocess_stage.py); this gate proves the Spark
+    plumbing (Arrow batches, netpbm round-trip, cross-process
+    determinism) changes nothing."""
+    from .functions.image_ops import preprocess_image_array
+    from .operators.multimodal import render_page_image
+
+    rows = []
+    for i in range(n):
+        processed, meta = preprocess_image_array(
+            render_page_image(i), document_type="general"
+        )
+        rows.append(
+            (i, int(processed.shape[1]), int(processed.shape[0]),
+             float(meta["skew_angle"]))
+        )
+    return rows
+
+
+def image_preprocess_sql(n: int = 200) -> str:
+    # skew travels as a quoted repr string: a bare -0.0 literal is
+    # parsed as DECIMAL by DuckDB and loses the sign on the way to
+    # DOUBLE; VARCHAR -> DOUBLE preserves it (and repr() round-trips
+    # every double exactly)
+    vals = ",\n".join(
+        f"({i}, {w}, {h}, '{skew!r}')" for i, w, h, skew in _image_preprocess_rows(n)
+    )
+    return f"""
+SELECT CAST(v.media_id AS BIGINT) AS media_id,
+       CAST(v.width AS INT) AS width,
+       CAST(v.height AS INT) AS height,
+       CAST(v.skew AS DOUBLE) AS skew_angle,
+       CAST(NULL AS VARCHAR) AS error
+FROM (VALUES {vals}) v(media_id, width, height, skew)
+JOIN documents d ON d.doc_id = v.media_id
+"""
+
+
+# ------------------------------------------------------------- simhash
+def _simhash_cte() -> str:
+    """CTE ``sh``: (doc_id, hi, lo, simhash) — full from-scratch
+    recompute of operators/dedup.simhash64 in SQL. Token hash = md5
+    hex hi/lo 32-bit halves (the reason simhash64 uses md5, not
+    xxhash64: DuckDB has no xxhash64); bit b's vote is +1/-1 per
+    token; simhash bit b set iff vote > 0. hi/lo stay unsigned
+    halves so shifts never touch the sign bit; the signed 64-bit
+    value is reconstructed arithmetically at the end."""
+    return f"""
+toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+th AS (SELECT doc_id,
+              CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+              CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+       FROM tok),
+votes AS (
+  SELECT doc_id, bb.b AS b,
+         sum(CASE WHEN (CASE WHEN bb.b < 32 THEN (lo >> bb.b)
+                             ELSE (hi >> (bb.b - 32)) END) & 1 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bb
+  GROUP BY doc_id, bb.b
+),
+halves AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN vote > 0 AND b < 32
+                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo,
+         CAST(sum(CASE WHEN vote > 0 AND b >= 32
+                       THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi
+  FROM votes GROUP BY doc_id
+),
+sh AS (
+  SELECT d.doc_id,
+         COALESCE(h.hi, 0) AS hi,
+         COALESCE(h.lo, 0) AS lo,
+         CAST(COALESCE((CASE WHEN h.hi >= 2147483648 THEN h.hi - 4294967296
+                             ELSE h.hi END) * 4294967296 + h.lo, 0) AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN halves h ON d.doc_id = h.doc_id
+)"""
+
+
+def simhash_sql() -> str:
+    return f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM sh"
+
+
+def simhash_near_dup_sql(max_hamming: int = 3) -> str:
+    """16-bit chunk pigeonhole blocking + Hamming verification, the
+    exact SQL image of operators/dedup.simhash_near_dup: chunks come
+    from the unsigned hi/lo halves (c0..c3 = 16-bit slices), pairs
+    share a (chunk, key), hamming = bit_count(xor)."""
+    return f"""
+WITH {_simhash_cte()},
+chunks AS (
+  SELECT doc_id, simhash, c.chunk,
+         CASE c.chunk WHEN 0 THEN lo & 65535
+                      WHEN 1 THEN (lo >> 16) & 65535
+                      WHEN 2 THEN hi & 65535
+                      ELSE (hi >> 16) & 65535 END AS key
+  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS chunk) c
+)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+FROM (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+)
+WHERE hamming <= {max_hamming}
+"""
+
+
 _BUCKET = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000")
 
 

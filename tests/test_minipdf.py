@@ -1,0 +1,132 @@
+"""Real ``%PDF`` path: pure-Python writer/extractor round-trip, the
+fitz-free fallback in operators/pdf.py, the merged-PDF artifact, and
+the full pipeline routing a real PDF (reference flagship input,
+pdf_service.py:107-229)."""
+
+import pytest
+
+from medical_and_charity_document_extraction_system_spark.functions.minipdf import (
+    build_pdf,
+    extract_text_pages,
+    merge_pdfs,
+)
+from medical_and_charity_document_extraction_system_spark.operators.pdf import (
+    extract_pdf_pages,
+    is_pdf_bytes,
+)
+
+PAGES = [
+    "Patient: Jane Doe\nInvoice 12345 dated 01/02/23",
+    "Total due: $1,234.56 (code A12.3)\nwith (nested (parens)) and \\slash",
+]
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_roundtrip_byte_identical_pages(compress):
+    pdf = build_pdf(PAGES, compress=compress)
+    assert pdf.startswith(b"%PDF-1.4")
+    assert pdf.rstrip().endswith(b"%%EOF")
+    assert extract_text_pages(pdf) == PAGES
+    # determinism: same input -> same bytes
+    assert pdf == build_pdf(PAGES, compress=compress)
+
+
+def test_escapes_and_empty_page():
+    tricky = ["()\\", "", "tab\tand\nnewline"]
+    assert extract_text_pages(build_pdf(tricky)) == tricky
+
+
+def test_unsupported_inputs_raise():
+    with pytest.raises(ValueError):
+        extract_text_pages(b"%PDF-1.4 no objects here")
+    with pytest.raises(ValueError):
+        extract_text_pages(b"not a pdf")
+    with pytest.raises(ValueError):
+        extract_text_pages(build_pdf(["x"]) + b"/Encrypt")
+
+
+def test_operator_fallback_parses_real_pdf_without_fitz():
+    """operators/pdf.extract_pdf_pages must handle a real %PDF through
+    the pure-Python fallback (fitz absent in this environment)."""
+    pdf = build_pdf(PAGES)
+    assert is_pdf_bytes(pdf)
+    assert extract_pdf_pages(pdf) == PAGES
+
+
+def test_merge_pdfs_concatenates_pages():
+    merged = merge_pdfs([build_pdf(PAGES[:1]), build_pdf(PAGES[1:])])
+    assert extract_text_pages(merged) == PAGES
+
+
+def test_pipeline_routes_real_pdf(spark):
+    """A Common-Crawl-style pages row whose payload is a REAL %PDF
+    must come out as direct_text_extraction with byte-identical page
+    text — the reference's pdfplumber/fitz direct path
+    (pdf_service.py:164-229)."""
+    import datetime
+
+    from medical_and_charity_document_extraction_system_spark.plans import run_extraction
+
+    long_pages = [p + " " + ("lorem ipsum dolor sit amet " * 4) for p in PAGES]
+    pdf = build_pdf(long_pages)
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [("https://host9.example.com/doc/900001", ts, bytearray(pdf), None, "en")]
+    pages_df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out = run_extraction(pages_df).collect()
+    assert len(out) == 1
+    rec = out[0]
+    assert rec.processing_method == "direct_text_extraction"
+    assert rec.is_scanned is False
+    assert rec.page_count == 2
+    expected_text = (
+        "--- Page 1 ---\n" + long_pages[0] + "\n\n--- Page 2 ---\n" + long_pages[1]
+    )
+    assert rec.text == expected_text  # byte-identical extracted text
+    assert rec.total_characters == sum(len(p) for p in long_pages)
+
+
+def test_pipeline_scanned_route_for_short_real_pdf(spark):
+    """A real %PDF whose pages average <50 chars routes to the OCR
+    pipeline (scanned predicate, pdf_service.py:231-259)."""
+    import datetime
+
+    from medical_and_charity_document_extraction_system_spark.plans import run_extraction
+
+    pdf = build_pdf(["scan 900002"])
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [("https://host9.example.com/doc/900002", ts, bytearray(pdf), None, "en")]
+    pages_df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    rec = run_extraction(pages_df).collect()[0]
+    assert rec.processing_method == "ocr_pipeline"
+    assert rec.is_scanned is True
+    assert "scan 900002" in rec.text
+
+
+def test_merge_pdfs_by_key_operator(spark):
+    """Distributed merged-PDF artifact: per-key applyInPandas merge
+    (reference merge_pdfs, pdf_service.py:23-85)."""
+    from medical_and_charity_document_extraction_system_spark.operators.maintenance import (
+        merge_pdfs_by_key,
+    )
+
+    rows = [
+        ("s1", 0, bytearray(build_pdf([PAGES[0]]))),
+        ("s1", 1, bytearray(build_pdf([PAGES[1]]))),
+        ("s1", 2, bytearray(b"broken not a pdf")),  # degrade path
+        ("s2", 0, bytearray(build_pdf(["only page"]))),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, pdf binary")
+    got = {r.source: r for r in merge_pdfs_by_key(df).collect()}
+    assert got["s1"].page_count == 2 and got["s1"].n_skipped == 1
+    assert extract_text_pages(bytes(got["s1"].merged_pdf)) == PAGES
+    assert got["s2"].page_count == 1
+    # empty-merge error path: all members broken -> None artifact
+    df_bad = spark.createDataFrame(
+        [("s3", 0, bytearray(b"junk"))], "source string, doc_id long, pdf binary"
+    )
+    bad = merge_pdfs_by_key(df_bad).collect()[0]
+    assert bad.merged_pdf is None and bad.n_skipped == 1

@@ -62,6 +62,41 @@ def test_salted_agg_equals_plain_agg(pages_small):
     assert salted == plain
 
 
+def test_job_layout_applies_salting_under_skew(pages_small):
+    """The production entrypoint must actually APPLY the heavy-host
+    detection it pays for: under the planted 40% host0 skew,
+    choose_layout returns the salted host layout whose extraction-
+    stage partitions are balanced (host0 split across salt buckets)."""
+    from medical_and_charity_document_extraction_system_spark.job import choose_layout
+
+    laid_out, heavy = choose_layout(pages_small, partitions=16, salt_buckets=8)
+    assert "host0.example.com" in heavy
+    sizes = [
+        r["count"]
+        for r in laid_out.groupBy(F.spark_partition_id()).count().collect()
+    ]
+    # host0 carries ~200 of 500 rows; salted layout caps any single
+    # extraction task well below that
+    assert max(sizes) < 150
+
+
+def test_job_layout_uniform_without_skew(spark):
+    """No heavy hosts -> uniform url-hash layout (and no layout change
+    when partitions is None)."""
+    from medical_and_charity_document_extraction_system_spark.job import choose_layout
+
+    rows = [(f"https://host{i}.example.com/doc/{i}", f"t{i}") for i in range(200)]
+    flat = spark.createDataFrame(rows, "url string, text string")
+    laid_out, heavy = choose_layout(flat, partitions=16, salt_buckets=8)
+    assert heavy == []
+    counts = [
+        r["count"] for r in laid_out.groupBy(F.spark_partition_id()).count().collect()
+    ]
+    assert len(counts) == 16
+    same, heavy2 = choose_layout(flat, partitions=None, salt_buckets=8)
+    assert same is flat and heavy2 == []
+
+
 def test_repartition_by_url_balances(pages_small):
     df = repartition_by_url(pages_small, 16)
     counts = [r["count"] for r in df.groupBy(F.spark_partition_id()).count().collect()]

@@ -135,3 +135,40 @@ def test_ivf_partial_probe_recall(spark, emb):
         for r in ivf_topk(rest, q, k=10, centroids=cents, nprobe=4).collect()
     }
     assert len(exact & approx) >= 6  # recall@10 >= 0.6 probing 1/4 of space
+
+
+def test_ivf_pruned_layout_matches_and_prunes(spark, emb, tmp_path):
+    """The materialized IVF layout: same answer as the on-the-fly
+    operator, and the probe's cluster filter reaches the scan as a
+    partition filter (pruned at file listing — the 100-TB story)."""
+    from medical_and_charity_document_extraction_system_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_pruned,
+        train_ivf_centroids,
+        write_ivf_clustered,
+    )
+
+    q = [float(x) for x in emb.where("vec_id = 0").first().embedding]
+    rest = emb.where("vec_id <> 0")
+    cents = train_ivf_centroids(rest, n_clusters=8)
+    path = str(tmp_path / "ivf_layout")
+    write_ivf_clustered(rest, path, cents)
+
+    pruned = ivf_topk_pruned(spark, path, q, cents, k=10, nprobe=2)
+    flying = ivf_topk(rest, q, k=10, centroids=cents, nprobe=2)
+    assert [(r.vec_id, r.cos_sim) for r in pruned.collect()] == [
+        (r.vec_id, r.cos_sim) for r in flying.collect()
+    ]
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "_ivf" in plan.split("PartitionFilters", 1)[1]
+    # only the probed clusters' files are listed
+    import glob
+
+    n_cluster_dirs = len(glob.glob(path + "/_ivf=*"))
+    assert n_cluster_dirs > 2  # layout actually split the data
