@@ -49,6 +49,7 @@ CATALOG_QUERIES = [
     "minhash_near_dup",
     "topk_cosine",
     "embedding_near_dup",
+    "embedding_near_dup_lsh",
     "events_tumbling",
 ]
 
@@ -109,9 +110,17 @@ def main() -> None:
 
     qs = entry_mod.queries()
     for name in CATALOG_QUERIES:
+        # one untimed warmup per query, then best-of-2. The UDF-heavy
+        # queries (minhash) fork/warm the full Python worker pool on
+        # first touch — ~9s once at local[32] — which best-of-2 alone
+        # recorded as if it were throughput (r01 logged minhash at
+        # 5.6s vs its 1.9s steady state). A long-running cluster job
+        # amortizes worker start over hours; the headline metric is
+        # sustained docs/sec, so warm first, then time.
+        qs[name](spark, SF_DIR).count()
         best_q = None
-        for _ in range(2):  # best-of-2: same steady-state protocol as
-            t0 = time.time()  # the extraction headline
+        for _ in range(2):
+            t0 = time.time()
             qs[name](spark, SF_DIR).count()
             dt = time.time() - t0
             best_q = dt if best_q is None else min(best_q, dt)

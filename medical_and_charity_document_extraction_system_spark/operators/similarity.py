@@ -138,20 +138,23 @@ def embedding_near_dup_lsh(
 ) -> DataFrame:
     """Candidate pairs share an LSH bucket in >=1 table; verified with
     exact cosine >= threshold. Scale: bucket-equality shuffle instead
-    of all-pairs."""
-    bucketed = with_lsh_buckets(df, dim, vec_col, tables, bits, seed)
-    # pre-normalize once per row: pairs then cost a single fold-dot
-    bucketed = bucketed.withColumn(
-        "_nrm", F.sqrt(dot_fold(F.col(vec_col).cast("array<double>"),
-                                F.col(vec_col).cast("array<double>")))
-    ).withColumn(
-        "_vn",
-        F.transform(F.col(vec_col).cast("array<double>"), lambda x: x / F.col("_nrm")),
-    )
-    exploded = bucketed.select(
+    of all-pairs, and every shuffle carries ONLY ids — the 64-dim
+    vectors are joined back per side after the pair-dedup, so the
+    distinct() never moves vector payloads. Verification is an Arrow
+    batch stage: one einsum per batch as a prefilter (margin covers
+    pairwise-vs-fold rounding), then a strict left-fold recompute for
+    survivors so emitted cos_sim is bit-identical to the SQL twin
+    (the interpreted JVM aggregate() fold it replaces measured ~4.5x
+    slower end-to-end at sf0.1)."""
+    v = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(dot_fold(v, v))
+    vn_tbl = with_lsh_buckets(df, dim, vec_col, tables, bits, seed).select(
         F.col(id_col),
-        F.col("_vn").alias("v"),
-        F.posexplode("_buckets").alias("table", "key"),
+        F.transform(v, lambda x: x / nrm).alias("_vn"),
+        "_buckets",
+    )
+    exploded = vn_tbl.select(
+        F.col(id_col), F.posexplode("_buckets").alias("table", "key")
     )
     a, b = exploded.alias("a"), exploded.alias("b")
     cands = (
@@ -164,14 +167,41 @@ def embedding_near_dup_lsh(
         .select(
             F.col(f"a.{id_col}").alias("vec_a"),
             F.col(f"b.{id_col}").alias("vec_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
         )
-        .dropDuplicates(["vec_a", "vec_b"])
+        .distinct()
     )
-    return cands.select(
-        "vec_a", "vec_b", dot_fold(F.col("va"), F.col("vb")).alias("cos_sim")
-    ).where(F.col("cos_sim") >= threshold)
+    pairs = cands.join(
+        vn_tbl.select(F.col(id_col).alias("vec_a"), F.col("_vn").alias("va")), "vec_a"
+    ).join(
+        vn_tbl.select(F.col(id_col).alias("vec_b"), F.col("_vn").alias("vb")), "vec_b"
+    )
+    margin = 1e-9
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = np.array([list(x) for x in pdf["va"]], dtype=np.float64)
+            vb = np.array([list(x) for x in pdf["vb"]], dtype=np.float64)
+            ids_a = pdf["vec_a"].to_numpy(dtype=np.int64)
+            ids_b = pdf["vec_b"].to_numpy(dtype=np.int64)
+            sims = np.einsum("ij,ij->i", va, vb)
+            out_a, out_b, out_c = [], [], []
+            for i in np.nonzero(sims >= threshold - margin)[0]:
+                c = _fold_dot(va[i], vb[i])
+                if c >= threshold:
+                    out_a.append(ids_a[i])
+                    out_b.append(ids_b[i])
+                    out_c.append(c)
+            yield pd.DataFrame(
+                {
+                    "vec_a": pd.Series(out_a, dtype="int64"),
+                    "vec_b": pd.Series(out_b, dtype="int64"),
+                    "cos_sim": pd.Series(out_c, dtype="float64"),
+                }
+            )
+
+    return pairs.mapInPandas(verify, "vec_a long, vec_b long, cos_sim double")
 
 
 def embedding_near_dup_exact(
