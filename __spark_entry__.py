@@ -54,10 +54,7 @@ def _doc_id():
 
 
 # --------------------------------------------------------------- queries
-def q_extraction_doc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: full end-to-end extraction, one document record per url
-    (reference document record shape, ocr_service.py:215-227)."""
-    out = _extract(spark, sf_dir)
+def _doc_record_cols(out: DataFrame) -> DataFrame:
     return out.select(
         _doc_id(),
         "url",
@@ -70,6 +67,59 @@ def q_extraction_doc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "engine",
         "lang",
+    )
+
+
+def q_extraction_doc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full end-to-end extraction, one document record per url
+    (reference document record shape, ocr_service.py:215-227)."""
+    return _doc_record_cols(_extract(spark, sf_dir))
+
+
+def q_stream_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME extraction plan executed as a Structured Streaming job
+    (``trigger(availableNow=True)`` one-shot backfill through
+    streaming/stream.run_extraction_stream): pages staged to parquet,
+    streamed through readStream -> mapInPandas -> writeStream, result
+    read back as a batch table. Oracle: the batch construction oracle
+    — streamed output must match it bit-for-bit, proving the engine's
+    batch/streaming parity on the flagship path."""
+    import tempfile
+
+    from medical_and_charity_document_extraction_system_spark.streaming import (
+        run_extraction_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_catalog_")
+    inp, outp, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+    synthesize_pages(spark, sf_dir).write.mode("overwrite").parquet(inp)
+    q = run_extraction_stream(spark, inp, outp, ck)
+    q.awaitTermination()
+    return _doc_record_cols(spark.read.parquet(outp))
+
+
+def q_stream_host_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window per-host page rates as an
+    availableNow stream (streaming/stream.host_rate_stream). Oracle:
+    counts AND the append-mode emission rule (window_end <=
+    max(event_time) - watermark) reconstructed arithmetically — the
+    gate pins watermark semantics (oracles.stream_host_rate_sql)."""
+    import tempfile
+
+    from medical_and_charity_document_extraction_system_spark.streaming import (
+        host_rate_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_rate_")
+    inp, outp, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+    synthesize_pages(spark, sf_dir).write.mode("overwrite").parquet(inp)
+    q = host_rate_stream(spark, inp, outp, ck)
+    q.awaitTermination()
+    return spark.read.parquet(outp).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "host",
+        "n_pages",
     )
 
 
@@ -453,6 +503,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extraction_doc_records": q_extraction_doc_records,
+        "stream_extraction": q_stream_extraction,
+        "stream_host_rate": q_stream_host_rate,
         "extraction_spans": q_extraction_spans,
         "rollup_source": q_rollup_source,
         "token_count": q_token_count,
@@ -489,6 +541,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "extraction_doc_records": oracles.extraction_doc_records_sql(),
+        # batch/streaming parity: the stream must match the same
+        # construction oracle the batch plan matches
+        "stream_extraction": oracles.extraction_doc_records_sql(),
+        "stream_host_rate": oracles.stream_host_rate_sql(),
         "extraction_spans": oracles.extraction_spans_sql(),
         "rollup_source": oracles.rollup_source_sql(),
         "token_count": oracles.token_count_sql(),

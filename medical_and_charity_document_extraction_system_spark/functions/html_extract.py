@@ -135,34 +135,38 @@ def extract_blocks_fast(html_str: str) -> list[Block]:
 
     blocks: list[Block] = []
     chunks: list[str] = []
+    append = chunks.append
     link_chars = 0
     drop_depth = 0
     link_depth = 0
 
     def flush() -> None:
-        nonlocal chunks, link_chars
-        text = " ".join("".join(chunks).split())
-        if text:
-            blocks.append(Block(text, len(text), min(link_chars, len(text))))
-        chunks = []
+        nonlocal link_chars
+        if chunks:  # adjacent block tags flush empty — skip the joins
+            text = " ".join("".join(chunks).split())
+            if text:
+                blocks.append(Block(text, len(text), min(link_chars, len(text))))
+            chunks.clear()
         link_chars = 0
 
-    pos = 0
-    n = len(html_str)
-    while pos < n:
-        m = _TOKEN_RE.match(html_str, pos)
-        if m is None:  # stray '<' not forming a token: skip it
-            pos += 1
+    # finditer drives the token walk in C (the re.match-with-pos loop
+    # this replaces spent most of its time in Python loop overhead —
+    # measured ~1.5x on the fused extraction stage). A stray '<' that
+    # forms no token is skipped by finditer exactly as the old loop's
+    # pos+=1 recovery did; rawtext (script/style) bodies are skipped by
+    # position, so their inner tokens are discarded unexamined.
+    skip_until = 0
+    for m in _TOKEN_RE.finditer(html_str):
+        if m.start() < skip_until:
             continue
-        pos = m.end()
-        slash, name = m.group(1), m.group(2)
+        slash, name = m.group(1, 2)
         if name is None:
             tok = m.group(0)
-            if tok.startswith("<"):
+            if tok[0] == "<":
                 continue  # comment/doctype/CDATA/PI
             if drop_depth == 0:
                 data = _h.unescape(tok) if ("&" in tok) else tok
-                chunks.append(data)
+                append(data)
                 if link_depth:
                     link_chars += len("".join(data.split()))
             continue
@@ -170,10 +174,11 @@ def extract_blocks_fast(html_str: str) -> list[Block]:
         closing = slash == "/"
         if not closing and tag in _RAWTEXT_END:
             # rawtext element: skip content up to its end tag
-            end = _RAWTEXT_END[tag].search(html_str, pos)
+            end = _RAWTEXT_END[tag].search(html_str, m.end())
             if end is None:
                 break
-            pos = html_str.find(">", end.start()) + 1 or n
+            gt = html_str.find(">", end.start())
+            skip_until = gt + 1 if gt != -1 else len(html_str)
             # script/style are DROP_TAGS: nothing emitted
             continue
         if tag in DROP_TAGS:

@@ -463,6 +463,44 @@ GROUP BY 1
 """
 
 
+# ------------------------------------------------------ streaming twins
+def stream_host_rate_sql() -> str:
+    """Construction oracle for the watermarked tumbling-window stream
+    (streaming/stream.host_rate_stream, 1h window / 2h watermark):
+    warc_ts and host are doc_id arithmetic (sources/pages.py:91-95,
+    :75-84), and append-mode emission is itself deterministic — a
+    window emits iff its END <= max(event_time) - watermark when the
+    availableNow drain finishes. Both the counts AND the emission rule
+    are reconstructed here, so the oracle pins watermark semantics,
+    not just the aggregation."""
+    return """
+WITH p AS (
+  SELECT doc_id,
+         TIMESTAMP '2026-01-01 00:00:00'
+           + ((doc_id * 137) % 630720000) * INTERVAL 1 SECOND AS warc_ts,
+         (doc_id * 131) % 100 AS hmod
+  FROM documents
+),
+h AS (
+  SELECT warc_ts,
+         CASE WHEN hmod < 40 THEN 0 WHEN hmod < 60 THEN 1
+              WHEN hmod < 70 THEN 2 ELSE 3 + hmod % 17 END AS hidx
+  FROM p
+),
+agg AS (
+  SELECT date_trunc('hour', warc_ts) AS ws,
+         'host' || CAST(hidx AS VARCHAR) || '.example.com' AS host,
+         CAST(count(*) AS BIGINT) AS n_pages
+  FROM h GROUP BY 1, 2
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+       host, n_pages
+FROM agg
+WHERE ws + INTERVAL 1 HOUR <= (SELECT max(warc_ts) FROM p) - INTERVAL 2 HOUR
+"""
+
+
 # ----------------------------------------------------------- LSH twins
 def _lsh_proj_values(tables: int, bits: int, dim: int) -> str:
     """The random-hyperplane projection matrix as SQL literals — the
