@@ -289,6 +289,21 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup(_docs(spark, sf_dir), threshold=0.9)
 
 
+def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs closed into dedup GROUPS: connected components
+    by iterative min-label propagation (the step that turns pairwise
+    similarity into keep-lists). Oracle: the same closure as a DuckDB
+    RECURSIVE CTE over the exact all-pairs jaccard graph — an
+    iterative Spark algorithm checked against recursive SQL."""
+    from medical_and_charity_document_extraction_system_spark.operators.dedup import (
+        connected_components,
+        minhash_near_dup,
+    )
+
+    pairs = minhash_near_dup(_docs(spark, sf_dir), threshold=0.9)
+    return connected_components(pairs)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash document fingerprints. Oracle: bit-voting recomputed
     from scratch in SQL over md5-derived token hashes
@@ -388,6 +403,75 @@ def q_image_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preprocess_images(attach_page_images(docs)).select(
         "media_id", "width", "height", "skew_angle", "error"
     )
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize stage (binary netpbm -> numpy nearest-
+    neighbor -> binary) over synthetic page images. Oracle: output
+    dims/error are pure arithmetic; pixel correctness is pytest's
+    (tests/test_multimodal.py)."""
+    from medical_and_charity_document_extraction_system_spark.operators.multimodal import (
+        attach_page_images,
+        resize_images,
+    )
+
+    docs = _docs(spark, sf_dir).where("doc_id < 200")
+    return resize_images(attach_page_images(docs), height=64, width=128).select(
+        "media_id", "width", "height", "error"
+    )
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample flatMap over FRAMES video containers (every 2nd
+    frame kept), rolled up per media. Oracle: frame counts and kept-
+    index sums are doc_id arithmetic (n = 1 + id%5 frames; kept =
+    ceil(n/2); sum of kept indices = k*(k-1))."""
+    from medical_and_charity_document_extraction_system_spark.operators.multimodal import (
+        attach_fake_video,
+        sample_frames,
+    )
+
+    docs = _docs(spark, sf_dir).where("doc_id < 200")
+    sampled = sample_frames(attach_fake_video(docs), every_k=2)
+    return sampled.groupBy("media_id").agg(
+        F.max("n_frames_total").alias("n_frames"),
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("frame_index").alias("sum_kept_idx"),
+    )
+
+
+def q_merge_pdf_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed merged-PDF artifact (reference merge_pdfs,
+    pdf_service.py:23-85): every document becomes a real one-page
+    %PDF, merged per source via grouped applyInPandas. Oracle: group
+    arithmetic over documents; the merged binary itself is
+    pytest-checked (tests/test_minipdf.py)."""
+    from medical_and_charity_document_extraction_system_spark.operators.maintenance import (
+        merge_pdfs_by_key,
+    )
+    from medical_and_charity_document_extraction_system_spark.operators.pdf import docs_to_pdfs
+
+    pdfs = docs_to_pdfs(_docs(spark, sf_dir))
+    merged = merge_pdfs_by_key(pdfs, key_col="source", payload_col="pdf", order_col="doc_id")
+    return merged.select("source", "page_count", "n_inputs", "n_skipped")
+
+
+def q_stream_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup by url (dropDuplicatesWithinWatermark):
+    every url is fed twice (a full re-crawl); exactly one row per url
+    must survive. Oracle: the synthesized url universe (doc_id
+    arithmetic)."""
+    import tempfile
+
+    from medical_and_charity_document_extraction_system_spark.streaming import dedup_url_stream
+
+    base = tempfile.mkdtemp(prefix="stream_dd_")
+    inp, outp, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+    pages = synthesize_pages(spark, sf_dir)
+    pages.unionByName(pages).write.mode("overwrite").parquet(inp)
+    q = dedup_url_stream(spark, inp, outp, ck)
+    q.awaitTermination()
+    return spark.read.parquet(outp).select("url")
 
 
 def q_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "events_tumbling": q_events_tumbling,
         "minhash_near_dup": q_minhash_near_dup,
+        "near_dup_components": q_near_dup_components,
         "simhash": q_simhash,
         "ann_topk_lsh": q_ann_topk_lsh,
         "media_features": q_media_features,
@@ -532,6 +617,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_quality": q_host_quality,
         "ocr_words": q_ocr_words,
         "route_stats": q_route_stats,
+        "media_resize": q_media_resize,
+        "video_frame_sample": q_video_frame_sample,
+        "merge_pdf_artifacts": q_merge_pdf_artifacts,
+        "stream_dedup_urls": q_stream_dedup_urls,
         "sample_10pct": q_sample_10pct,
         "split_counts": q_split_counts,
         "top_docs_per_source": q_top_docs_per_source,
@@ -557,6 +646,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": oracles.embedding_near_dup_sql(),
         "events_tumbling": oracles.events_tumbling_sql(),
         "minhash_near_dup": oracles.minhash_near_dup_sql(),
+        "near_dup_components": oracles.near_dup_components_sql(),
         "merge_sources": oracles.merge_sources_sql(),
         "retention_cleanup": oracles.retention_cleanup_sql(),
         "pdf_pages": oracles.pdf_pages_sql(),
@@ -574,6 +664,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf_exact": oracles.topk_cosine_sql(),
         "media_features": oracles.media_features_sql(),
         "image_preprocess": oracles.image_preprocess_sql(),
+        "media_resize": oracles.media_resize_sql(),
+        "video_frame_sample": oracles.video_frame_sample_sql(),
+        "merge_pdf_artifacts": oracles.merge_pdf_artifacts_sql(),
+        "stream_dedup_urls": oracles.stream_dedup_urls_sql(),
         # ann_topk_ivf (nprobe=4): approximate by design, centroid
         # training is driver-side k-means with no SQL image — rows-only
         # here; its exactness contract is checked via ann_topk_ivf_exact

@@ -296,6 +296,66 @@ def simhash_near_dup(
     return pairs
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph by min-label
+    propagation: every node's label converges to the smallest id
+    reachable from it — the canonical "pairs -> dedup groups" closure
+    (keep one doc per component). Iterative joins, label table checked
+    for a fixpoint each round; rounds needed ~= component diameter
+    (near-dup components are tiny chains, 2-3 rounds typical).
+    At 10^12 rows this is the same alternating join/aggregate loop
+    GraphX/GraphFrames runs; the label table is (node, label) longs —
+    a narrow shuffle per round. Returns (node, component) where
+    component = min id of the node's component."""
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # materialize the edge list once: every iteration references it,
+    # and without the cut each round would re-run the whole upstream
+    # pair-generation lineage (e.g. the MinHash pipeline)
+    und = und.localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neigh = (
+            und.join(labels, und["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # cut the lineage
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .where(F.col("u.label") != F.col("l.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     candidate_pairs: DataFrame,

@@ -121,6 +121,172 @@ def attach_page_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(run, schema=schema)
 
 
+def resize_images(
+    df: DataFrame,
+    height: int,
+    width: int,
+    id_col: str = "media_id",
+    image_col: str = "payload",
+) -> DataFrame:
+    """Vectorized image resize stage: binary netpbm in -> nearest-
+    neighbor resample (pure numpy index arithmetic — no PIL/cv2) ->
+    binary netpbm out, with the output dims as real columns. The
+    standard pre-embedding normalization step of a multimodal training
+    pipeline; same iterator-mapInPandas shape a codec-backed resize
+    uses. Undecodable payloads degrade to error rows."""
+    from ..functions import netpbm
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("image", T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("error", T.StringType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "image", "width", "height", "error")}
+            for mid, payload in zip(pdf[id_col], pdf[image_col]):
+                out["media_id"].append(int(mid))
+                try:
+                    img = netpbm.decode(bytes(payload))
+                    # nearest-neighbor grid (floor((i+0.5)*src/dst))
+                    ys = ((np.arange(height) + 0.5) * img.shape[0] / height).astype(int)
+                    xs = ((np.arange(width) + 0.5) * img.shape[1] / width).astype(int)
+                    resized = img[np.clip(ys, 0, img.shape[0] - 1)][
+                        :, np.clip(xs, 0, img.shape[1] - 1)
+                    ]
+                    out["image"].append(netpbm.encode(resized))
+                    out["height"].append(height)
+                    out["width"].append(width)
+                    out["error"].append(None)
+                except Exception as exc:
+                    out["image"].append(None)
+                    out["height"].append(None)
+                    out["width"].append(None)
+                    out["error"].append(str(exc)[:200])
+            yield pd.DataFrame(out)
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(image_col)
+    ).mapInPandas(run, schema=schema)
+
+
+FRAME_MAGIC = b"FRAMES\n"
+
+
+def encode_frames(frames: list[np.ndarray]) -> bytes:
+    """Deterministic multi-frame container: ``FRAMES\\n`` + length-
+    prefixed netpbm frames — the test stand-in for a real video codec
+    (the Spark-side plumbing is what is under test; a real deployment
+    swaps this for ffmpeg-in-a-UDF)."""
+    from ..functions import netpbm
+
+    parts = [FRAME_MAGIC]
+    for fr in frames:
+        data = netpbm.encode(fr)
+        parts.append(len(data).to_bytes(8, "big"))
+        parts.append(data)
+    return b"".join(parts)
+
+
+def decode_frames(payload: bytes) -> list["np.ndarray"]:
+    from ..functions import netpbm
+
+    if not payload.startswith(FRAME_MAGIC):
+        raise ValueError("not a FRAMES container")
+    out = []
+    pos = len(FRAME_MAGIC)
+    while pos < len(payload):
+        n = int.from_bytes(payload[pos : pos + 8], "big")
+        pos += 8
+        out.append(netpbm.decode(bytes(payload[pos : pos + n])))
+        pos += n
+    return out
+
+
+def attach_fake_video(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) -> (media_id, payload=FRAMES container): 1 + id%5 frames of
+    deterministic synthetic pages — pure function of the id."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("n_frames", T.IntegerType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads, counts = [], []
+            for i in ids:
+                n = 1 + int(i) % 5
+                payloads.append(
+                    encode_frames(
+                        [render_page_image(int(i) * 31 + f, height=24, width=32)
+                         for f in range(n)]
+                    )
+                )
+                counts.append(n)
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "n_frames": counts}
+            )
+
+    return df.select(id_col).mapInPandas(run, schema=schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_k: int = 2,
+    id_col: str = "media_id",
+    video_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling (flatMap: one row per KEPT frame — every k-th,
+    0-indexed): video binary -> (media_id, frame_index, frame,
+    n_frames_total). The decimation step before per-frame feature
+    extraction; more output rows than input rows, zero shuffle."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_index", T.IntegerType(), False),
+            T.StructField("frame", T.BinaryType(), True),
+            T.StructField("n_frames_total", T.IntegerType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import netpbm
+
+        for pdf in batches:
+            mids, idxs, frames, totals = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[video_col]):
+                try:
+                    frs = decode_frames(bytes(payload))
+                except ValueError:
+                    continue
+                for j in range(0, len(frs), every_k):
+                    mids.append(int(mid))
+                    idxs.append(j)
+                    frames.append(netpbm.encode(frs[j]))
+                    totals.append(len(frs))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                    "n_frames_total": pd.Series(totals, dtype="int32"),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(video_col)
+    ).mapInPandas(run, schema=schema)
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
     """Real decode requires PIL/cv2 — STUB in this environment."""
     if not _HAS_PIL:

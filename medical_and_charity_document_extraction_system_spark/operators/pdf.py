@@ -76,6 +76,27 @@ def is_scanned(page_texts: list[str], sample_pages: int = 3, char_threshold: flo
     return avg < char_threshold
 
 
+def docs_to_pdfs(df, cols=("source",), id_col="doc_id", text_col="text"):
+    """(document row) -> one single-page REAL ``%PDF`` per document
+    (functions/minipdf.build_pdf) — the feeder that turns any text
+    table into real-PDF payloads for the merge/extraction paths
+    (deterministic: same text -> same bytes)."""
+    import pandas as pd
+
+    from ..functions.minipdf import build_pdf
+
+    schema = ", ".join(f"{c} string" for c in cols) + f", {id_col} long, pdf binary"
+
+    def run(batches):
+        for pdf in batches:
+            out = {c: pdf[c] for c in cols}
+            out[id_col] = pdf[id_col].astype("int64")
+            out["pdf"] = [build_pdf([t or ""]) for t in pdf[text_col]]
+            yield pd.DataFrame(out)
+
+    return df.select(*cols, id_col, text_col).mapInPandas(run, schema)
+
+
 def explode_pdf_pages(pages_df):
     """F1/F2 as a standalone Spark operator: PDF documents -> one row
     per page (the reference's per-page loops at pdf_service.py:130-143

@@ -324,6 +324,33 @@ WHERE len(a.sh) > 0 AND len(b.sh) > 0
 """
 
 
+def near_dup_components_sql(threshold: float = 0.9) -> str:
+    """Recursive-CTE twin of operators/dedup.connected_components over
+    the exact >=threshold jaccard pair graph (the pairs the Spark side
+    reaches through MinHash banding + verification): every node's
+    component is the min id reachable through the undirected edges."""
+    return f"""
+WITH RECURSIVE
+t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS MATERIALIZED (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+p AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+    AND len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh)) >= {threshold}
+),
+e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL SELECT id_b, id_a FROM p),
+walk(node, label) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, w.label FROM e JOIN walk w ON w.node = e.dst
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(label) AS BIGINT) AS component
+FROM walk GROUP BY node
+"""
+
+
 def events_tumbling_sql() -> str:
     return """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
@@ -647,6 +674,57 @@ SELECT CAST(v.media_id AS BIGINT) AS media_id,
        CAST(NULL AS VARCHAR) AS error
 FROM (VALUES {vals}) v(media_id, width, height, skew)
 JOIN documents d ON d.doc_id = v.media_id
+"""
+
+
+def media_resize_sql(height: int = 64, width: int = 128, n: int = 200) -> str:
+    """Resize-stage construction oracle: every synthetic page image
+    decodes, so output dims are the requested dims and error is NULL."""
+    return f"""
+SELECT doc_id AS media_id,
+       CAST({width} AS INT) AS width,
+       CAST({height} AS INT) AS height,
+       CAST(NULL AS VARCHAR) AS error
+FROM documents WHERE doc_id < {n}
+"""
+
+
+def video_frame_sample_sql(n: int = 200) -> str:
+    """Frame-sample construction oracle: n_frames = 1 + id%5,
+    kept (every 2nd, 0-indexed) = ceil(n/2), and the kept indices are
+    0,2,4,... so their sum is k*(k-1)."""
+    return f"""
+WITH v AS (
+  SELECT doc_id, CAST(1 + doc_id % 5 AS INT) AS n_frames,
+         (1 + doc_id % 5 + 1) // 2 AS k
+  FROM documents WHERE doc_id < {n}
+)
+SELECT doc_id AS media_id, n_frames,
+       CAST(k AS BIGINT) AS n_sampled,
+       CAST(k * (k - 1) AS BIGINT) AS sum_kept_idx
+FROM v
+"""
+
+
+def merge_pdf_artifacts_sql() -> str:
+    """Merged-PDF rollup oracle: one single-page real PDF per document,
+    merged per source — page_count = n_inputs = docs in the group,
+    nothing skipped (every built PDF parses)."""
+    return """
+SELECT source,
+       CAST(count(*) AS INT) AS page_count,
+       CAST(count(*) AS INT) AS n_inputs,
+       CAST(0 AS INT) AS n_skipped
+FROM documents GROUP BY source
+"""
+
+
+def stream_dedup_urls_sql() -> str:
+    """One surviving row per url after the doubled re-crawl feed —
+    the synthesized url universe."""
+    return f"""
+WITH {base_cte()}
+SELECT url FROM rec
 """
 
 

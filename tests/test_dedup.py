@@ -93,3 +93,30 @@ def test_ngram_jaccard_pairs_on_given_candidates(spark, docs):
         _py_jaccard(BASE, BASE.replace("quick", "slow").replace("lazy", "merry")), abs=1e-12
     )
     assert out[(0, 4)] == 0.0
+
+
+def test_connected_components_chain(spark):
+    """Planted chain a-b-c plus isolated pair d-e: min-label
+    propagation must close the transitive group."""
+    from medical_and_charity_document_extraction_system_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (40, 50)], "id_a long, id_b long"
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
+
+
+def test_connected_components_converges_on_long_chain(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 12  # diameter > typical 2-3 rounds: exercises the loop
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
