@@ -565,6 +565,49 @@ def q_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational breadth over the harness's TPC-H-ish tables:
+    orders ⋈ customer (shuffle hash join on the fact side) ⋈ nation
+    (explicit broadcast — the 25-row dim never shuffles), per-nation
+    order counts + revenue. Money sums go through decimal(18,2) so
+    they are exact in any order (bit-identical to the SQL twin)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def q_priority_line_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders (the big shuffle join: both sides hash on
+    orderkey; AQE coalesces/splits the exchange), discounted revenue
+    per order priority. Revenue arithmetic stays in decimals
+    (exact, order-independent) until the final double."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        one - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation (batch twin of the
     streaming rollup in streaming/)."""
@@ -601,6 +644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "events_tumbling": q_events_tumbling,
+        "nation_revenue": q_nation_revenue,
+        "priority_line_revenue": q_priority_line_revenue,
         "minhash_near_dup": q_minhash_near_dup,
         "near_dup_components": q_near_dup_components,
         "simhash": q_simhash,
@@ -645,6 +690,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_cosine": oracles.topk_cosine_sql(),
         "embedding_near_dup": oracles.embedding_near_dup_sql(),
         "events_tumbling": oracles.events_tumbling_sql(),
+        "nation_revenue": oracles.nation_revenue_sql(),
+        "priority_line_revenue": oracles.priority_line_revenue_sql(),
         "minhash_near_dup": oracles.minhash_near_dup_sql(),
         "near_dup_components": oracles.near_dup_components_sql(),
         "merge_sources": oracles.merge_sources_sql(),

@@ -22,6 +22,8 @@ functions/textstats.py.
 
 from __future__ import annotations
 
+import functools as _functools
+
 from .functions.textstats import LANG_MARKERS, STOPWORDS
 from .sources.pages import NAMES
 
@@ -361,6 +363,33 @@ FROM events GROUP BY 1, 2
 """
 
 
+def nation_revenue_sql() -> str:
+    """Join twin: money summed as DECIMAL(18,2) (exact, order-free),
+    one final cast to double — same convention as events_tumbling."""
+    return """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def priority_line_revenue_sql() -> str:
+    return """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def merge_sources_sql() -> str:
     """Twin of operators/maintenance.merge_sources (reference
     merge_pdfs, pdf_service.py:23-85): UNION ALL of the two halves,
@@ -633,7 +662,8 @@ FROM documents
 """
 
 
-def _image_preprocess_rows(n: int = 200) -> list[tuple[int, int, int, float]]:
+@_functools.lru_cache(maxsize=4)
+def _image_preprocess_rows(n: int = 200) -> tuple[tuple[int, int, int, float], ...]:
     """Expected (media_id, width, height, skew_angle) for the synthetic
     page images, computed once on the driver with the pure-numpy kernel
     chain — the golden-fixture pattern (reference
@@ -655,7 +685,7 @@ def _image_preprocess_rows(n: int = 200) -> list[tuple[int, int, int, float]]:
             (i, int(processed.shape[1]), int(processed.shape[0]),
              float(meta["skew_angle"]))
         )
-    return rows
+    return tuple(rows)
 
 
 def image_preprocess_sql(n: int = 200) -> str:
