@@ -155,40 +155,62 @@ def extract_blocks_fast(html_str: str) -> list[Block]:
     # forms no token is skipped by finditer exactly as the old loop's
     # pos+=1 recovery did; rawtext (script/style) bodies are skipped by
     # position, so their inner tokens are discarded unexamined.
+    # Per-call tag-dispatch cache: one dict hit replaces
+    # lower() + three set-membership tests on every tag token.
+    tag_kind: dict[str, int] = {}  # 0 plain, 1 rawtext, 2 drop, 3 dropvoid, 4 a, 5 block
     skip_until = 0
     for m in _TOKEN_RE.finditer(html_str):
-        if m.start() < skip_until:
-            continue
-        slash, name = m.group(1, 2)
-        if name is None:
+        if skip_until:
+            if m.start() < skip_until:
+                continue
+            skip_until = 0
+        if m.lastindex is None:  # text run / comment / doctype / PI
             tok = m.group(0)
             if tok[0] == "<":
-                continue  # comment/doctype/CDATA/PI
+                continue
             if drop_depth == 0:
                 data = _h.unescape(tok) if ("&" in tok) else tok
                 append(data)
                 if link_depth:
                     link_chars += len("".join(data.split()))
             continue
-        tag = name.lower()
-        closing = slash == "/"
-        if not closing and tag in _RAWTEXT_END:
-            # rawtext element: skip content up to its end tag
-            end = _RAWTEXT_END[tag].search(html_str, m.end())
-            if end is None:
-                break
-            gt = html_str.find(">", end.start())
-            skip_until = gt + 1 if gt != -1 else len(html_str)
-            # script/style are DROP_TAGS: nothing emitted
+        name = m.group(2)
+        kind = tag_kind.get(name)
+        if kind is None:
+            tag = name.lower()
+            if tag in _RAWTEXT_END:
+                kind = 1
+            elif tag in DROP_TAGS:
+                kind = 3 if tag in VOID_TAGS else 2
+            elif tag == "a":
+                kind = 4
+            elif tag in BLOCK_TAGS:
+                kind = 5
+            else:
+                kind = 0
+            tag_kind[name] = kind
+        if kind == 0:
             continue
-        if tag in DROP_TAGS:
-            if tag not in VOID_TAGS:
-                drop_depth = max(0, drop_depth + (-1 if closing else 1))
-            continue
-        if tag == "a":
-            link_depth = max(0, link_depth + (-1 if closing else 1))
-        if tag in BLOCK_TAGS:
+        closing = m.group(1) == "/"
+        if kind == 5:
             flush()
+        elif kind == 2:
+            drop_depth = max(0, drop_depth + (-1 if closing else 1))
+        elif kind == 4:
+            link_depth = max(0, link_depth + (-1 if closing else 1))
+        elif kind == 1:
+            if closing:
+                # stray close outside a rawtext body: script/style are
+                # DROP_TAGS, so it pops drop depth like the stdlib twin
+                drop_depth = max(0, drop_depth - 1)
+            else:
+                # rawtext element: skip content up to its end tag
+                end = _RAWTEXT_END[name.lower()].search(html_str, m.end())
+                if end is None:
+                    break
+                gt = html_str.find(">", end.start())
+                skip_until = gt + 1 if gt != -1 else len(html_str)
+                # script/style are DROP_TAGS: nothing emitted
     flush()
     return blocks
 

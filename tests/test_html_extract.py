@@ -86,3 +86,30 @@ def test_fast_scanner_equals_stdlib_parser():
     ]
     for c in cases:
         assert extract_blocks(c) == extract_blocks_fast(c), c
+
+
+def test_fast_scanner_soup_parity_cases():
+    """Targeted tag-soup cases where the fast scanner's dispatch paths
+    (rawtext open/close, drop depth, case-insensitive tags, entity
+    runs) must match the stdlib parser. The one documented divergence
+    class — stray '<' recovery — is excluded (neither answer is
+    canonical there)."""
+    from medical_and_charity_document_extraction_system_spark.functions.html_extract import (
+        extract_blocks,
+        extract_blocks_fast,
+    )
+
+    soups = [
+        "<head>x</head><p>keep</p>",
+        "</script><p>a</p>",  # stray rawtext close pops drop depth
+        "<script>var x='<p>no</p>';</script><p>yes</p>",
+        "<div><a href=x>link text</a> body body</div>",
+        "text & &amp; <b>bold",
+        "<p>a<p>b<p>c",
+        "<style>p{}</style>tail",
+        "<DIV>Upper</DIV><SCRIPT>drop()</SCRIPT>ok",
+        "<noscript>no</noscript><template>t</template>seen",
+        "<head><style>h{}</style></head>body text",
+    ]
+    for s in soups:
+        assert extract_blocks(s) == extract_blocks_fast(s), s
