@@ -7,6 +7,7 @@ a user of the reference can switch call-for-call
 | POST /api/v1/ocr/process (ocr_routes.py:18-49) | ``process_documents`` |
 | GET  /api/v1/ocr/engines (ocr_routes.py:103-132) | ``get_available_engines`` |
 | GET  /health/detailed (health_routes.py:22-62) | ``health_check``   |
+| PDFService.merge_pdfs (pdf_service.py:23-85)   | ``merge_documents`` |
 | task routes (vestigial, ocr_routes.py:52-100)  | checkpoint manifest queries (plans/checkpoint.py) |
 
 The request/response dict shapes mirror the reference's JSON bodies;
@@ -44,6 +45,27 @@ def process_documents(
     return {
         "status": "success",
         "results": out,  # DataFrame, one record per url
+        "timestamp": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+    }
+
+
+def merge_documents(
+    pdfs: DataFrame,
+    key_col: str = "source",
+    payload_col: str = "pdf",
+    order_col: str = "doc_id",
+) -> dict:
+    """``PDFService.merge_pdfs`` (pdf_service.py:23-85) as a service
+    call: per-key merged %PDF artifacts (operators/maintenance.
+    merge_pdfs_by_key), unparseable members skipped like the
+    reference's encrypted-input degrade path (:44-49). Returns the
+    reference-shaped envelope with the artifact table lazy."""
+    from .operators.maintenance import merge_pdfs_by_key
+
+    merged = merge_pdfs_by_key(pdfs, key_col, payload_col, order_col)
+    return {
+        "status": "success",
+        "results": merged,  # (key, merged_pdf, page_count, n_inputs, n_skipped)
         "timestamp": datetime.datetime.now(datetime.timezone.utc).isoformat(),
     }
 

@@ -130,3 +130,34 @@ def test_merge_pdfs_by_key_operator(spark):
     )
     bad = merge_pdfs_by_key(df_bad).collect()[0]
     assert bad.merged_pdf is None and bad.n_skipped == 1
+
+
+def test_fuzzed_pdf_inputs_degrade_not_crash():
+    """Malformed real-PDF payloads must raise ValueError (the
+    error-record route), never crash or hang — the degrade-don't-fail
+    contract (pdf_service.py:258) under truncation/corruption."""
+    base = build_pdf(PAGES)
+    cases = [
+        base[: len(base) // 2],                 # truncated mid-object
+        base.replace(b"stream", b"strXam", 1),  # broken stream marker
+        base.replace(b"/FlateDecode", b"/LZWDecode", 1),  # unsupported filter
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n",  # page, no tree/contents
+        b"%PDF-1.4\n" + b"\x00" * 64,
+        base[:-20],                             # missing trailer
+    ]
+    for i, data in enumerate(cases):
+        try:
+            pages = extract_text_pages(data)
+            # tolerated only if it still parsed real pages cleanly
+            assert isinstance(pages, list), i
+        except ValueError:
+            pass  # expected degrade signal
+
+
+def test_fuzzed_flate_stream_raises():
+    pdf = build_pdf(["x" * 100], compress=True)
+    # corrupt the deflate payload but keep structure
+    m = pdf.find(b"stream\n") + len(b"stream\n")
+    bad = pdf[:m] + bytes([pdf[m] ^ 0xFF]) + pdf[m + 1 :]
+    with pytest.raises(ValueError):
+        extract_text_pages(bad)
