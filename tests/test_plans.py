@@ -1,0 +1,75 @@
+"""Physical-plan regression guards: the properties PLANS.md claims
+must stay true (they are the 100-TB story). Plan-only — nothing
+executes; a refactor that silently adds a shuffle, loses pushdown, or
+degrades a join to a cartesian product fails here, not at scale."""
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+from .conftest import SF_SMALL
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_fused_extraction_zero_shuffles_one_scan(spark):
+    from medical_and_charity_document_extraction_system_spark.plans import run_extraction
+    from medical_and_charity_document_extraction_system_spark.sources import synthesize_pages
+
+    df = run_extraction(synthesize_pages(spark, SF_SMALL))
+    tree = plan_of(df, "simple")  # tree only: node counts are exact
+    assert "Exchange" not in tree  # zero shuffles, at any scale
+    assert tree.count("Scan parquet") == 1  # one pass over the input
+    assert "MapInPandas" in tree
+    # column pruning reaches the scan: warc_ts never deserialized
+    read_schema = [l for l in plan_of(df).splitlines() if "ReadSchema" in l]
+    assert read_schema and "warc_ts" not in read_schema[0]
+
+
+def test_retention_predicate_reaches_parquet(spark):
+    plan = plan_of(entry_mod.queries()["retention_cleanup"](spark, SF_SMALL))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "GreaterThanOrEqual(ts" in pushed[0]
+
+
+def test_topk_never_global_sorts(spark):
+    plan = plan_of(entry_mod.queries()["topk_cosine"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregations_partial_then_final(spark):
+    df = entry_mod.queries()["exact_dedup"](spark, SF_SMALL)
+    tree = plan_of(df, "simple")
+    assert tree.count("HashAggregate") >= 2  # two-phase aggregation
+    # the pre-shuffle phase must be the partial (map-side combine):
+    # the exchange then moves one row per (partition x key), not per row
+    assert "partial_count" in tree and "partial_min" in tree
+    # and the md5 fingerprint is evaluated JVM-side, not in Python
+    assert "md5(" in tree and "pythonUDF" not in tree.lower()
+
+
+def test_nation_dim_broadcasts(spark):
+    plan = plan_of(entry_mod.queries()["nation_revenue"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["minhash_near_dup", "simhash_near_dup", "embedding_near_dup_lsh",
+     "ngram_jaccard", "near_dup_components"],
+)
+def test_dedup_paths_never_cartesian(spark, name):
+    """Every near-dup/similarity path must pair via equi-joins on
+    bucket/band/id keys — an accidental cartesian product is the
+    one plan shape that cannot survive 10^12 rows."""
+    plan = plan_of(entry_mod.queries()[name](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
