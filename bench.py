@@ -51,6 +51,7 @@ CATALOG_QUERIES = [
     "embedding_near_dup",
     "embedding_near_dup_lsh",
     "events_tumbling",
+    "image_preprocess",
 ]
 
 

@@ -94,10 +94,23 @@ def render_page_image(doc_id: int, height: int = 120, width: int = 240) -> np.nd
     return img
 
 
-def attach_page_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def attach_page_images(
+    df: DataFrame, id_col: str = "doc_id", fan_out: bool = True
+) -> DataFrame:
     """(id) -> (media_id, payload=binary PGM) via a mapInPandas render
-    stage; the test/bench feeder for operators/preprocess.py."""
+    stage; the test/bench feeder for operators/preprocess.py.
+
+    ``fan_out`` repartitions the id rows to full width first: a small
+    filtered input (e.g. 200 docs from one parquet split) would
+    otherwise put the whole render+preprocess chain on ONE core
+    (measured 9.3s -> 0.9s on the bench). The shuffle moves only ids —
+    always cheap relative to per-image work."""
     from ..functions import netpbm
+
+    if fan_out:
+        df = df.select(id_col).repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        )
 
     schema = T.StructType(
         [
@@ -208,9 +221,16 @@ def decode_frames(payload: bytes) -> list["np.ndarray"]:
     return out
 
 
-def attach_fake_video(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def attach_fake_video(
+    df: DataFrame, id_col: str = "doc_id", fan_out: bool = True
+) -> DataFrame:
     """(id) -> (media_id, payload=FRAMES container): 1 + id%5 frames of
-    deterministic synthetic pages — pure function of the id."""
+    deterministic synthetic pages — pure function of the id. fan_out
+    as in attach_page_images."""
+    if fan_out:
+        df = df.select(id_col).repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        )
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
