@@ -111,3 +111,65 @@ def test_main_text_never_crashes_on_decodable_garbage(data):
         return
     out = main_text(s)
     assert isinstance(out, str)
+
+
+# -------------------------------------------------- structured HTML parity
+_TEXT_NO_LT = st.text(
+    alphabet=st.characters(blacklist_characters="<", blacklist_categories=("Cs",)),
+    max_size=40,
+)
+_TAG_POOL = ["p", "div", "li", "h2", "td", "b", "span", "em", "a", "nav", "aside"]
+
+
+@st.composite
+def _html_docs(draw):
+    """Well-formed-ish HTML: nested/unclosed tags from the pool, text
+    runs (no stray '<' — that recovery class is documented as
+    non-canonical), entities, comments, a benign script."""
+    parts = []
+    for _ in range(draw(st.integers(1, 14))):
+        kind = draw(st.integers(0, 5))
+        if kind == 0:
+            parts.append(draw(_TEXT_NO_LT))
+        elif kind == 1:
+            parts.append(f"<{draw(st.sampled_from(_TAG_POOL))}>")
+        elif kind == 2:
+            parts.append(f"</{draw(st.sampled_from(_TAG_POOL))}>")
+        elif kind == 3:
+            parts.append("&amp; &lt;x&gt; &#65;")
+        elif kind == 4:
+            parts.append("<!-- a comment <p>ignored</p> -->")
+        else:
+            parts.append("<script>var a = 1 < 2;</script>")
+    return "".join(parts)
+
+
+@settings(max_examples=120, deadline=None)
+@given(_html_docs())
+def test_html_parsers_agree_on_structured_soup(html):
+    assert extract_blocks(html) == extract_blocks_fast(html)
+
+
+# ------------------------------------------------------ minipdf roundtrip
+_PDF_TEXT = st.text(
+    alphabet=st.characters(
+        min_codepoint=0x20, max_codepoint=0xFF, blacklist_categories=("Cs",)
+    )
+    | st.sampled_from("\n\t\r()\\"),
+    max_size=60,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_PDF_TEXT, min_size=1, max_size=4), st.booleans())
+def test_minipdf_roundtrip_any_latin1_pages(pages, compress):
+    from medical_and_charity_document_extraction_system_spark.functions.minipdf import (
+        build_pdf,
+        extract_text_pages,
+    )
+
+    # build_pdf emits one Tj per '\n'-separated line; '\r' inside a
+    # line survives via the \r escape
+    pdf = build_pdf(pages, compress=compress)
+    assert extract_text_pages(pdf) == pages
+    assert pdf == build_pdf(pages, compress=compress)  # deterministic
