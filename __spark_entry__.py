@@ -123,6 +123,29 @@ def q_stream_host_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_host_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-host running page totals. Fed as ONE micro-batch (single input
+    file, maxFilesPerTrigger above it), so each host emits exactly its
+    final running row — deterministic, hence oracle-checkable: the
+    totals must equal the per-host page counts the construction
+    oracle derives from doc_id arithmetic."""
+    import tempfile
+
+    from medical_and_charity_document_extraction_system_spark.streaming import (
+        host_running_totals_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_tot_")
+    inp, outp, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+    synthesize_pages(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(inp)
+    q = host_running_totals_stream(
+        spark, inp, outp, ck, max_files_per_trigger=64
+    )
+    q.awaitTermination()
+    return spark.read.parquet(outp).select("host", "total_pages")
+
+
 def q_extraction_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded field spans with char offsets (reference word-record
     analog, easyocr_engine.py:79-91)."""
@@ -632,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_doc_records": q_extraction_doc_records,
         "stream_extraction": q_stream_extraction,
         "stream_host_rate": q_stream_host_rate,
+        "stream_host_totals": q_stream_host_totals,
         "extraction_spans": q_extraction_spans,
         "rollup_source": q_rollup_source,
         "token_count": q_token_count,
@@ -679,6 +703,7 @@ def oracle_sql() -> dict[str, str]:
         # construction oracle the batch plan matches
         "stream_extraction": oracles.extraction_doc_records_sql(),
         "stream_host_rate": oracles.stream_host_rate_sql(),
+        "stream_host_totals": oracles.stream_host_totals_sql(),
         "extraction_spans": oracles.extraction_spans_sql(),
         "rollup_source": oracles.rollup_source_sql(),
         "token_count": oracles.token_count_sql(),

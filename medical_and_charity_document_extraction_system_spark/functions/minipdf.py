@@ -20,11 +20,12 @@ from the PDF 1.4 spec (public ISO 32000):
   (the reference's merge_pdfs artifact, pdf_service.py:23-85).
 
 Scope: text extraction covers uncompressed and FlateDecode content
-streams with literal-string operands — exactly what ``build_pdf``
-and the overwhelming majority of machine-generated text PDFs emit.
-Hex strings, CMap-encoded fonts, and object streams raise ValueError
-so callers degrade to the scanned/error route (pdf_service.py:258
-semantics) instead of silently extracting garbage.
+streams with literal-string and hex-string operands (UTF-16BE when
+BOM-prefixed, latin-1 otherwise) — what ``build_pdf`` and the
+overwhelming majority of machine-generated text PDFs emit.
+CMap-subsetted fonts and object streams raise ValueError so callers
+degrade to the scanned/error route (pdf_service.py:258 semantics)
+instead of silently extracting garbage.
 """
 
 from __future__ import annotations
@@ -44,8 +45,12 @@ _TEXT_OP_RE = re.compile(
     \( ( (?: [^()\\] | \\. )* ) \)      \s* (Tj|')   # literal string show
   | \[ ( (?: [^\]\\] | \\. )* ) \]      \s* TJ       # array show
   | (T\*|Td|TD)                                      # line positioning
-  | < [0-9A-Fa-f\s]* >                  \s* Tj       # hex string: refuse
+  | < ([0-9A-Fa-f\s]*) >                \s* (?:Tj|') # hex string show
     """,
+    re.VERBOSE | re.DOTALL,
+)
+_HEX_IN_TJ_RE = re.compile(
+    rb"\( ( (?: [^()\\] | \\. )* ) \) | < ([0-9A-Fa-f\s]*) >",
     re.VERBOSE | re.DOTALL,
 )
 
@@ -59,6 +64,19 @@ def _escape_pdf_string(s: str) -> bytes:
     out = s.encode("latin-1", errors="strict")
     out = out.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
     return out.replace(b"\r", b"\\r").replace(b"\n", b"\\n")
+
+
+def _decode_hex_string(h: bytes) -> str:
+    """PDF hex string: whitespace ignored, odd length padded with 0.
+    UTF-16BE when BOM-prefixed (the common no-CMap case for simple
+    text), latin-1 byte codes otherwise."""
+    compact = b"".join(h.split())
+    if len(compact) % 2:
+        compact += b"0"
+    data = bytes.fromhex(compact.decode("ascii"))
+    if data[:2] == b"\xfe\xff":
+        return data[2:].decode("utf-16-be", errors="replace")
+    return data.decode("latin-1")
 
 
 def _unescape_pdf_string(raw: bytes) -> str:
@@ -183,13 +201,14 @@ def _text_from_content(content: bytes) -> str:
             elif m.group(1) is not None:
                 cur.append(_unescape_pdf_string(m.group(1)))
             elif m.group(3) is not None:
-                # TJ array: show the string elements, skip kern numbers
-                for s in re.finditer(
-                    rb"\( ( (?: [^()\\] | \\. )* ) \)", m.group(3), re.VERBOSE | re.DOTALL
-                ):
-                    cur.append(_unescape_pdf_string(s.group(1)))
+                # TJ array: show the string/hex elements, skip kern numbers
+                for s in _HEX_IN_TJ_RE.finditer(m.group(3)):
+                    if s.group(1) is not None:
+                        cur.append(_unescape_pdf_string(s.group(1)))
+                    else:
+                        cur.append(_decode_hex_string(s.group(2)))
             else:
-                raise ValueError("hex-string text operand not supported")
+                cur.append(_decode_hex_string(m.group(5)))
         if cur:
             lines.append("".join(cur))
             cur = []

@@ -557,6 +557,25 @@ WHERE ws + INTERVAL 1 HOUR <= (SELECT max(warc_ts) FROM p) - INTERVAL 2 HOUR
 """
 
 
+def stream_host_totals_sql() -> str:
+    """Construction oracle for the applyInPandasWithState running
+    totals drained in one micro-batch: final running row per host =
+    the host's page count, which is doc_id arithmetic."""
+    return """
+WITH h AS (
+  SELECT (doc_id * 131) % 100 AS hmod FROM documents
+),
+idx AS (
+  SELECT CASE WHEN hmod < 40 THEN 0 WHEN hmod < 60 THEN 1
+              WHEN hmod < 70 THEN 2 ELSE 3 + hmod % 17 END AS hidx
+  FROM h
+)
+SELECT 'host' || CAST(hidx AS VARCHAR) || '.example.com' AS host,
+       CAST(count(*) AS BIGINT) AS total_pages
+FROM idx GROUP BY 1
+"""
+
+
 # ----------------------------------------------------------- LSH twins
 def _lsh_proj_values(tables: int, bits: int, dim: int) -> str:
     """The random-hyperplane projection matrix as SQL literals — the

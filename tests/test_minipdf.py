@@ -161,3 +161,23 @@ def test_fuzzed_flate_stream_raises():
     bad = pdf[:m] + bytes([pdf[m] ^ 0xFF]) + pdf[m + 1 :]
     with pytest.raises(ValueError):
         extract_text_pages(bad)
+
+
+def test_hex_string_operands():
+    """Hex-string shows: plain latin-1 hex, UTF-16BE with BOM, and
+    hex elements inside TJ arrays."""
+    content = (
+        b"BT /F1 11 Tf 72 720 Td "
+        b"<48656C6C6F> Tj 0 -14 Td "                # "Hello"
+        b"<FEFF00480069> Tj 0 -14 Td "              # UTF-16BE "Hi"
+        b"[<41 42> -120 (cd) <4> ] TJ ET"           # "AB" + "cd" + "@" (odd pad)
+    )
+    pdf = (
+        b"%%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%%%EOF\n"
+    ) % (len(content), content)
+    assert extract_text_pages(pdf) == ["Hello\nHi\nABcd@"]
