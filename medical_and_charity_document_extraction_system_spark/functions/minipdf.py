@@ -34,25 +34,12 @@ import re
 import zlib
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)(?:\r?\n)?endstream", re.DOTALL)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
 _CONTENTS_RE = re.compile(rb"/Contents\s+(?:\[(.*?)\]|(\d+)\s+\d+\s+R)", re.DOTALL)
 
-# text-showing / positioning operators inside a BT..ET block
-_TEXT_OP_RE = re.compile(
-    rb"""
-    \( ( (?: [^()\\] | \\. )* ) \)      \s* (Tj|')   # literal string show
-  | \[ ( (?: [^\]\\] | \\. )* ) \]      \s* TJ       # array show
-  | (T\*|Td|TD)                                      # line positioning
-  | < ([0-9A-Fa-f\s]*) >                \s* (?:Tj|') # hex string show
-    """,
-    re.VERBOSE | re.DOTALL,
-)
-_HEX_IN_TJ_RE = re.compile(
-    rb"\( ( (?: [^()\\] | \\. )* ) \) | < ([0-9A-Fa-f\s]*) >",
-    re.VERBOSE | re.DOTALL,
-)
+_OP_RE = re.compile(rb"[A-Za-z'\"*][A-Za-z0-9'\"*]*")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 
 _ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
@@ -60,10 +47,17 @@ _ESCAPES = {
 }
 
 
-def _escape_pdf_string(s: str) -> bytes:
-    out = s.encode("latin-1", errors="strict")
+def _show_operand(s: str) -> bytes:
+    """One text-show operand for a single line: an escaped literal
+    string for latin-1 text, a BOM-prefixed UTF-16BE hex string
+    otherwise (so non-latin-1 documents degrade to a different
+    encoding, never to a writer crash)."""
+    try:
+        out = s.encode("latin-1")
+    except UnicodeEncodeError:
+        return b"<FEFF" + s.encode("utf-16-be").hex().upper().encode() + b">"
     out = out.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
-    return out.replace(b"\r", b"\\r").replace(b"\n", b"\\n")
+    return b"(" + out.replace(b"\r", b"\\r").replace(b"\n", b"\\n") + b")"
 
 
 def _decode_hex_string(h: bytes) -> str:
@@ -92,9 +86,10 @@ def _unescape_pdf_string(raw: bytes) -> str:
         if nxt in _ESCAPES:
             out += _ESCAPES[nxt]
             i += 2
-        elif nxt.isdigit():  # octal \d{1,3}
+        elif nxt and nxt in b"01234567":  # octal, digits 0-7 ONLY
+            # (spec 7.3.4.2: "\8" is a literal '8', "\48" is "\4"+'8')
             j = i + 1
-            while j < len(raw) and j < i + 4 and raw[j : j + 1].isdigit():
+            while j < len(raw) and j < i + 4 and raw[j] in b"01234567":
                 j += 1
             out.append(int(raw[i + 1 : j], 8) & 0xFF)
             i = j
@@ -132,7 +127,7 @@ def build_pdf(pages: list[str], compress: bool = True) -> bytes:
     for i, page in enumerate(pages):
         shows = []
         for line in page.split("\n"):
-            shows.append(b"(" + _escape_pdf_string(line) + b") Tj")
+            shows.append(_show_operand(line) + b" Tj")
         body = (
             b"BT /F1 11 Tf 72 720 Td "
             + b" 0 -14 Td ".join(shows)
@@ -167,51 +162,149 @@ def build_pdf(pages: list[str], compress: bool = True) -> bytes:
 
 
 # ------------------------------------------------------------------- read
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)(?:\r?\n)?endstream", re.DOTALL)
+
+
 def _stream_bytes(body: bytes) -> bytes:
-    m = _STREAM_RE.search(body)
+    m = _STREAM_START_RE.search(body)
     if m is None:
         raise ValueError("content object has no stream")
-    data = m.group(1)
-    if b"/FlateDecode" in body[: m.start()]:
+    head = body[: m.start()]
+    lm = _LENGTH_RE.search(head)
+    if lm is not None:
+        # authoritative byte count: a regex scan for 'endstream' would
+        # chop a trailing \r off ~1/256 of deflate payloads (the EOL
+        # before 'endstream' is ambiguous with data bytes)
+        n = int(lm.group(1))
+        data = body[m.end() : m.end() + n]
+        if len(data) < n:
+            raise ValueError("stream shorter than /Length")
+    else:
+        # indirect or missing /Length: fall back to the delimiter scan
+        e = _STREAM_RE.search(body, m.start())
+        if e is None:
+            raise ValueError("unterminated stream")
+        data = e.group(1)
+    if b"/FlateDecode" in head:
         try:
             data = zlib.decompress(data)
         except zlib.error as exc:
             raise ValueError(f"bad FlateDecode stream: {exc}") from None
-    elif b"/Filter" in body[: m.start()]:
+    elif b"/Filter" in head:
         raise ValueError("unsupported stream filter")
     return data
 
 
+def _tokenize_content(content: bytes):
+    """Linear scan of a content stream into (kind, payload) tokens:
+    ``('str', bytes)`` for literal strings (balanced parens, escapes),
+    ``('hex', bytes)`` for hex strings, ``('op', name)`` for
+    operators. Operand-aware on purpose: a regex that looks for
+    ``BT``/``ET``/``TJ`` markers directly would false-match them
+    INSIDE string operands (e.g. the word "BUDGET" contains ET) and
+    truncate the page text."""
+    i, n = 0, len(content)
+    while i < n:
+        c = content[i]
+        if c == 0x28:  # '(' — literal string, balanced-paren scan
+            depth, j = 1, i + 1
+            out = bytearray()
+            while j < n:
+                ch = content[j]
+                if ch == 0x5C:  # backslash: escape consumes 2 bytes
+                    out += content[j : j + 2]
+                    j += 2
+                    continue
+                if ch == 0x28:
+                    depth += 1
+                elif ch == 0x29:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                out.append(ch)
+                j += 1
+            yield ("str", bytes(out))
+            i = j + 1
+        elif c == 0x3C:  # '<'
+            if content[i : i + 2] == b"<<":  # inline dict: not a string
+                i += 2
+                continue
+            j = content.find(b">", i + 1)
+            if j == -1:
+                break
+            yield ("hex", content[i + 1 : j])
+            i = j + 1
+        else:
+            m = _OP_RE.match(content, i)
+            if m is not None:
+                yield ("op", m.group(0))
+                i = m.end()
+            else:
+                i += 1  # numbers, names, delimiters, whitespace
+
+
+_SHOW_NEWLINE_OPS = (b"'", b'"')  # shows that imply move-to-next-line
+_MOVE_OPS = (b"Td", b"TD", b"T*")
+
+
 def _text_from_content(content: bytes) -> str:
-    """Concatenate text shows; Td/TD/T* between shows start a new
-    line. Only inspects BT..ET spans, mirroring what a layout-aware
-    extractor (fitz get_text) returns for build_pdf-shaped pages."""
+    """Concatenate text shows between BT..ET; Td/TD/T* (and the
+    '/\" show variants) between shows start a new line — what a
+    layout-aware extractor (fitz get_text) returns for
+    build_pdf-shaped pages. Postfix evaluation: string/hex operands
+    collect until an operator consumes or discards them."""
     lines: list[str] = []
     cur: list[str] = []
-    for bt in re.finditer(rb"BT\b(.*?)ET\b", content, re.DOTALL):
-        block = bt.group(1)
-        first_move = True
-        for m in _TEXT_OP_RE.finditer(block):
-            if m.group(4):  # Td/TD/T*
-                if first_move:  # the initial cursor placement
-                    first_move = False
-                    continue
+    pending: list[str] = []
+    in_text = False
+    first_move = True
+
+    def newline() -> None:
+        nonlocal first_move
+        if first_move:  # the initial cursor placement
+            first_move = False
+            return
+        lines.append("".join(cur))
+        cur.clear()
+
+    for kind, payload in _tokenize_content(content):
+        if kind == "str":
+            if in_text:
+                pending.append(_unescape_pdf_string(payload))
+        elif kind == "hex":
+            if in_text:
+                pending.append(_decode_hex_string(payload))
+        elif payload == b"BT":
+            in_text, first_move = True, True
+            pending.clear()
+        elif payload == b"ET":
+            in_text = False
+            pending.clear()
+            if cur:  # each BT block ends its own line
                 lines.append("".join(cur))
-                cur = []
-            elif m.group(1) is not None:
-                cur.append(_unescape_pdf_string(m.group(1)))
-            elif m.group(3) is not None:
-                # TJ array: show the string/hex elements, skip kern numbers
-                for s in _HEX_IN_TJ_RE.finditer(m.group(3)):
-                    if s.group(1) is not None:
-                        cur.append(_unescape_pdf_string(s.group(1)))
-                    else:
-                        cur.append(_decode_hex_string(s.group(2)))
-            else:
-                cur.append(_decode_hex_string(m.group(5)))
-        if cur:
-            lines.append("".join(cur))
-            cur = []
+                cur.clear()
+        elif not in_text:
+            continue
+        elif payload == b"Tj":
+            if pending:
+                cur.append(pending[-1])
+            pending.clear()
+        elif payload in _SHOW_NEWLINE_OPS:
+            newline()
+            if pending:
+                cur.append(pending[-1])
+            pending.clear()
+        elif payload == b"TJ":
+            cur.extend(pending)  # array shows in operand order
+            pending.clear()
+        elif payload in _MOVE_OPS:
+            newline()
+            pending.clear()
+        else:  # Tf, Tc, gs, ... — operands were not text shows
+            pending.clear()
+    if cur:
+        lines.append("".join(cur))
     return "\n".join(lines)
 
 
@@ -261,12 +354,31 @@ def extract_text_pages(data: bytes) -> list[str]:
     return out
 
 
+def merge_pages(
+    datas: list[bytes], skip_errors: bool = False
+) -> tuple[list[str], int]:
+    """Extract and concatenate the inputs' pages in order. With
+    ``skip_errors`` unparseable members are skipped and counted (the
+    reference's encrypted-input degrade path, pdf_service.py:44-49);
+    otherwise the first bad input raises. Returns (pages, n_skipped).
+    The one definition of what a merge contains — both merge_pdfs and
+    the distributed merge_pdfs_by_key build on it."""
+    pages: list[str] = []
+    skipped = 0
+    for d in datas:
+        try:
+            pages.extend(extract_text_pages(bytes(d)))
+        except (ValueError, TypeError):
+            if not skip_errors:
+                raise
+            skipped += 1
+    return pages, skipped
+
+
 def merge_pdfs(datas: list[bytes], compress: bool = True) -> bytes:
     """One merged PDF whose pages are the inputs' pages concatenated
     in order — the reference's merge_pdfs output document
     (pdf_service.py:23-85), page-level (re-emitted, not object-copied,
     which is all the text-PDF subset needs)."""
-    pages: list[str] = []
-    for d in datas:
-        pages.extend(extract_text_pages(d))
+    pages, _ = merge_pages(datas)
     return build_pdf(pages, compress=compress)

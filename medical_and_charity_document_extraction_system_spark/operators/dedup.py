@@ -27,7 +27,6 @@ otherwise — AQE decides).
 from __future__ import annotations
 
 import hashlib
-import re
 
 import numpy as np
 import pandas as pd
@@ -36,13 +35,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.textstats import jaccard, tokens, word_shingles_fast
+from ..functions.textstats import _ASCII_WS_RE, jaccard, tokens, word_shingles_fast
 
 MINHASH_SEED = 42
 
-# Java regex \s (what F.split(r"\s+") uses) is ASCII-only:
-# [ \t\n\x0B\f\r]. Python's str.split()/re-\s are Unicode-wide.
-_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+# the one Java-\s-parity tokenizer (see functions/textstats.py) —
+# shared so MinHash shingling can never drift from the
+# word_shingles_fast verification tokenizer
+_ASCII_WS = _ASCII_WS_RE
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -171,12 +171,17 @@ def minhash_near_dup(
     # the Arrow UDF on one core (a 40 MB corpus file is one split
     # under the default 128 MB maxPartitionBytes); the repartition
     # shuffles only (id, text) rows and buys full-width signatures.
-    # file count is a plan-only width proxy (a df.rdd probe would
-    # force an RDD conversion of the logical plan just to read it)
+    # file count is the cheap plan-only proxy; when it is ambiguous
+    # (many small files can still PACK into few splits, and non-file
+    # sources report zero files) fall back to the exact partition
+    # width — a driver-side plan conversion, no job
     sc = df.sparkSession.sparkContext
+    width = sc.defaultParallelism
     n_files = len(df.inputFiles())
-    if 0 < n_files < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    if 0 < n_files < width:
+        df = df.repartition(width)
+    elif df.rdd.getNumPartitions() < width:
+        df = df.repartition(width)
     # cache the signatures: they feed BOTH sides of the band self-join
     # and are the expensive stage (Arrow UDF over every doc) — without
     # the cache Spark recomputes them once per join side, and at wide
@@ -353,6 +358,14 @@ def connected_components(
         labels = updated
         if changed == 0:
             break
+    else:
+        # silently returning non-converged labels would split one true
+        # component into several — a wrong dedup keep-list, not a
+        # degraded one
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

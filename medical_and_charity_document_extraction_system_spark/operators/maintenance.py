@@ -63,17 +63,11 @@ def merge_pdfs_by_key(
     n_inputs, n_skipped)."""
     import pandas as pd
 
-    from ..functions.minipdf import build_pdf, extract_text_pages
+    from ..functions.minipdf import build_pdf, merge_pages
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col)
-        pages: list[str] = []
-        skipped = 0
-        for raw in pdf[payload_col]:
-            try:
-                pages.extend(extract_text_pages(bytes(raw)))
-            except (ValueError, TypeError):
-                skipped += 1
+        pages, skipped = merge_pages(list(pdf[payload_col]), skip_errors=True)
         if not pages:  # pdf_service.py:51-53 — empty merge is an error
             merged = None
         else:

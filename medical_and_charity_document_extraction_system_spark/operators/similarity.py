@@ -153,6 +153,13 @@ def embedding_near_dup_lsh(
         F.transform(v, lambda x: x / nrm).alias("_vn"),
         "_buckets",
     )
+    # three plan branches reference this subtree (bucket explode + the
+    # two per-side vector joins); cache it so the scan + normalization
+    # run once instead of per branch. (Column pruning already keeps
+    # the bucket UDF out of the join branches; the cache removes the
+    # remaining repeated scans. At beyond-memory scale, materialize
+    # the normalized+bucketed table to storage instead.)
+    vn_tbl = vn_tbl.cache()
     exploded = vn_tbl.select(
         F.col(id_col), F.posexplode("_buckets").alias("table", "key")
     )

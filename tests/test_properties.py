@@ -155,14 +155,18 @@ _PDF_TEXT = st.text(
     alphabet=st.characters(
         min_codepoint=0x20, max_codepoint=0xFF, blacklist_categories=("Cs",)
     )
-    | st.sampled_from("\n\t\r()\\"),
+    | st.sampled_from("\n\t\r()\\")
+    | st.sampled_from("€中日éß BUDGET ET TJ BT stream endstream"),
     max_size=60,
 )
 
 
 @settings(max_examples=60, deadline=None)
 @given(st.lists(_PDF_TEXT, min_size=1, max_size=4), st.booleans())
-def test_minipdf_roundtrip_any_latin1_pages(pages, compress):
+def test_minipdf_roundtrip_any_text_pages(pages, compress):
+    """Any page text round-trips: latin-1 as literal strings, the rest
+    as UTF-16BE hex shows; operator-lookalike words (ET/TJ/stream)
+    inside text must never confuse the extractor."""
     from medical_and_charity_document_extraction_system_spark.functions.minipdf import (
         build_pdf,
         extract_text_pages,
