@@ -22,6 +22,27 @@ from medical_and_charity_document_extraction_system_spark.sources import synthes
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
+_STREAM_STAGE_DIRS: list[str] = []
+
+
+def _stage_dir(prefix: str) -> str:
+    """Corpus-sized streaming staging dirs, removed at process exit.
+    (The returned catalog DataFrames read the staged parquet lazily —
+    the driver materializes them before exit, so exit-time removal is
+    the earliest safe point; without it repeated gate/bench runs
+    accumulate corpus copies in /tmp.)"""
+    import atexit
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix=prefix)
+    if not _STREAM_STAGE_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(d, ignore_errors=True) for d in _STREAM_STAGE_DIRS]
+        )
+    _STREAM_STAGE_DIRS.append(base)
+    return base
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -84,13 +105,11 @@ def q_stream_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     read back as a batch table. Oracle: the batch construction oracle
     — streamed output must match it bit-for-bit, proving the engine's
     batch/streaming parity on the flagship path."""
-    import tempfile
-
     from medical_and_charity_document_extraction_system_spark.streaming import (
         run_extraction_stream,
     )
 
-    base = tempfile.mkdtemp(prefix="stream_catalog_")
+    base = _stage_dir("stream_catalog_")
     inp, outp, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
     synthesize_pages(spark, sf_dir).write.mode("overwrite").parquet(inp)
     q = run_extraction_stream(spark, inp, outp, ck)
@@ -104,13 +123,11 @@ def q_stream_host_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts AND the append-mode emission rule (window_end <=
     max(event_time) - watermark) reconstructed arithmetically — the
     gate pins watermark semantics (oracles.stream_host_rate_sql)."""
-    import tempfile
-
     from medical_and_charity_document_extraction_system_spark.streaming import (
         host_rate_stream,
     )
 
-    base = tempfile.mkdtemp(prefix="stream_rate_")
+    base = _stage_dir("stream_rate_")
     inp, outp, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
     synthesize_pages(spark, sf_dir).write.mode("overwrite").parquet(inp)
     q = host_rate_stream(spark, inp, outp, ck)
@@ -130,13 +147,11 @@ def q_stream_host_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     final running row — deterministic, hence oracle-checkable: the
     totals must equal the per-host page counts the construction
     oracle derives from doc_id arithmetic."""
-    import tempfile
-
     from medical_and_charity_document_extraction_system_spark.streaming import (
         host_running_totals_stream,
     )
 
-    base = tempfile.mkdtemp(prefix="stream_tot_")
+    base = _stage_dir("stream_tot_")
     inp, outp, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
     synthesize_pages(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(inp)
     q = host_running_totals_stream(
@@ -484,11 +499,9 @@ def q_stream_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     every url is fed twice (a full re-crawl); exactly one row per url
     must survive. Oracle: the synthesized url universe (doc_id
     arithmetic)."""
-    import tempfile
-
     from medical_and_charity_document_extraction_system_spark.streaming import dedup_url_stream
 
-    base = tempfile.mkdtemp(prefix="stream_dd_")
+    base = _stage_dir("stream_dd_")
     inp, outp, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
     pages = synthesize_pages(spark, sf_dir)
     pages.unionByName(pages).write.mode("overwrite").parquet(inp)

@@ -94,7 +94,11 @@ def _unescape_pdf_string(raw: bytes) -> str:
             out.append(int(raw[i + 1 : j], 8) & 0xFF)
             i = j
         elif nxt in (b"\n", b"\r"):  # line continuation
+            # spec 7.3.4.2: backslash-EOL is a single continuation;
+            # a \<CR><LF> pair consumes BOTH bytes
             i += 2
+            if nxt == b"\r" and raw[i : i + 1] == b"\n":
+                i += 1
         else:  # lone backslash: drop it (spec: ignore)
             i += 1
     return out.decode("latin-1")

@@ -178,9 +178,9 @@ def minhash_near_dup(
     sc = df.sparkSession.sparkContext
     width = sc.defaultParallelism
     n_files = len(df.inputFiles())
-    if 0 < n_files < width:
-        df = df.repartition(width)
-    elif df.rdd.getNumPartitions() < width:
+    # short-circuit: when the file proxy already says "too narrow" the
+    # df.rdd plan conversion is never paid
+    if (0 < n_files < width) or df.rdd.getNumPartitions() < width:
         df = df.repartition(width)
     # cache the signatures: they feed BOTH sides of the band self-join
     # and are the expensive stage (Arrow UDF over every doc) — without

@@ -28,6 +28,10 @@ from pyspark.sql import functions as F
 
 LSH_SEED = 42
 
+# last cached normalized+bucketed table per session (applicationId) —
+# see embedding_near_dup_lsh: each call releases the previous one
+_LSH_VN_CACHE: dict[str, DataFrame] = {}
+
 
 def dot_fold(a: Column, b: Column) -> Column:
     """Left-fold dot product — IEEE order matches the DuckDB oracle."""
@@ -62,6 +66,22 @@ def _projections(dim: int, tables: int, bits: int, seed: int = LSH_SEED) -> np.n
     return rng.standard_normal((tables, bits, dim))
 
 
+_SIGN_MARGIN = 1e-9  # bounds BLAS-pairwise vs left-fold dot rounding
+
+
+def _stable_sign_dots(mat: np.ndarray, proj: np.ndarray) -> np.ndarray:
+    """(n, dim) x (m, dim) -> (n, m) dots whose SIGNS agree with the
+    SQL twin's left-fold evaluation: BLAS computes all dots, and any
+    dot within _SIGN_MARGIN of zero (where pairwise-vs-fold rounding
+    could flip the sign, hence the bucket bit) is recomputed with the
+    exact left fold. Near-zero projections are rare, so the exact
+    pass touches a handful of entries per batch."""
+    dots = mat @ proj.T
+    for i, j in np.argwhere(np.abs(dots) < _SIGN_MARGIN):
+        dots[i, j] = _fold_dot(mat[i], proj[j])
+    return dots
+
+
 def lsh_bucket_udf(dim: int, tables: int = 8, bits: int = 12, seed: int = LSH_SEED):
     """Returns a pandas_udf mapping embedding -> array of per-table
     bucket keys (bits packed into an int). One numpy matmul per Arrow
@@ -72,7 +92,7 @@ def lsh_bucket_udf(dim: int, tables: int = 8, bits: int = 12, seed: int = LSH_SE
     @F.pandas_udf("array<long>")
     def _bucket(vecs: pd.Series) -> pd.Series:
         mat = np.vstack(vecs.to_numpy())  # (n, dim)
-        signs = (mat @ proj.T) >= 0  # (n, tables*bits)
+        signs = _stable_sign_dots(mat, proj) >= 0  # (n, tables*bits)
         signs = signs.reshape(len(mat), tables, bits)
         keys = (signs * powers).sum(axis=2)  # (n, tables)
         return pd.Series(list(keys))
@@ -109,7 +129,9 @@ def ann_topk_lsh(
     proj = _projections(dim, tables, bits, seed)
     qv = np.asarray(query_vec, dtype=np.float64)
     powers = 1 << np.arange(bits, dtype=np.int64)
-    qkeys = [int((((p @ qv) >= 0) * powers).sum()) for p in proj]
+    qdots = _stable_sign_dots(qv[None, :], proj.reshape(tables * bits, dim))
+    qsigns = (qdots >= 0).reshape(tables, bits)
+    qkeys = [int((s * powers).sum()) for s in qsigns]
     # per-table match: buckets[t] == qkeys[t] for some t
     match = None
     for t, qk in enumerate(qkeys):
@@ -159,7 +181,22 @@ def embedding_near_dup_lsh(
     # the bucket UDF out of the join branches; the cache removes the
     # remaining repeated scans. At beyond-memory scale, materialize
     # the normalized+bucketed table to storage instead.)
+    #
+    # The result DataFrame is lazy, so the cache cannot be dropped
+    # inside this function without losing it before the caller
+    # materializes; instead each call unpersists the PREVIOUS call's
+    # cached table (bounding pinned executor storage to one table per
+    # session instead of accumulating across runs). Long-lived sessions
+    # can clear the last one with spark.catalog.clearCache().
     vn_tbl = vn_tbl.cache()
+    app_id = df.sparkSession.sparkContext.applicationId
+    prev = _LSH_VN_CACHE.pop(app_id, None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # stopped session / already freed — nothing to release
+    _LSH_VN_CACHE[app_id] = vn_tbl
     exploded = vn_tbl.select(
         F.col(id_col), F.posexplode("_buckets").alias("table", "key")
     )
@@ -216,6 +253,8 @@ def embedding_near_dup_exact(
     threshold: float = 0.3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_broadcast_rows: int = 1_000_000,
+    on_overflow: str = "raise",
 ) -> DataFrame:
     """Exact all-pairs cosine near-dup via blocked GEMM.
 
@@ -226,10 +265,30 @@ def embedding_near_dup_exact(
     costs ~2,000x more per pair (measured ~30s -> <1s at 2k vectors).
 
     Memory bound: the broadcast side is N x dim x 8 bytes (1M x 64-dim
-    = 0.5 GB) — beyond that, use ``embedding_near_dup_lsh`` (the scale
-    path: bucket-join candidates, never all-pairs).
+    = 0.5 GB). The driver materialization is GUARDED: above
+    ``max_broadcast_rows`` the call refuses (``on_overflow="raise"``,
+    default — names the scale path in the message) or reroutes to
+    ``embedding_near_dup_lsh`` (``on_overflow="lsh"`` — approximate
+    candidate generation with exact verification; pairs that never
+    share a bucket can be missed, which is why the reroute is opt-in
+    rather than silent). The guard count is one narrow scan — at the
+    scale where it matters, that scan is what prevents a driver OOM.
     """
     spark = df.sparkSession
+    n_rows = df.count()
+    if n_rows > max_broadcast_rows:
+        if on_overflow == "lsh":
+            dim = df.select(F.size(F.col(vec_col)).alias("d")).first().d
+            return embedding_near_dup_lsh(
+                df, dim=int(dim), threshold=threshold,
+                vec_col=vec_col, id_col=id_col,
+            )
+        raise ValueError(
+            f"embedding_near_dup_exact: {n_rows} rows exceeds the "
+            f"driver-broadcast bound ({max_broadcast_rows}); use "
+            "embedding_near_dup_lsh (the bucket-join scale path) or "
+            "pass on_overflow='lsh' to reroute."
+        )
     rows = df.select(id_col, vec_col).collect()  # small side, held once
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([list(r[1]) for r in rows], dtype=np.float64)

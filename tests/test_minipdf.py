@@ -181,3 +181,17 @@ def test_hex_string_operands():
         b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%%%EOF\n"
     ) % (len(content), content)
     assert extract_text_pages(pdf) == ["Hello\nHi\nABcd@"]
+
+
+def test_unescape_backslash_crlf_continuation():
+    """Spec 7.3.4.2: backslash-EOL is ONE continuation; \\<CR><LF>
+    consumes both bytes (no stray newline in the extracted text)."""
+    from medical_and_charity_document_extraction_system_spark.functions.minipdf import (
+        _unescape_pdf_string,
+    )
+
+    assert _unescape_pdf_string(b"ab\\\r\ncd") == "abcd"
+    assert _unescape_pdf_string(b"ab\\\rcd") == "abcd"
+    assert _unescape_pdf_string(b"ab\\\ncd") == "abcd"
+    # a bare (unescaped) CRLF inside a literal string is data, per spec
+    assert _unescape_pdf_string(b"ab\r\ncd") == "ab\r\ncd"

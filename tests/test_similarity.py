@@ -172,3 +172,49 @@ def test_ivf_pruned_layout_matches_and_prunes(spark, emb, tmp_path):
 
     n_cluster_dirs = len(glob.glob(path + "/_ivf=*"))
     assert n_cluster_dirs > 2  # layout actually split the data
+
+
+def test_exact_near_dup_collect_guard(emb):
+    """Above max_broadcast_rows the driver collect must never happen:
+    default refuses (naming the scale path), on_overflow='lsh'
+    reroutes to the bucket-join plan."""
+    from medical_and_charity_document_extraction_system_spark.operators.similarity import (
+        embedding_near_dup_exact,
+    )
+
+    with pytest.raises(ValueError, match="embedding_near_dup_lsh"):
+        embedding_near_dup_exact(emb, threshold=0.3, max_broadcast_rows=10)
+
+    rerouted = embedding_near_dup_exact(
+        emb, threshold=0.3, max_broadcast_rows=10, on_overflow="lsh"
+    )
+    expected = embedding_near_dup_lsh(emb, dim=DIM, threshold=0.3)
+    got = {(r.vec_a, r.vec_b, r.cos_sim) for r in rerouted.collect()}
+    want = {(r.vec_a, r.vec_b, r.cos_sim) for r in expected.collect()}
+    assert got == want and len(want) > 0
+
+    # under the bound the exact path still runs (superset of LSH pairs)
+    exact = embedding_near_dup_exact(emb, threshold=0.3)
+    exact_pairs = {(r.vec_a, r.vec_b) for r in exact.collect()}
+    assert {(a, b) for a, b, _ in want} <= exact_pairs
+
+
+def test_stable_sign_dots_matches_fold_near_zero():
+    """A dot within the margin of zero must take its sign from the
+    left fold, not BLAS — the bucket bit the SQL twin computes."""
+    from medical_and_charity_document_extraction_system_spark.operators.similarity import (
+        _fold_dot,
+        _stable_sign_dots,
+    )
+
+    rng = np.random.RandomState(7)
+    mat = rng.standard_normal((5, 16))
+    proj = rng.standard_normal((9, 16))
+    # plant a row orthogonal-by-construction to one projection
+    proj[3] = rng.standard_normal(16)
+    mat[2] = np.zeros(16)
+    mat[2][0], mat[2][1] = proj[3][1], -proj[3][0]  # exact-zero dot in fold? not nec.
+    dots = _stable_sign_dots(mat, proj)
+    for i in range(5):
+        for j in range(9):
+            assert (dots[i, j] >= 0) == (_fold_dot(mat[i], proj[j]) >= 0)
