@@ -753,9 +753,11 @@ def oracle_sql() -> dict[str, str]:
         "video_frame_sample": oracles.video_frame_sample_sql(),
         "merge_pdf_artifacts": oracles.merge_pdf_artifacts_sql(),
         "stream_dedup_urls": oracles.stream_dedup_urls_sql(),
-        # ann_topk_ivf (nprobe=4): approximate by design, centroid
-        # training is driver-side k-means with no SQL image — rows-only
-        # here; its exactness contract is checked via ann_topk_ivf_exact
-        # (nprobe = n_clusters degenerates to the brute-force twin) and
-        # the pytest recall oracle.
+        # ann_topk_ivf (nprobe=4): the seeded-k-means centroids are a
+        # pure function of the embeddings table, so the builder reruns
+        # the training on the driver and embeds them as SQL literals;
+        # DuckDB re-derives assignment, probe list and top-k from
+        # scratch (oracles.ann_topk_ivf_sql — the driver gate runs at
+        # sf0.01, which is the builder's default sample source).
+        "ann_topk_ivf": oracles.ann_topk_ivf_sql(),
     }

@@ -370,7 +370,16 @@ def train_ivf_centroids(
         .select(vec_col).collect()
     )
     mat = np.array([list(r[0]) for r in sample], dtype=np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return kmeans_fit(mat, n_clusters, iters, seed)
+
+
+def kmeans_fit(
+    mat: np.ndarray, n_clusters: int, iters: int = 10, seed: int = LSH_SEED
+) -> np.ndarray:
+    """The deterministic Lloyd core shared by ``train_ivf_centroids``
+    and the DuckDB oracle builder (oracles.ann_topk_ivf_sql reruns it
+    on the same sample and emits the centroids as SQL literals)."""
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     idx = rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)
     cent = mat[np.sort(idx)].copy()

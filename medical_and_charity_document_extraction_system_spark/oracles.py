@@ -665,6 +665,97 @@ LIMIT {k}
 """
 
 
+# ------------------------------------------------------------ IVF twin
+def ann_topk_ivf_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    k: int = 10,
+    nprobe: int = 4,
+    n_clusters: int = 16,
+    sample_rows: int = 10000,
+    dim: int = 64,
+    query_vec_id: int = 0,
+) -> str:
+    """Full oracle for the *pruned* (nprobe < n_clusters) IVF top-k.
+
+    The coarse quantizer is a pure function of the embeddings table
+    (seeded Lloyd over the ``sample_rows`` smallest ids), so the
+    builder reruns the SAME ``kmeans_fit`` on the same sample — read
+    straight from the parquet with duckdb, no Spark — and emits the
+    centroids as SQL literals (the trick the LSH oracles use for their
+    projection matrices). DuckDB then re-derives cluster assignment
+    (argmax centroid dot; normalization drops out of the argmax),
+    the nprobe probe list, and the exact-cosine top-k from scratch.
+
+    BLAS-vs-fold rounding can only flip an assignment or the probe
+    boundary on a near-exact tie; the builder asserts every decision
+    margin exceeds 1e-9 (~1e5 x the rounding scale), so the SQL's
+    fold-order dots provably agree with the UDF's GEMM.
+    """
+    import duckdb
+    import numpy as np
+
+    from .operators.similarity import kmeans_fit
+
+    con = duckdb.connect()
+    emb = con.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"WHERE vec_id <> {query_vec_id} ORDER BY vec_id"
+    ).fetchall()
+    qrow = con.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"WHERE vec_id = {query_vec_id}"
+    ).fetchone()
+    con.close()
+    mat = np.array([list(r[1]) for r in emb], dtype=np.float64)
+    cent = kmeans_fit(mat[:sample_rows], n_clusters)
+    q = np.array(list(qrow[0]), dtype=np.float64)
+
+    # margin assertions: no decision is close enough for summation
+    # order to flip it (data is fixed, so this holds for every run)
+    vn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    d = vn @ cent.T
+    top2 = np.sort(d, axis=1)[:, -2:]
+    assert (top2[:, 1] - top2[:, 0]).min() > 1e-9, "assignment near-tie"
+    qd = np.sort(cent @ (q / np.linalg.norm(q)))[::-1]
+    assert qd[nprobe - 1] - qd[nprobe] > 1e-9, "probe-boundary near-tie"
+
+    cent_rows = ",\n".join(
+        f"({c}, [{', '.join(repr(float(x)) for x in cent[c])}])"
+        for c in range(len(cent))
+    )
+    vdot = _DOT.format(n=dim, a="e.v", b="cent.c")
+    qdot = _DOT.format(n=dim, a="cent.c", b="q.qv")
+    cosexpr = _cos("e.v", "q.qv", dim)
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id <> {query_vec_id}),
+cent(cid, craw) AS (VALUES {cent_rows}),
+centd AS (SELECT cid, list_transform(craw, x -> CAST(x AS DOUBLE)) AS c FROM cent),
+q AS (SELECT v AS qv FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                           FROM embeddings) WHERE vec_id = {query_vec_id}),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, cent.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY ({vdot}) DESC, cent.cid) AS rn
+    FROM e CROSS JOIN centd cent
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cid FROM (
+    SELECT cent.cid, row_number() OVER (ORDER BY ({qdot}) DESC, cent.cid) AS rn
+    FROM centd cent CROSS JOIN q
+  ) WHERE rn <= {nprobe}
+)
+SELECT e.vec_id, {cosexpr} AS cos_sim
+FROM e JOIN assign ON assign.vec_id = e.vec_id
+       JOIN probe ON probe.cid = assign.cid
+       CROSS JOIN q
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT {k}
+"""
+
+
 # -------------------------------------------------- multimodal / images
 def media_features_sql() -> str:
     """Construction oracle for the multimodal feature stage: the fake

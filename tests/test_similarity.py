@@ -218,3 +218,28 @@ def test_stable_sign_dots_matches_fold_near_zero():
     for i in range(5):
         for j in range(9):
             assert (dots[i, j] >= 0) == (_fold_dot(mat[i], proj[j]) >= 0)
+
+
+def test_ivf_pruned_oracle_generalizes_across_sf(spark):
+    """ann_topk_ivf_sql embeds data-derived centroids; rebuilding it
+    for a DIFFERENT sf (different vectors, different centroids) must
+    still match the Spark pruned IVF bit-for-bit — the construction is
+    a function of the table, not a hardcoded answer."""
+    import duckdb
+
+    from medical_and_charity_document_extraction_system_spark.oracles import ann_topk_ivf_sql
+
+    sf = SF_SMALL
+    import __spark_entry__ as entry
+
+    got = [
+        (r.vec_id, r.cos_sim)
+        for r in entry.q_ann_topk_ivf(spark, sf).collect()
+    ]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = [(int(a), float(b)) for a, b in con.sql(ann_topk_ivf_sql(sf_dir=sf)).fetchall()]
+    con.close()
+    assert got == want
