@@ -443,6 +443,21 @@ def q_image_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_preprocess_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME E/D/K/B chain fed real PNG payloads through the
+    pure-Python PNG codec (functions/png.py) instead of netpbm — the
+    first real-corpus image container. Same pixels, different bytes on
+    the wire: the construction oracle (identical to image_preprocess's)
+    passing proves container-independent decode correctness."""
+    from medical_and_charity_document_extraction_system_spark.operators.multimodal import attach_page_images
+    from medical_and_charity_document_extraction_system_spark.operators.preprocess import preprocess_images
+
+    docs = _docs(spark, sf_dir).where("doc_id < 200")
+    return preprocess_images(attach_page_images(docs, codec="png")).select(
+        "media_id", "width", "height", "skew_angle", "error"
+    )
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize stage (binary netpbm -> numpy nearest-
     neighbor -> binary) over synthetic page images. Oracle: output
@@ -691,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_sources": q_merge_sources,
         "retention_cleanup": q_retention_cleanup,
         "image_preprocess": q_image_preprocess,
+        "image_preprocess_png": q_image_preprocess_png,
         "pdf_pages": q_pdf_pages,
         "bpe_token_count": q_bpe_token_count,
         "simhash_near_dup": q_simhash_near_dup,
@@ -749,6 +765,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf_exact": oracles.topk_cosine_sql(),
         "media_features": oracles.media_features_sql(),
         "image_preprocess": oracles.image_preprocess_sql(),
+        # same construction oracle: the PNG-fed chain must land on the
+        # exact same (width, height, skew) rows as the netpbm-fed one
+        "image_preprocess_png": oracles.image_preprocess_sql(),
         "media_resize": oracles.media_resize_sql(),
         "video_frame_sample": oracles.video_frame_sample_sql(),
         "merge_pdf_artifacts": oracles.merge_pdf_artifacts_sql(),

@@ -1,0 +1,64 @@
+"""Format-sniffing image decode/encode for binary image columns.
+
+The pipeline's image stages (operators/preprocess.py,
+operators/multimodal.py) accept any supported container and emit their
+output in the SAME container they were fed — netpbm (P5/P6) or PNG
+(functions/png.py, pure Python). JPEG/WebP need PIL/cv2 (absent here)
+and degrade to a clear error row; reference analog loads any
+cv2-readable format (/root/reference/backend/app/utils/
+file_utils.py:129-173).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import netpbm, png
+
+FORMAT_PNG = "png"
+FORMAT_NETPBM = "netpbm"
+
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def sniff_format(payload: bytes) -> str | None:
+    """Container by magic bytes; None when unrecognized."""
+    if payload.startswith(png.PNG_MAGIC):
+        return FORMAT_PNG
+    if payload[:2] in (b"P5", b"P6"):
+        return FORMAT_NETPBM
+    return None
+
+
+def decode_auto(payload: bytes) -> tuple[np.ndarray, str]:
+    """bytes -> (ndarray, format). PNG results are collapsed to the
+    shapes the numpy kernels understand: gray (H,W) or RGB (H,W,3)
+    uint8 (16-bit scaled down, alpha dropped)."""
+    payload = bytes(payload)
+    fmt = sniff_format(payload)
+    if fmt == FORMAT_NETPBM:
+        return netpbm.decode(payload), fmt
+    if fmt == FORMAT_PNG:
+        img = png.decode_png(payload)
+        if img.dtype == np.uint16:
+            img = (img >> 8).astype(np.uint8)
+        if img.ndim == 3 and img.shape[2] == 2:  # gray+alpha -> gray
+            img = img[:, :, 0]
+        elif img.ndim == 3 and img.shape[2] == 4:  # RGBA -> RGB
+            img = img[:, :, :3]
+        return img, fmt
+    if payload.startswith(_JPEG_MAGIC):
+        raise NotImplementedError(
+            "JPEG decode requires PIL/cv2, not installed in this container"
+        )
+    raise ValueError("unrecognized image container (not PNG or netpbm)")
+
+
+def encode_as(image: np.ndarray, fmt: str) -> bytes:
+    """ndarray -> bytes in the given container (round-trips the format
+    the stage was fed, so PNG corpora stay PNG end-to-end)."""
+    if fmt == FORMAT_PNG:
+        return png.encode_png(image)
+    if fmt == FORMAT_NETPBM:
+        return netpbm.encode(image)
+    raise ValueError(f"unknown image format {fmt!r}")

@@ -2,13 +2,13 @@
 typed metadata, with decode/feature/resize/frame-sample stages as
 vectorized Arrow stages.
 
-The decode kernels need image/audio libraries that are NOT in this
-container, so the decode step is stubbed (clearly-marked
-NotImplementedError, or a deterministic fake) while the Spark-side
-plumbing — schema, partitioning, UDF signature, Arrow batch shape —
-is real and tested. Mirrors how the reference gates real OCR engines
-behind the registry while the deterministic stub carries the tests
-(operators/engines.py).
+Image decode is REAL for PNG (pure-Python codec, functions/png.py)
+and netpbm; JPEG/WebP and audio codecs need libraries NOT in this
+container and stay gated (clearly-marked NotImplementedError, with a
+deterministic fake carrying the Spark-side plumbing — schema,
+partitioning, UDF signature, Arrow batch shape). Mirrors how the
+reference gates real OCR engines behind the registry while the
+deterministic stub carries the tests (operators/engines.py).
 """
 
 from __future__ import annotations
@@ -95,17 +95,21 @@ def render_page_image(doc_id: int, height: int = 120, width: int = 240) -> np.nd
 
 
 def attach_page_images(
-    df: DataFrame, id_col: str = "doc_id", fan_out: bool = True
+    df: DataFrame, id_col: str = "doc_id", fan_out: bool = True,
+    codec: str = "netpbm",
 ) -> DataFrame:
-    """(id) -> (media_id, payload=binary PGM) via a mapInPandas render
-    stage; the test/bench feeder for operators/preprocess.py.
+    """(id) -> (media_id, payload=binary PGM or PNG per ``codec``) via
+    a mapInPandas render stage; the test/bench feeder for
+    operators/preprocess.py. ``codec="png"`` feeds real PNG payloads
+    through the pure-Python decoder (functions/png.py) — same pixels,
+    different container, so downstream results must be identical.
 
     ``fan_out`` repartitions the id rows to full width first: a small
     filtered input (e.g. 200 docs from one parquet split) would
     otherwise put the whole render+preprocess chain on ONE core
     (measured 9.3s -> 0.9s on the bench). The shuffle moves only ids —
     always cheap relative to per-image work."""
-    from ..functions import netpbm
+    from ..functions import imageio
 
     if fan_out:
         df = df.select(id_col).repartition(
@@ -126,7 +130,8 @@ def attach_page_images(
                 {
                     "media_id": ids,
                     "payload": [
-                        netpbm.encode(render_page_image(int(i))) for i in ids
+                        imageio.encode_as(render_page_image(int(i)), codec)
+                        for i in ids
                     ],
                 }
             )
@@ -145,10 +150,9 @@ def resize_images(
     neighbor resample (pure numpy index arithmetic — no PIL/cv2) ->
     binary netpbm out, with the output dims as real columns. The
     standard pre-embedding normalization step of a multimodal training
-    pipeline; same iterator-mapInPandas shape a codec-backed resize
-    uses. Undecodable payloads degrade to error rows."""
-    from ..functions import netpbm
-
+    pipeline; accepts netpbm or PNG and answers in kind
+    (functions/imageio.py). Undecodable payloads degrade to error
+    rows."""
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -160,19 +164,21 @@ def resize_images(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import imageio
+
         for pdf in batches:
             out = {k: [] for k in ("media_id", "image", "width", "height", "error")}
             for mid, payload in zip(pdf[id_col], pdf[image_col]):
                 out["media_id"].append(int(mid))
                 try:
-                    img = netpbm.decode(bytes(payload))
+                    img, fmt = imageio.decode_auto(bytes(payload))
                     # nearest-neighbor grid (floor((i+0.5)*src/dst))
                     ys = ((np.arange(height) + 0.5) * img.shape[0] / height).astype(int)
                     xs = ((np.arange(width) + 0.5) * img.shape[1] / width).astype(int)
                     resized = img[np.clip(ys, 0, img.shape[0] - 1)][
                         :, np.clip(xs, 0, img.shape[1] - 1)
                     ]
-                    out["image"].append(netpbm.encode(resized))
+                    out["image"].append(imageio.encode_as(resized, fmt))
                     out["height"].append(height)
                     out["width"].append(width)
                     out["error"].append(None)
@@ -308,12 +314,22 @@ def sample_frames(
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real decode requires PIL/cv2 — STUB in this environment."""
-    if not _HAS_PIL:
-        raise NotImplementedError(
-            "image decode requires PIL/cv2, not installed in this container"
-        )
-    raise NotImplementedError("real decode path not exercised in tests")
+    """Decode a binary image payload: PNG via the pure-Python codec
+    (functions/png.py — real-corpus coverage without PIL/cv2), netpbm
+    via functions/netpbm.py; JPEG/other compressed formats fall back
+    to PIL when installed, else raise the documented gate."""
+    from ..functions import imageio
+
+    payload = bytes(payload)
+    if imageio.sniff_format(payload) is not None:
+        return imageio.decode_auto(payload)[0]
+    if _HAS_PIL:  # pragma: no cover - PIL absent in this container
+        import io
+
+        return np.asarray(Image.open(io.BytesIO(payload)))
+    raise NotImplementedError(
+        "non-PNG/netpbm decode requires PIL/cv2, not installed in this container"
+    )
 
 
 def deterministic_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:

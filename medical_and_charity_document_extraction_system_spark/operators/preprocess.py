@@ -10,11 +10,10 @@ intermediates stay in memory inside the Python worker, only the final
 image crosses the Arrow boundary — the reference's biggest I/O cost is
 gone by construction.
 
-Images travel as binary netpbm (P5/P6 — functions/netpbm.py) because
-PNG/JPEG codecs (PIL/cv2) are not installed here; the stage structure
-(binary in -> ndarray kernel -> binary out + metadata columns) is
-exactly what a PNG-backed deployment uses, with only
-``netpbm.decode/encode`` swapped for the codec.
+Images travel as binary netpbm (P5/P6) **or PNG** — the pure-Python
+codec in functions/png.py decodes real PNG payloads without PIL/cv2,
+and the stage emits its output in the same container it was fed
+(functions/imageio.py). JPEG stays gated behind a clear error row.
 
 Scale notes: narrow op, zero shuffle, one Python pool; rows carry
 image-sized binaries so keep Arrow batches small
@@ -32,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions import image_ops, netpbm
+from ..functions import image_ops, imageio
 
 PREPROCESSED_SCHEMA = T.StructType(
     [
@@ -68,11 +67,11 @@ def preprocess_images(
             for mid, payload in zip(pdf[id_col], pdf[image_col]):
                 out["media_id"].append(int(mid))
                 try:
-                    img = netpbm.decode(bytes(payload))
+                    img, fmt = imageio.decode_auto(bytes(payload))
                     processed, meta = image_ops.preprocess_image_array(
                         img, document_type=document_type
                     )
-                    out["image"].append(netpbm.encode(processed))
+                    out["image"].append(imageio.encode_as(processed, fmt))
                     out["height"].append(int(processed.shape[0]))
                     out["width"].append(int(processed.shape[1]))
                     out["skew_angle"].append(float(meta["skew_angle"]))

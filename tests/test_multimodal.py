@@ -103,3 +103,69 @@ def test_frames_roundtrip_and_sampling(spark):
         r0 = next(r for r in rows if r.frame_index == 0)
         exp = render_page_image(int(mid) * 31, height=24, width=32)
         assert np.array_equal(netpbm.decode(bytes(r0.frame)), exp)
+
+
+def test_png_fed_preprocess_matches_netpbm_fed(spark):
+    """Same pixels in a PNG container must produce byte-identical
+    preprocessing results (dims, skew, steps) and pixel-identical
+    output images — and the output container follows the input."""
+    from medical_and_charity_document_extraction_system_spark.functions import imageio
+    from medical_and_charity_document_extraction_system_spark.operators.multimodal import (
+        attach_page_images,
+    )
+    from medical_and_charity_document_extraction_system_spark.operators.preprocess import (
+        preprocess_images,
+    )
+
+    docs = spark.range(12).withColumnRenamed("id", "doc_id")
+    out_pgm = {
+        r.media_id: r
+        for r in preprocess_images(attach_page_images(docs)).collect()
+    }
+    out_png = {
+        r.media_id: r
+        for r in preprocess_images(attach_page_images(docs, codec="png")).collect()
+    }
+    assert set(out_pgm) == set(out_png) == set(range(12))
+    for mid in out_pgm:
+        a, b = out_pgm[mid], out_png[mid]
+        assert (a.width, a.height, a.skew_angle, a.error) == (
+            b.width, b.height, b.skew_angle, b.error,
+        )
+        img_a, fmt_a = imageio.decode_auto(bytes(a.image))
+        img_b, fmt_b = imageio.decode_auto(bytes(b.image))
+        assert fmt_a == "netpbm" and fmt_b == "png"
+        assert (img_a == img_b).all()
+
+
+def test_resize_accepts_png_and_answers_png(spark):
+    from medical_and_charity_document_extraction_system_spark.functions import imageio
+    from medical_and_charity_document_extraction_system_spark.operators.multimodal import (
+        attach_page_images,
+        resize_images,
+    )
+
+    docs = spark.range(4).withColumnRenamed("id", "doc_id")
+    out = resize_images(
+        attach_page_images(docs, codec="png"), height=32, width=48
+    ).collect()
+    assert all(r.error is None for r in out)
+    for r in out:
+        img, fmt = imageio.decode_auto(bytes(r.image))
+        assert fmt == "png" and img.shape == (32, 48)
+
+
+def test_decode_image_handles_png_netpbm_and_gates_jpeg():
+    import numpy as np
+    import pytest as _pytest
+
+    from medical_and_charity_document_extraction_system_spark.functions import netpbm, png
+    from medical_and_charity_document_extraction_system_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    arr = (np.arange(48, dtype=np.uint8).reshape(6, 8) * 5) % 256
+    assert (decode_image(png.encode_png(arr)) == arr).all()
+    assert (decode_image(netpbm.encode(arr)) == arr).all()
+    with _pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"\xff\xd8\xff\xe0fakejpeg")
