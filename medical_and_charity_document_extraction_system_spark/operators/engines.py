@@ -178,6 +178,81 @@ class EasyOCRAdapter:
         }
 
 
+class PaddleOCRAdapter:
+    """Wraps ``paddleocr.PaddleOCR`` behind the BaseExtractor contract
+    (reference paddle_engine.py:38-133). One model per Python worker
+    via the engine cache. PaddleOCR is single-language with its own
+    code table (paddle_engine.py:171-192): the map below goes from the
+    repo's generic codes (post ``map_language``) to paddle codes, a
+    '+'-joined string keeps only its FIRST part (reference :188-190),
+    and unknown codes fall back to 'en'. Grayscale input is stacked to
+    the 3-channel image paddle expects (reference :68-71). Line-level
+    (bbox, (text, conf)) results map to word records with running char
+    offsets, in paddle's returned order (reference keeps it,
+    :92-117); word_num is 1-based like the rest of this registry
+    (the reference's 0-based line index is its only deviation)."""
+
+    engine_name = "paddleocr"
+
+    PADDLE_LANGUAGE_MAP = {
+        "en": "en", "fr": "fr", "de": "german", "ko": "korean",
+        "ja": "japan", "ch_sim": "ch", "ch_tra": "chinese_cht",
+        "ta": "ta", "te": "te", "ka": "ka", "ar": "arabic",
+        "ru": "cyrillic", "hi": "devanagari",
+    }
+
+    def __init__(self, language: str = "en") -> None:
+        from paddleocr import PaddleOCR
+
+        self.language = language
+        first = next((p for p in language.split("+") if p), "en")
+        paddle_lang = self.PADDLE_LANGUAGE_MAP.get(first, "en")
+        self._ocr = PaddleOCR(lang=paddle_lang, use_angle_cls=True,
+                              show_log=False)
+
+    def process_page(self, page_payload, language: str | None = None) -> dict:
+        if not isinstance(page_payload, (bytes, bytearray, memoryview)):
+            raise ValueError(
+                "paddleocr processes image bytes; text pages take the "
+                "direct-extraction route"
+            )
+        from ..functions import imageio
+
+        data = bytes(page_payload)
+        if imageio.sniff_format(data) is not None:
+            img = imageio.decode_auto(data)[0]
+        else:
+            img = data  # jpeg etc. — paddle's own decoders
+        import numpy as _np
+
+        if isinstance(img, _np.ndarray) and img.ndim == 2:
+            img = _np.repeat(img[:, :, None], 3, axis=2)
+        results = self._ocr.ocr(img, cls=True)
+        lines = results[0] if results else None
+        words, parts, confs, pos = [], [], [], 0
+        for i, line in enumerate(lines or [], 1):
+            txt, conf = line[1][0], float(line[1][1]) * 100.0
+            confs.append(conf)
+            words.append(
+                {
+                    "text": txt,
+                    "confidence": conf,
+                    "start": pos,
+                    "end": pos + len(txt),
+                    "word_num": i,
+                }
+            )
+            parts.append(txt)
+            pos += len(txt) + 1  # the joining space
+        return {
+            "text": " ".join(parts),
+            "confidence": sum(confs) / len(confs) if confs else 0.0,
+            "engine": self.engine_name,
+            "language": language or self.language,
+            "words": words,
+        }
+
+
 def _make_easyocr(language: str):
     try:
         import easyocr  # noqa: F401
@@ -191,7 +266,7 @@ def _make_paddle(language: str):
         import paddleocr  # noqa: F401
     except ImportError:
         return _UnavailableEngine("paddleocr")
-    return _UnavailableEngine("paddleocr")
+    return PaddleOCRAdapter(language)
 
 
 _REGISTRY = {
