@@ -20,12 +20,15 @@ from the PDF 1.4 spec (public ISO 32000):
   (the reference's merge_pdfs artifact, pdf_service.py:23-85).
 
 Scope: text extraction covers uncompressed and FlateDecode content
-streams with literal-string and hex-string operands (UTF-16BE when
-BOM-prefixed, latin-1 otherwise) — what ``build_pdf`` and the
-overwhelming majority of machine-generated text PDFs emit.
-CMap-subsetted fonts and object streams raise ValueError so callers
-degrade to the scanned/error route (pdf_service.py:258 semantics)
-instead of silently extracting garbage.
+streams (including PNG-predictor /DecodeParms) with literal-string
+and hex-string operands (UTF-16BE when BOM-prefixed, latin-1
+otherwise), classic xref tables AND the PDF 1.5+ modern-writer shape:
+cross-reference streams (/Type /XRef, /W-packed, /Prev chains) and
+object streams (/Type /ObjStm). ``build_pdf(..., xref_stream=True)``
+emits that modern shape itself, so the round-trip property covers it.
+CMap-subsetted fonts raise ValueError so callers degrade to the
+scanned/error route (pdf_service.py:258 semantics) instead of
+silently extracting garbage.
 """
 
 from __future__ import annotations
@@ -105,10 +108,20 @@ def _unescape_pdf_string(raw: bytes) -> str:
 
 
 # ------------------------------------------------------------------ write
-def build_pdf(pages: list[str], compress: bool = True) -> bytes:
+def build_pdf(
+    pages: list[str], compress: bool = True, xref_stream: bool = False
+) -> bytes:
     """Emit a valid single-font text PDF, one input string per page;
     lines inside a page become separate Tj shows with Td line moves.
-    Deterministic: same pages -> same bytes."""
+    Deterministic: same pages -> same bytes.
+
+    ``xref_stream=True`` emits the PDF 1.5+ modern-writer shape
+    instead of the classic table: catalog/page-tree/font/page dicts
+    packed into a /Type /ObjStm object stream, content streams
+    top-level (streams cannot live inside an ObjStm, spec 7.5.7), and
+    a /W-packed FlateDecode cross-reference STREAM with type-1 and
+    type-2 entries — the dominant shape modern generators write and
+    the fixture source for the reader's xref-stream path."""
     objs: list[bytes] = []  # 1-indexed bodies, object n = index n-1
     n_pages = len(pages)
     # 1: catalog, 2: page tree, 3: font; pages at 4..3+n; contents after
@@ -147,7 +160,9 @@ def build_pdf(pages: list[str], compress: bool = True) -> bytes:
             objs.append(
                 b"<< /Length %d >>\nstream\n" % len(body) + body + b"\nendstream"
             )
-    # assemble with xref
+    if xref_stream:
+        return _assemble_xref_stream(objs, n_pages)
+    # assemble with the classic xref table
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
     for n, body in enumerate(objs, start=1):
@@ -162,6 +177,57 @@ def build_pdf(pages: list[str], compress: bool = True) -> bytes:
         b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
         % (len(objs) + 1, xref_pos)
     )
+    return bytes(out)
+
+
+def _assemble_xref_stream(objs: list[bytes], n_pages: int) -> bytes:
+    """PDF 1.5 assembly: non-stream objects (1..3+n: catalog, page
+    tree, font, page dicts) into one ObjStm; content streams
+    (4+n..3+2n) top-level; then the /W [1 4 2] xref stream."""
+    n_nonstream = 3 + n_pages
+    stm_id = len(objs) + 1  # the ObjStm
+    xref_id = len(objs) + 2  # the xref stream
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for n in range(n_nonstream + 1, len(objs) + 1):  # content streams
+        offsets[n] = len(out)
+        out += b"%d 0 obj\n" % n + objs[n - 1] + b"\nendobj\n"
+    # object stream: header pairs, then packed bodies
+    bodies = [objs[i] for i in range(n_nonstream)]
+    packed = bytearray()
+    pairs = []
+    for n, body in enumerate(bodies, start=1):
+        pairs.append(b"%d %d" % (n, len(packed)))
+        packed += body + b"\n"
+    header = b" ".join(pairs) + b"\n"
+    stm_payload = zlib.compress(bytes(header) + bytes(packed), 9)
+    offsets[stm_id] = len(out)
+    out += (
+        b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n"
+        % (stm_id, n_nonstream, len(header), len(stm_payload))
+        + stm_payload
+        + b"\nendstream\nendobj\n"
+    )
+    # xref stream rows: W = [1 4 2]
+    xref_pos = len(out)
+    rows = bytearray()
+    rows += bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+    for n in range(1, xref_id + 1):
+        if n <= n_nonstream:  # type 2: (ObjStm number, index inside)
+            rows += bytes([2]) + stm_id.to_bytes(4, "big") + (n - 1).to_bytes(2, "big")
+        else:  # type 1: byte offset
+            off = offsets[n] if n != xref_id else xref_pos
+            rows += bytes([1]) + off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    xref_payload = zlib.compress(bytes(rows), 9)
+    out += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
+        b"/Length %d /Filter /FlateDecode >>\nstream\n"
+        % (xref_id, xref_id + 1, len(xref_payload))
+        + xref_payload
+        + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
     return bytes(out)
 
 
@@ -195,9 +261,176 @@ def _stream_bytes(body: bytes) -> bytes:
             data = zlib.decompress(data)
         except zlib.error as exc:
             raise ValueError(f"bad FlateDecode stream: {exc}") from None
+        data = _apply_predictor(head, data)
     elif b"/Filter" in head:
         raise ValueError("unsupported stream filter")
     return data
+
+
+_PRED_RE = re.compile(rb"/Predictor\s+(\d+)")
+_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
+_COLORS_RE = re.compile(rb"/Colors\s+(\d+)")
+_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+
+
+def _apply_predictor(head: bytes, data: bytes) -> bytes:
+    """PNG predictors (/DecodeParms /Predictor >= 10) — what xref
+    streams almost universally use. Reuses the spec-identical row
+    unfilter from functions/png.py (PDF 7.4.4.4 defers to the PNG
+    filter spec)."""
+    pm = _PRED_RE.search(head)
+    pred = int(pm.group(1)) if pm else 1
+    if pred == 1:
+        return data
+    if pred < 10:
+        raise ValueError(f"unsupported TIFF predictor {pred}")
+    cm, km, bm = _COLUMNS_RE.search(head), _COLORS_RE.search(head), _BPC_RE.search(head)
+    columns = int(cm.group(1)) if cm else 1
+    colors = int(km.group(1)) if km else 1
+    bpc = int(bm.group(1)) if bm else 8
+    bpp = max(1, colors * bpc // 8)
+    rowbytes = (columns * colors * bpc + 7) // 8
+    if len(data) % (rowbytes + 1):
+        raise ValueError("predictor data not a whole number of rows")
+    from .png import _unfilter
+
+    return _unfilter(data, len(data) // (rowbytes + 1), rowbytes, bpp).tobytes()
+
+
+# --------------------------------------------- modern xref / ObjStm read
+_N_RE = re.compile(rb"/N\s+(\d+)")
+_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+_W_RE = re.compile(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]")
+_INDEX_RE = re.compile(rb"/Index\s*\[([\d\s]+)\]")
+_SIZE_RE = re.compile(rb"/Size\s+(\d+)")
+_PREV_RE = re.compile(rb"/Prev\s+(\d+)")
+_OBJ_AT_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
+
+
+def _parse_objstm(body: bytes) -> dict[int, bytes]:
+    """/Type /ObjStm -> {objnum: body bytes}. Layout (spec 7.5.7):
+    N (objnum, byte-offset) integer pairs, then the objects packed
+    back to back starting at /First."""
+    nm, fm = _N_RE.search(body), _FIRST_RE.search(body)
+    if nm is None or fm is None:
+        raise ValueError("ObjStm missing /N or /First")
+    n, first = int(nm.group(1)), int(fm.group(1))
+    data = _stream_bytes(body)
+    header = data[:first].split()
+    if len(header) < 2 * n:
+        raise ValueError("ObjStm header shorter than /N pairs")
+    nums = [int(header[2 * i]) for i in range(n)]
+    offs = [int(header[2 * i + 1]) for i in range(n)]
+    out: dict[int, bytes] = {}
+    for i in range(n):
+        end = first + offs[i + 1] if i + 1 < n else len(data)
+        out[nums[i]] = data[first + offs[i] : end]
+    return out
+
+
+def _walk_xref_streams(data: bytes):
+    """Follow startxref -> /Type /XRef -> /Prev chain; yields
+    (objnum, entry) with entry ('top', offset) or ('stm', stream_obj,
+    index). First sighting in chain order wins (newest section first —
+    the incremental-update rule). Returns None when the file uses a
+    classic xref table (the scan path covers those)."""
+    sm = None
+    for sm in _STARTXREF_RE.finditer(data):
+        pass  # last startxref = newest section
+    if sm is None:
+        return None
+    pos, seen = int(sm.group(1)), set()
+    entries: dict[int, tuple] = {}
+    while pos and pos not in seen and 0 <= pos < len(data):
+        seen.add(pos)
+        m = _OBJ_AT_RE.match(data, pos)
+        if m is None or not re.search(rb"/Type\s*/XRef\b", m.group(2)):
+            return None  # classic table (or damage) — scan fallback
+        body = m.group(2)
+        wm = _W_RE.search(body)
+        if wm is None:
+            raise ValueError("xref stream missing /W")
+        w = [int(x) for x in wm.groups()]
+        im, zm = _INDEX_RE.search(body), _SIZE_RE.search(body)
+        if im is not None:
+            idx = [int(x) for x in im.group(1).split()]
+        elif zm is not None:
+            idx = [0, int(zm.group(1))]
+        else:
+            raise ValueError("xref stream missing /Index and /Size")
+        raw = _stream_bytes(body)
+        rowlen = sum(w)
+        pos_in = 0
+        for s in range(0, len(idx), 2):
+            start, count = idx[s], idx[s + 1]
+            for objnum in range(start, start + count):
+                row = raw[pos_in : pos_in + rowlen]
+                if len(row) < rowlen:
+                    raise ValueError("truncated xref stream")
+                pos_in += rowlen
+                f = []
+                o = 0
+                for width in w:
+                    f.append(int.from_bytes(row[o : o + width], "big") if width else None)
+                    o += width
+                ftype = 1 if f[0] is None else f[0]  # default type 1
+                if objnum in entries:
+                    continue  # newer section already defined it
+                if ftype == 1:
+                    entries[objnum] = ("top", f[1])
+                elif ftype == 2:
+                    entries[objnum] = ("stm", f[1], f[2])
+        pm = _PREV_RE.search(body)
+        pos = int(pm.group(1)) if pm else 0
+    return entries
+
+
+def _load_objects(data: bytes) -> dict[int, bytes]:
+    """All reachable objects, ObjStm-embedded included.
+
+    Primary path: walk the cross-reference stream chain (modern
+    writers), resolving type-1 entries at their byte offsets and
+    type-2 entries out of their object streams. Fallback (classic
+    tables, damaged chains): linear ``N G obj .. endobj`` scan — the
+    repair strategy real extractors use — then expand any /Type
+    /ObjStm members found by the scan."""
+    objs: dict[int, bytes] = {}
+    try:
+        entries = _walk_xref_streams(data)
+    except ValueError:
+        entries = None
+    if entries:
+        stms: dict[int, dict[int, bytes]] = {}
+        for objnum, ent in entries.items():
+            if ent[0] == "top":
+                m = _OBJ_AT_RE.match(data, ent[1])
+                if m is not None and int(m.group(1)) == objnum:
+                    objs[objnum] = m.group(2)
+        for objnum, ent in entries.items():
+            if ent[0] != "stm":
+                continue
+            stm_num = ent[1]
+            if stm_num not in stms and stm_num in objs:
+                try:
+                    stms[stm_num] = _parse_objstm(objs[stm_num])
+                except ValueError:
+                    stms[stm_num] = {}
+            objs.setdefault(objnum, stms.get(stm_num, {}).get(objnum, b""))
+        objs = {n: b for n, b in objs.items() if b}
+        if objs:
+            return objs
+    # scan fallback
+    for m in _OBJ_RE.finditer(data):
+        objs[int(m.group(1))] = m.group(2)
+    for n, body in sorted(objs.items()):
+        if re.search(rb"/Type\s*/ObjStm\b", body):
+            try:
+                for num, obody in _parse_objstm(body).items():
+                    objs.setdefault(num, obody)
+            except ValueError:
+                continue  # damaged member: other objects still usable
+    return objs
 
 
 def _tokenize_content(content: bytes):
@@ -320,9 +553,7 @@ def extract_text_pages(data: bytes) -> list[str]:
         raise ValueError("not a %PDF payload")
     if b"/Encrypt" in data:
         raise ValueError("encrypted PDF")
-    objs: dict[int, bytes] = {}
-    for m in _OBJ_RE.finditer(data):
-        objs[int(m.group(1))] = m.group(2)
+    objs = _load_objects(data)
     pages_nodes = [
         (n, b) for n, b in objs.items()
         if b"/Type" in b and re.search(rb"/Type\s*/Pages\b", b)

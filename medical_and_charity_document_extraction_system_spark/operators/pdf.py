@@ -80,7 +80,10 @@ def docs_to_pdfs(df, cols=("source",), id_col="doc_id", text_col="text"):
     """(document row) -> one single-page REAL ``%PDF`` per document
     (functions/minipdf.build_pdf) — the feeder that turns any text
     table into real-PDF payloads for the merge/extraction paths
-    (deterministic: same text -> same bytes)."""
+    (deterministic: same text -> same bytes). Even ids get the classic
+    xref-table shape, odd ids the PDF 1.5 ObjStm + xref-stream shape,
+    so every downstream consumer (merge, page explode) parses BOTH
+    writer generations under the oracle gate."""
     import pandas as pd
 
     from ..functions.minipdf import build_pdf
@@ -90,8 +93,12 @@ def docs_to_pdfs(df, cols=("source",), id_col="doc_id", text_col="text"):
     def run(batches):
         for pdf in batches:
             out = {c: pdf[c] for c in cols}
-            out[id_col] = pdf[id_col].astype("int64")
-            out["pdf"] = [build_pdf([t or ""]) for t in pdf[text_col]]
+            ids = pdf[id_col].astype("int64")
+            out[id_col] = ids
+            out["pdf"] = [
+                build_pdf([t or ""], xref_stream=bool(int(i) % 2))
+                for i, t in zip(ids, pdf[text_col])
+            ]
             yield pd.DataFrame(out)
 
     return df.select(*cols, id_col, text_col).mapInPandas(run, schema)

@@ -195,3 +195,105 @@ def test_unescape_backslash_crlf_continuation():
     assert _unescape_pdf_string(b"ab\\\ncd") == "abcd"
     # a bare (unescaped) CRLF inside a literal string is data, per spec
     assert _unescape_pdf_string(b"ab\r\ncd") == "ab\r\ncd"
+
+
+# ------------------------------------------- modern xref / ObjStm shape
+def test_xref_stream_writer_roundtrip_and_primary_path():
+    """The 1.5-mode writer emits ObjStm + /W-packed xref stream; the
+    reader's PRIMARY path (xref chain walk, not the scan) resolves
+    type-1 and type-2 entries."""
+    import re as _re
+
+    from medical_and_charity_document_extraction_system_spark.functions import minipdf as m
+
+    pages = ["alpha\nbeta", "gamma (x) \\ z", "Ünïcøde ✓"]
+    d = m.build_pdf(pages, xref_stream=True)
+    assert d.startswith(b"%PDF-1.5") and b"/Type /ObjStm" in d
+    assert m.extract_text_pages(d) == pages
+    ents = m._walk_xref_streams(d)
+    kinds = {e[0] for e in ents.values()}
+    assert kinds == {"top", "stm"}  # both entry types exercised
+    # catalog/pages/font/page dicts live in the ObjStm
+    assert all(ents[n][0] == "stm" for n in range(1, 4 + len(pages)))
+
+
+def test_xref_stream_with_png_predictor12():
+    """Foreign-writer shape: the xref stream rows run through PNG
+    Predictor 12 (Up) — what real generators emit. Re-encode our own
+    xref payload with the predictor and the reader must still parse
+    via the chain walk."""
+    import re as _re
+    import zlib as _zlib
+
+    from medical_and_charity_document_extraction_system_spark.functions import minipdf as m
+
+    pages = ["pred page one", "pred page two"]
+    d = m.build_pdf(pages, xref_stream=True)
+    mm = _re.search(
+        rb"<< /Type /XRef /Size (\d+) /W \[1 4 2\] /Root 1 0 R "
+        rb"/Length (\d+) /Filter /FlateDecode >>\nstream\n",
+        d,
+    )
+    assert mm is not None
+    rows = _zlib.decompress(d[mm.end() : mm.end() + int(mm.group(2))])
+    rowlen = 7
+    filt = bytearray()
+    prev = bytes(rowlen)
+    for r in range(0, len(rows), rowlen):
+        row = rows[r : r + rowlen]
+        filt.append(2)  # Up
+        filt += bytes((row[j] - prev[j]) & 0xFF for j in range(rowlen))
+        prev = row
+    payload = _zlib.compress(bytes(filt), 9)
+    newdict = (
+        b"<< /Type /XRef /Size %s /W [1 4 2] /Root 1 0 R /Length %d "
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >> "
+        b">>\nstream\n" % (mm.group(1), len(payload))
+    )
+    d2 = d[: mm.start()] + newdict + payload + d[mm.end() + int(mm.group(2)) :]
+    ents = m._walk_xref_streams(d2)
+    assert ents and {e[0] for e in ents.values()} == {"top", "stm"}
+    assert m.extract_text_pages(d2) == pages
+
+
+def test_xref_stream_incremental_update_prev_chain():
+    """Incremental update: an appended section replaces page 1's
+    content; its xref stream /Prev-chains to the original. Newest
+    section must win (first-sighting rule)."""
+    import zlib as _zlib
+
+    from medical_and_charity_document_extraction_system_spark.functions import minipdf as m
+
+    pages = ["original one", "original two"]
+    d = m.build_pdf(pages, xref_stream=True)
+    old_startxref = int(m._STARTXREF_RE.search(d).group(1))
+    # content object for page 1 is object 6 (1 catalog, 2 tree, 3 font,
+    # 4-5 pages, 6-7 contents)
+    body = b"BT /F1 11 Tf 72 720 Td (updated one) Tj ET"
+    newobj_off = len(d)
+    upd = bytearray(d)
+    upd += b"6 0 obj\n<< /Length %d >>\nstream\n" % len(body) + body + b"\nendstream\nendobj\n"
+    xpos = len(upd)
+    rows = bytes([1]) + newobj_off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    payload = _zlib.compress(rows, 9)
+    upd += (
+        b"10 0 obj\n<< /Type /XRef /Size 11 /W [1 4 2] /Index [6 1] "
+        b"/Root 1 0 R /Prev %d /Length %d /Filter /FlateDecode >>\nstream\n"
+        % (old_startxref, len(payload))
+        + payload
+        + b"\nendstream\nendobj\n"
+    )
+    upd += b"startxref\n%d\n%%%%EOF\n" % xpos
+    got = m.extract_text_pages(bytes(upd))
+    assert got == ["updated one", "original two"]
+
+
+def test_scan_fallback_expands_objstm_without_xref():
+    """Damaged startxref: the scan path still finds the ObjStm and
+    expands the page tree out of it."""
+    from medical_and_charity_document_extraction_system_spark.functions import minipdf as m
+
+    pages = ["fall back"]
+    d = m.build_pdf(pages, xref_stream=True).replace(b"startxref", b"startxrEf")
+    assert m._walk_xref_streams(d) is None
+    assert m.extract_text_pages(d) == pages

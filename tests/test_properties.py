@@ -162,11 +162,17 @@ _PDF_TEXT = st.text(
 
 
 @settings(max_examples=60, deadline=None)
-@given(st.lists(_PDF_TEXT, min_size=1, max_size=4), st.booleans())
-def test_minipdf_roundtrip_any_text_pages(pages, compress):
-    """Any page text round-trips: latin-1 as literal strings, the rest
-    as UTF-16BE hex shows; operator-lookalike words (ET/TJ/stream)
-    inside text must never confuse the extractor."""
+@given(
+    st.lists(_PDF_TEXT, min_size=1, max_size=4),
+    st.booleans(),
+    st.booleans(),
+)
+def test_minipdf_roundtrip_any_text_pages(pages, compress, xref_stream):
+    """Any page text round-trips — in BOTH writer modes (classic xref
+    table and the PDF 1.5 ObjStm + xref-stream shape): latin-1 as
+    literal strings, the rest as UTF-16BE hex shows; operator-lookalike
+    words (ET/TJ/stream) inside text must never confuse the
+    extractor."""
     from medical_and_charity_document_extraction_system_spark.functions.minipdf import (
         build_pdf,
         extract_text_pages,
@@ -174,6 +180,6 @@ def test_minipdf_roundtrip_any_text_pages(pages, compress):
 
     # build_pdf emits one Tj per '\n'-separated line; '\r' inside a
     # line survives via the \r escape
-    pdf = build_pdf(pages, compress=compress)
+    pdf = build_pdf(pages, compress=compress, xref_stream=xref_stream)
     assert extract_text_pages(pdf) == pages
-    assert pdf == build_pdf(pages, compress=compress)  # deterministic
+    assert pdf == build_pdf(pages, compress=compress, xref_stream=xref_stream)
