@@ -327,6 +327,31 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup(_docs(spark, sf_dir), threshold=0.9)
 
 
+def q_minhash_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-recrawl path: even-id docs are signed ONCE into a
+    persisted signature store; odd-id docs (the new batch) join
+    against the stored band keys without re-signing the corpus. Union
+    of batch1-internal pairs + incremental pairs must equal the
+    full-batch pair set — which is exactly what the oracle (true
+    all-pairs jaccard) computes, so the gate pins the incremental
+    layout's completeness."""
+    from medical_and_charity_document_extraction_system_spark.operators.dedup import (
+        incremental_minhash_near_dup,
+        minhash_near_dup,
+        write_signature_store,
+    )
+
+    docs = _docs(spark, sf_dir)
+    batch1 = docs.where("doc_id % 2 = 0")
+    batch2 = docs.where("doc_id % 2 = 1")
+    store = f"{_stage_dir('sigstore_')}/sigs"
+    write_signature_store(batch1, store)
+    stored = spark.read.parquet(store)
+    return minhash_near_dup(batch1, threshold=0.9).unionByName(
+        incremental_minhash_near_dup(batch2, stored, docs, threshold=0.9)
+    )
+
+
 def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs closed into dedup GROUPS: connected components
     by iterative min-label propagation (the step that turns pairwise
@@ -699,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue": q_nation_revenue,
         "priority_line_revenue": q_priority_line_revenue,
         "minhash_near_dup": q_minhash_near_dup,
+        "minhash_near_dup_incremental": q_minhash_near_dup_incremental,
         "near_dup_components": q_near_dup_components,
         "simhash": q_simhash,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -747,6 +773,9 @@ def oracle_sql() -> dict[str, str]:
         "nation_revenue": oracles.nation_revenue_sql(),
         "priority_line_revenue": oracles.priority_line_revenue_sql(),
         "minhash_near_dup": oracles.minhash_near_dup_sql(),
+        # incremental(batch2 | store(batch1)) ∪ pairs(batch1) must equal
+        # the FULL all-pairs truth — the same oracle pins both layouts
+        "minhash_near_dup_incremental": oracles.minhash_near_dup_sql(),
         "near_dup_components": oracles.near_dup_components_sql(),
         "merge_sources": oracles.merge_sources_sql(),
         "retention_cleanup": oracles.retention_cleanup_sql(),

@@ -120,3 +120,99 @@ def test_connected_components_converges_on_long_chain(spark):
     )
     got = {r.node: r.component for r in connected_components(pairs).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_incremental_signature_store_equals_full_batch(spark, tmp_path):
+    """The daily-recrawl contract: sign batch1 once into the store;
+    dedup batch2 against (store ∪ batch2) signatures only. The union
+    of batch1-internal pairs and incremental pairs must equal the
+    full-batch near-dup pair set exactly (same jaccard values)."""
+    from medical_and_charity_document_extraction_system_spark.operators.dedup import (
+        incremental_minhash_near_dup,
+        minhash_near_dup,
+        write_signature_store,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch1 = docs.where("doc_id % 2 = 0")
+    batch2 = docs.where("doc_id % 2 = 1")
+
+    store = str(tmp_path / "sigstore")
+    write_signature_store(batch1, store)
+    stored = spark.read.parquet(store)
+
+    pairs1 = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_near_dup(batch1, threshold=0.9).collect()
+    }
+    inc = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in incremental_minhash_near_dup(
+            batch2, stored, docs, threshold=0.9
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_near_dup(docs, threshold=0.9).collect()
+    }
+    assert pairs1 | inc == full
+    assert pairs1 & inc == set()  # incremental never re-emits old-old
+    assert len(full) > 0
+    # every incremental pair touches the new batch
+    new_ids = {r.doc_id for r in batch2.select("doc_id").collect()}
+    assert all(a in new_ids or b in new_ids for a, b, _ in inc)
+
+
+def test_signature_store_append_grows(spark, tmp_path):
+    from medical_and_charity_document_extraction_system_spark.operators.dedup import (
+        write_signature_store,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    store = str(tmp_path / "sigstore")
+    write_signature_store(docs.where("doc_id < 100"), store)
+    n1 = spark.read.parquet(store).count()
+    write_signature_store(
+        docs.where("doc_id >= 100 and doc_id < 150"), store, mode="append"
+    )
+    n2 = spark.read.parquet(store).count()
+    assert n2 > n1
+
+
+def test_connected_components_long_chain_logarithmic(spark):
+    """Planted 200-node chain (diameter 199): pointer jumping must
+    close it within 10 rounds — plain min-propagation would need ~200
+    and trip the convergence guard. All nodes land on component 0."""
+    from medical_and_charity_document_extraction_system_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs, max_iter=10).collect()
+    assert len(out) == 200
+    assert all(r.component == 0 for r in out)
+
+
+def test_connected_components_mixed_shapes(spark):
+    """Chain + star + isolated pair in one graph; labels = per-
+    component min ids."""
+    from medical_and_charity_document_extraction_system_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = (
+        [(i, i + 1) for i in range(10, 40)]          # chain 10..40
+        + [(100, v) for v in range(101, 110)]        # star at 100
+        + [(500, 501)]                               # pair
+    )
+    out = {
+        r.node: r.component
+        for r in connected_components(
+            spark.createDataFrame(edges, "id_a long, id_b long"), max_iter=10
+        ).collect()
+    }
+    assert all(out[n] == 10 for n in range(10, 41))
+    assert all(out[n] == 100 for n in range(100, 110))
+    assert out[500] == out[501] == 500
