@@ -483,6 +483,22 @@ def q_image_preprocess_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_preprocess_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The E/D/K/B chain over baseline JPEG payloads through the
+    pure-Python JPEG codec (functions/jpeg.py). JPEG is lossy, so the
+    construction oracle runs the SAME encode->decode round trip on the
+    driver (oracles._image_preprocess_rows codec='jpeg') — the gate
+    pins distributed-vs-single-process determinism over exactly the
+    pixels the executors see."""
+    from medical_and_charity_document_extraction_system_spark.operators.multimodal import attach_page_images
+    from medical_and_charity_document_extraction_system_spark.operators.preprocess import preprocess_images
+
+    docs = _docs(spark, sf_dir).where("doc_id < 200")
+    return preprocess_images(attach_page_images(docs, codec="jpeg")).select(
+        "media_id", "width", "height", "skew_angle", "error"
+    )
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize stage (binary netpbm -> numpy nearest-
     neighbor -> binary) over synthetic page images. Oracle: output
@@ -733,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cleanup": q_retention_cleanup,
         "image_preprocess": q_image_preprocess,
         "image_preprocess_png": q_image_preprocess_png,
+        "image_preprocess_jpeg": q_image_preprocess_jpeg,
         "pdf_pages": q_pdf_pages,
         "bpe_token_count": q_bpe_token_count,
         "simhash_near_dup": q_simhash_near_dup,
@@ -797,6 +814,9 @@ def oracle_sql() -> dict[str, str]:
         # same construction oracle: the PNG-fed chain must land on the
         # exact same (width, height, skew) rows as the netpbm-fed one
         "image_preprocess_png": oracles.image_preprocess_sql(),
+        # lossy container: expected rows computed over the jpeg
+        # round-tripped pixels (same driver-side chain the executors run)
+        "image_preprocess_jpeg": oracles.image_preprocess_sql(codec="jpeg"),
         "media_resize": oracles.media_resize_sql(),
         "video_frame_sample": oracles.video_frame_sample_sql(),
         "merge_pdf_artifacts": oracles.merge_pdf_artifacts_sql(),

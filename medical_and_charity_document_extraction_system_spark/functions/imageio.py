@@ -2,9 +2,10 @@
 
 The pipeline's image stages (operators/preprocess.py,
 operators/multimodal.py) accept any supported container and emit their
-output in the SAME container they were fed — netpbm (P5/P6) or PNG
-(functions/png.py, pure Python). JPEG/WebP need PIL/cv2 (absent here)
-and degrade to a clear error row; reference analog loads any
+output in the SAME container they were fed — netpbm (P5/P6), PNG
+(functions/png.py) or baseline JPEG (functions/jpeg.py), all pure
+Python. Other compressed formats (WebP/GIF/TIFF) need PIL/cv2 (absent
+here) and degrade to a clear error row; reference analog loads any
 cv2-readable format (/root/reference/backend/app/utils/
 file_utils.py:129-173).
 """
@@ -13,12 +14,17 @@ from __future__ import annotations
 
 import numpy as np
 
-from . import netpbm, png
+from . import jpeg, netpbm, png
 
 FORMAT_PNG = "png"
 FORMAT_NETPBM = "netpbm"
+FORMAT_JPEG = "jpeg"
 
 _JPEG_MAGIC = b"\xff\xd8\xff"
+
+# fixed output quality: encode_as must be deterministic (same pixels,
+# same bytes), so the writer side pins every knob
+_JPEG_OUT_QUALITY = 90
 
 
 def sniff_format(payload: bytes) -> str | None:
@@ -27,17 +33,21 @@ def sniff_format(payload: bytes) -> str | None:
         return FORMAT_PNG
     if payload[:2] in (b"P5", b"P6"):
         return FORMAT_NETPBM
+    if payload.startswith(_JPEG_MAGIC):
+        return FORMAT_JPEG
     return None
 
 
 def decode_auto(payload: bytes) -> tuple[np.ndarray, str]:
-    """bytes -> (ndarray, format). PNG results are collapsed to the
-    shapes the numpy kernels understand: gray (H,W) or RGB (H,W,3)
-    uint8 (16-bit scaled down, alpha dropped)."""
+    """bytes -> (ndarray, format). Results are collapsed to the shapes
+    the numpy kernels understand: gray (H,W) or RGB (H,W,3) uint8
+    (16-bit PNG scaled down, alpha dropped)."""
     payload = bytes(payload)
     fmt = sniff_format(payload)
     if fmt == FORMAT_NETPBM:
         return netpbm.decode(payload), fmt
+    if fmt == FORMAT_JPEG:
+        return jpeg.decode_jpeg(payload), fmt
     if fmt == FORMAT_PNG:
         img = png.decode_png(payload)
         if img.dtype == np.uint16:
@@ -47,18 +57,17 @@ def decode_auto(payload: bytes) -> tuple[np.ndarray, str]:
         elif img.ndim == 3 and img.shape[2] == 4:  # RGBA -> RGB
             img = img[:, :, :3]
         return img, fmt
-    if payload.startswith(_JPEG_MAGIC):
-        raise NotImplementedError(
-            "JPEG decode requires PIL/cv2, not installed in this container"
-        )
-    raise ValueError("unrecognized image container (not PNG or netpbm)")
+    raise ValueError("unrecognized image container (not PNG/JPEG/netpbm)")
 
 
 def encode_as(image: np.ndarray, fmt: str) -> bytes:
     """ndarray -> bytes in the given container (round-trips the format
-    the stage was fed, so PNG corpora stay PNG end-to-end)."""
+    the stage was fed, so PNG/JPEG corpora stay PNG/JPEG end-to-end).
+    JPEG is lossy by nature; quality is pinned for determinism."""
     if fmt == FORMAT_PNG:
         return png.encode_png(image)
     if fmt == FORMAT_NETPBM:
         return netpbm.encode(image)
+    if fmt == FORMAT_JPEG:
+        return jpeg.encode_jpeg(image, quality=_JPEG_OUT_QUALITY)
     raise ValueError(f"unknown image format {fmt!r}")

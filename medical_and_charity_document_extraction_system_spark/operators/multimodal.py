@@ -314,21 +314,29 @@ def sample_frames(
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Decode a binary image payload: PNG via the pure-Python codec
-    (functions/png.py — real-corpus coverage without PIL/cv2), netpbm
-    via functions/netpbm.py; JPEG/other compressed formats fall back
-    to PIL when installed, else raise the documented gate."""
+    """Decode a binary image payload: PNG and baseline JPEG via the
+    pure-Python codecs (functions/png.py, functions/jpeg.py —
+    real-corpus coverage without PIL/cv2), netpbm via
+    functions/netpbm.py; other compressed formats (WebP/GIF/TIFF,
+    progressive JPEG) fall back to PIL when installed, else raise the
+    documented gate."""
     from ..functions import imageio
+    from ..functions.jpeg import JpegError
 
     payload = bytes(payload)
     if imageio.sniff_format(payload) is not None:
-        return imageio.decode_auto(payload)[0]
+        try:
+            return imageio.decode_auto(payload)[0]
+        except JpegError:
+            if not _HAS_PIL:  # progressive/arithmetic JPEG
+                raise
     if _HAS_PIL:  # pragma: no cover - PIL absent in this container
         import io
 
         return np.asarray(Image.open(io.BytesIO(payload)))
     raise NotImplementedError(
-        "non-PNG/netpbm decode requires PIL/cv2, not installed in this container"
+        "non-PNG/JPEG/netpbm decode requires PIL/cv2, "
+        "not installed in this container"
     )
 
 

@@ -773,7 +773,10 @@ FROM documents
 
 
 @_functools.lru_cache(maxsize=4)
-def _image_preprocess_rows(n: int = 200) -> tuple[tuple[int, int, int, float], ...]:
+@_functools.lru_cache(maxsize=None)
+def _image_preprocess_rows(
+    n: int = 200, codec: str = "netpbm"
+) -> tuple[tuple[int, int, int, float], ...]:
     """Expected (media_id, width, height, skew_angle) for the synthetic
     page images, computed once on the driver with the pure-numpy kernel
     chain — the golden-fixture pattern (reference
@@ -781,16 +784,23 @@ def _image_preprocess_rows(n: int = 200) -> tuple[tuple[int, int, int, float], .
     byte-match a single-process run of the same deterministic kernels.
     Pytest carries the independent semantic oracle (planted skew/dims,
     tests/test_preprocess_stage.py); this gate proves the Spark
-    plumbing (Arrow batches, netpbm round-trip, cross-process
-    determinism) changes nothing."""
+    plumbing (Arrow batches, container round-trip, cross-process
+    determinism) changes nothing.
+
+    ``codec`` mirrors attach_page_images: the driver chain runs the
+    SAME encode -> decode round trip the executors run, so for the
+    lossy JPEG container the expected rows are computed over exactly
+    the pixels the distributed kernels see."""
+    from .functions import imageio
     from .functions.image_ops import preprocess_image_array
     from .operators.multimodal import render_page_image
 
     rows = []
     for i in range(n):
-        processed, meta = preprocess_image_array(
-            render_page_image(i), document_type="general"
-        )
+        img = render_page_image(i)
+        if codec != "netpbm":
+            img, _ = imageio.decode_auto(imageio.encode_as(img, codec))
+        processed, meta = preprocess_image_array(img, document_type="general")
         rows.append(
             (i, int(processed.shape[1]), int(processed.shape[0]),
              float(meta["skew_angle"]))
@@ -798,13 +808,14 @@ def _image_preprocess_rows(n: int = 200) -> tuple[tuple[int, int, int, float], .
     return tuple(rows)
 
 
-def image_preprocess_sql(n: int = 200) -> str:
+def image_preprocess_sql(n: int = 200, codec: str = "netpbm") -> str:
     # skew travels as a quoted repr string: a bare -0.0 literal is
     # parsed as DECIMAL by DuckDB and loses the sign on the way to
     # DOUBLE; VARCHAR -> DOUBLE preserves it (and repr() round-trips
     # every double exactly)
     vals = ",\n".join(
-        f"({i}, {w}, {h}, '{skew!r}')" for i, w, h, skew in _image_preprocess_rows(n)
+        f"({i}, {w}, {h}, '{skew!r}')"
+        for i, w, h, skew in _image_preprocess_rows(n, codec)
     )
     return f"""
 SELECT CAST(v.media_id AS BIGINT) AS media_id,

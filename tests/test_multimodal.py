@@ -155,11 +155,11 @@ def test_resize_accepts_png_and_answers_png(spark):
         assert fmt == "png" and img.shape == (32, 48)
 
 
-def test_decode_image_handles_png_netpbm_and_gates_jpeg():
+def test_decode_image_handles_png_netpbm_jpeg_and_gates_rest():
     import numpy as np
     import pytest as _pytest
 
-    from medical_and_charity_document_extraction_system_spark.functions import netpbm, png
+    from medical_and_charity_document_extraction_system_spark.functions import jpeg, netpbm, png
     from medical_and_charity_document_extraction_system_spark.operators.multimodal import (
         decode_image,
     )
@@ -167,5 +167,9 @@ def test_decode_image_handles_png_netpbm_and_gates_jpeg():
     arr = (np.arange(48, dtype=np.uint8).reshape(6, 8) * 5) % 256
     assert (decode_image(png.encode_png(arr)) == arr).all()
     assert (decode_image(netpbm.encode(arr)) == arr).all()
+    out = decode_image(jpeg.encode_jpeg(arr, quality=95))
+    assert out.shape == arr.shape  # lossy but real decode
+    with _pytest.raises(jpeg.JpegError):
+        decode_image(b"\xff\xd8\xff\xe0fakejpeg")  # damaged JPEG
     with _pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+        decode_image(b"RIFF....WEBP")  # genuinely unsupported container
