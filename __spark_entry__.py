@@ -634,6 +634,26 @@ def q_ocr_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_error_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured error classification over the extraction output
+    (functions/errors.py — the data-plane form of the reference's
+    exception hierarchy, exceptions.py): every document lands in an
+    (error_family, error_code) bucket via a pure JVM CASE chain.
+    Oracle: the same decision table over the construction-arithmetic
+    error population."""
+    from medical_and_charity_document_extraction_system_spark.functions.errors import (
+        classify_error_cols,
+    )
+
+    out = _extract(spark, sf_dir)
+    fam, code = classify_error_cols(F.col("error"))
+    return (
+        out.select(fam.alias("error_family"), code.alias("error_code"))
+        .groupBy("error_family", "error_code")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host extraction-quality rollup over the pipeline output —
     the operator dashboard table (plans/metrics.host_quality_metrics,
@@ -756,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_ivf_exact": q_ann_topk_ivf_exact,
         "host_quality": q_host_quality,
+        "error_taxonomy": q_error_taxonomy,
         "ocr_words": q_ocr_words,
         "route_stats": q_route_stats,
         "media_resize": q_media_resize,
@@ -799,6 +820,7 @@ def oracle_sql() -> dict[str, str]:
         "pdf_pages": oracles.pdf_pages_sql(),
         "bpe_token_count": oracles.bpe_token_count_sql(),
         "host_quality": oracles.host_quality_sql(),
+        "error_taxonomy": oracles.error_taxonomy_sql(),
         "ocr_words": oracles.ocr_words_sql(),
         "route_stats": oracles.route_stats_sql(),
         "sample_10pct": oracles.sample_10pct_sql(),

@@ -286,17 +286,19 @@ def available_engines() -> list[str]:
 
 
 def create_engine(name: str | None = None, language: str = "en") -> BaseExtractor:
+    from ..functions.errors import OcrEngineNotFoundError
+
     name = (name or DEFAULT_ENGINE).lower()
     if name == "tesseract":
         # parity with the reference's explicit block (engine_factory.py:43-47)
-        raise ValueError(
+        raise OcrEngineNotFoundError(
             "tesseract engine is disabled (broken in the reference; "
             "registry slot kept for parity)"
         )
     try:
         factory = _REGISTRY[name]
     except KeyError:
-        raise ValueError(f"unknown OCR engine: {name!r}") from None
+        raise OcrEngineNotFoundError(f"unknown OCR engine: {name!r}") from None
     return factory(language)
 
 

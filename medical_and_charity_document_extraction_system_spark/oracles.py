@@ -665,6 +665,22 @@ LIMIT {k}
 """
 
 
+def error_taxonomy_sql() -> str:
+    """Twin of q_error_taxonomy: the ~2% malformed-binary rows
+    (m in [14,16), sources/pages.py:64-70) produce the pipeline's
+    "html: <UnicodeDecodeError>" record, which the decision table in
+    functions/errors.py maps to (html, DecodeError); every other row
+    is clean -> (none, none)."""
+    return f"""
+WITH {base_cte()}
+SELECT CASE WHEN m >= 14 AND m < 16 THEN 'html' ELSE 'none' END AS error_family,
+       CASE WHEN m >= 14 AND m < 16 THEN 'DecodeError' ELSE 'none' END AS error_code,
+       count(*) AS n_docs
+FROM base
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------ IVF twin
 def ann_topk_ivf_sql(
     sf_dir: str = "/root/testdata/sf0.01",
