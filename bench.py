@@ -52,6 +52,10 @@ CATALOG_QUERIES = [
     "embedding_near_dup_lsh",
     "events_tumbling",
     "image_preprocess",
+    # round-3 additions: the same E/D/K/B chain through the pure-Python
+    # PNG and baseline-JPEG codecs (real-corpus container cost)
+    "image_preprocess_png",
+    "image_preprocess_jpeg",
 ]
 
 
