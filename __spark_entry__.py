@@ -566,6 +566,63 @@ def q_stream_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(outp).select("url")
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: each document cut into 32-token windows
+    overlapping by 8 (operators/chunking.py) — pure JVM
+    sequence/slice/join flatMap, zero shuffle. Oracle: the same
+    integer window arithmetic over the parity tokenizer in SQL."""
+    from medical_and_charity_document_extraction_system_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_size=32, overlap=8)
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup (functions/urlnorm.py): four dirty
+    spellings per target url (scheme/case/port/fragment/tracking-param
+    variants, doc_id arithmetic) collapse to canonical groups; real
+    query params survive. Oracle: DuckDB rebuilds the dirty urls AND
+    re-runs every canonicalization step from scratch."""
+    from medical_and_charity_document_extraction_system_spark.functions.urlnorm import (
+        canonical_url,
+    )
+
+    docs = _docs(spark, sf_dir)
+    d2 = (F.col("doc_id") / 2).cast("long")
+    host = F.concat(F.lit("host"), (d2 % 20).cast("string"), F.lit(".example.com"))
+    path = F.concat(F.lit("/doc/"), d2.cast("string"))
+    v = F.col("doc_id") % 4
+    dirty = (
+        F.when(v == 0, F.concat(F.lit("https://"), host, path))
+        .when(v == 1, F.concat(F.lit("http://"), F.upper(host), F.lit(":80"), path, F.lit("/")))
+        .when(v == 2, F.concat(F.lit("https://"), host, path,
+                               F.lit("/?utm_source=feed&utm_medium=email")))
+        .otherwise(F.concat(F.lit("https://"), host, F.lit(":443"), path,
+                            F.lit("?utm_campaign=x&page=2#frag")))
+    )
+    return (
+        docs.select("doc_id", canonical_url(dirty).alias("curl"))
+        .groupBy("curl")
+        .agg(F.count(F.lit(1)).alias("n_variants"), F.min("doc_id").alias("keeper"))
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/field redaction over the extraction output
+    (functions/redact.py): names, amounts, invoice ids, dates,
+    diagnosis codes, emails, SSNs masked by one rule table compiled to
+    JVM regexp_replace. Oracle: the SAME table compiled to DuckDB
+    regexp_replace('g') over the reconstructed text — full redacted
+    strings hash-compared."""
+    from medical_and_charity_document_extraction_system_spark.functions.redact import (
+        redact_text,
+    )
+
+    out = _extract(spark, sf_dir)
+    return out.select(_doc_id(), redact_text(F.col("text")).alias("redacted"))
+
+
 def q_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible 10% sample — membership a pure function of the key
     (md5-prefix bucket), identical on any engine/run."""
@@ -783,6 +840,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sample": q_video_frame_sample,
         "merge_pdf_artifacts": q_merge_pdf_artifacts,
         "stream_dedup_urls": q_stream_dedup_urls,
+        "chunk_documents": q_chunk_documents,
+        "url_dedup": q_url_dedup,
+        "pii_redact": q_pii_redact,
         "sample_10pct": q_sample_10pct,
         "split_counts": q_split_counts,
         "top_docs_per_source": q_top_docs_per_source,
@@ -823,6 +883,9 @@ def oracle_sql() -> dict[str, str]:
         "error_taxonomy": oracles.error_taxonomy_sql(),
         "ocr_words": oracles.ocr_words_sql(),
         "route_stats": oracles.route_stats_sql(),
+        "chunk_documents": oracles.chunk_documents_sql(),
+        "url_dedup": oracles.url_dedup_sql(),
+        "pii_redact": oracles.pii_redact_sql(),
         "sample_10pct": oracles.sample_10pct_sql(),
         "split_counts": oracles.split_counts_sql(),
         "top_docs_per_source": oracles.top_docs_per_source_sql(),

@@ -665,6 +665,74 @@ LIMIT {k}
 """
 
 
+def chunk_documents_sql(chunk_size: int = 32, overlap: int = 8) -> str:
+    """Twin of operators/chunking.chunk_documents: same parity
+    tokenizer, same integer window arithmetic, list_slice = F.slice
+    (both 1-based, both clamp at the end)."""
+    step = chunk_size - overlap
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+k AS (SELECT *, CASE WHEN n <= {chunk_size} THEN 1
+                     ELSE ((n - {chunk_size} + {step - 1}) // {step}) + 1
+                END AS n_chunks FROM s),
+g AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i FROM k),
+c AS (SELECT doc_id, CAST(i AS INT) AS chunk_id,
+             list_slice(toks, i * {step} + 1, i * {step} + {chunk_size}) AS chunk
+      FROM g)
+SELECT doc_id, chunk_id,
+       CAST(len(chunk) AS INT) AS n_chunk_tokens,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM c
+"""
+
+
+def url_dedup_sql() -> str:
+    """Twin of q_url_dedup: the same dirty-variant construction and
+    the same canonicalization steps as functions/urlnorm.canonical_url
+    (anchored Java/RE2-identical regexes + split/filter/join query
+    cleanup) — DuckDB re-derives the whole pipeline from scratch."""
+    return r"""
+WITH d AS (SELECT doc_id, doc_id // 2 AS d2 FROM documents),
+u AS (SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN 'https://host' || CAST(d2 % 20 AS VARCHAR) || '.example.com/doc/' || CAST(d2 AS VARCHAR)
+    WHEN 1 THEN 'http://' || upper('host' || CAST(d2 % 20 AS VARCHAR) || '.example.com') || ':80/doc/' || CAST(d2 AS VARCHAR) || '/'
+    WHEN 2 THEN 'https://host' || CAST(d2 % 20 AS VARCHAR) || '.example.com/doc/' || CAST(d2 AS VARCHAR) || '/?utm_source=feed&utm_medium=email'
+    ELSE 'https://host' || CAST(d2 % 20 AS VARCHAR) || '.example.com:443/doc/' || CAST(d2 AS VARCHAR) || '?utm_campaign=x&page=2#frag'
+  END AS dirty FROM d),
+c1 AS (SELECT doc_id, regexp_replace(dirty, '#.*$', '') AS u FROM u),
+c2 AS (SELECT doc_id,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1))
+           || regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', '') AS u FROM c1),
+c3 AS (SELECT doc_id, regexp_replace(u, '^http://', 'https://') AS u FROM c2),
+c4 AS (SELECT doc_id, regexp_replace(u, '^(https://[^/?:]+):(80|443)([/?]|$)', '\1\3') AS u FROM c3),
+c5 AS (SELECT doc_id,
+         regexp_replace(regexp_replace(u, '\?.*$', ''), '/+$', '') AS base,
+         coalesce(regexp_extract(u, '\?(.*)$', 1), '') AS q FROM c4),
+c6 AS (SELECT doc_id, base,
+         coalesce(array_to_string(list_filter(string_split(q, '&'),
+           x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-z]+|fbclid|gclid|msclkid|ref_src)=')), '&'), '') AS q2
+       FROM c5),
+c7 AS (SELECT doc_id, CASE WHEN q2 = '' THEN base ELSE base || '?' || q2 END AS curl FROM c6)
+SELECT curl, count(*) AS n_variants, min(doc_id) AS keeper
+FROM c7 GROUP BY curl
+"""
+
+
+def pii_redact_sql() -> str:
+    """Twin of q_pii_redact: the SAME rule table
+    (functions/redact.REDACTION_RULES) compiled to nested DuckDB
+    regexp_replace('g') over the reconstructed extraction text."""
+    from .functions.redact import redact_sql_expr
+
+    inner = extraction_doc_records_sql()
+    return f"""
+SELECT doc_id, {redact_sql_expr("text")} AS redacted
+FROM ({inner})
+"""
+
+
 def error_taxonomy_sql() -> str:
     """Twin of q_error_taxonomy: the ~2% malformed-binary rows
     (m in [14,16), sources/pages.py:64-70) produce the pipeline's

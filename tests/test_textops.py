@@ -1,0 +1,177 @@
+"""Chunking, URL canonicalization, and redaction operators."""
+
+import numpy as np
+import pytest
+
+from .conftest import SF_SMALL
+
+
+# ------------------------------------------------------------- chunking
+def test_chunk_documents_window_arithmetic(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    rows = [
+        (0, " ".join(f"t{i}" for i in range(100))),  # 100 toks
+        (1, " ".join(f"t{i}" for i in range(10))),   # short: 1 chunk
+        (2, "single"),
+        (3, ""),                                     # no rows
+        (4, " ".join(f"t{i}" for i in range(64))),   # exactly chunk_size
+        (5, " ".join(f"t{i}" for i in range(65))),   # one past
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_size=64, overlap=16).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc
+    assert len(by_doc[1]) == 1 and by_doc[1][0].n_chunk_tokens == 10
+    assert len(by_doc[4]) == 1 and by_doc[4][0].n_chunk_tokens == 64
+    # 65 tokens, step 48: chunks at 0 (64 toks) and 48 (17 toks)
+    c5 = sorted(by_doc[5], key=lambda r: r.chunk_id)
+    assert [r.n_chunk_tokens for r in c5] == [64, 17]
+    assert c5[1].chunk_text.split()[0] == "t48"  # overlap: starts at 48
+    # 100 tokens, step 48: starts 0, 48 -> covers to 100? 48+64=112 >= 100
+    c0 = sorted(by_doc[0], key=lambda r: r.chunk_id)
+    assert [r.n_chunk_tokens for r in c0] == [64, 52]
+    # full coverage: every token index appears in some chunk
+    covered = set()
+    for r in c0:
+        start = r.chunk_id * 48
+        covered.update(range(start, start + r.n_chunk_tokens))
+    assert covered == set(range(100))
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=8, overlap=8)
+
+
+# ----------------------------------------------------------------- urls
+URL_CASES = [
+    ("https://Host.Example.com/a/b#frag", "https://host.example.com/a/b"),
+    ("http://host.example.com:80/a/", "https://host.example.com/a"),
+    ("https://host.example.com:443/a?x=1", "https://host.example.com/a?x=1"),
+    ("https://host.example.com/a?utm_source=f&x=1&utm_medium=m",
+     "https://host.example.com/a?x=1"),
+    ("https://host.example.com/a/?utm_campaign=c",
+     "https://host.example.com/a"),
+    ("https://host.example.com/", "https://host.example.com"),
+    ("https://host.example.com/a?fbclid=123&gclid=9",
+     "https://host.example.com/a"),
+    ("HTTPS://HOST.example.com/CaseKept?Q=UPPER",
+     "https://host.example.com/CaseKept?Q=UPPER"),
+    ("https://host.example.com:8080/a", "https://host.example.com:8080/a"),
+]
+
+
+def test_canonical_url_cases(spark):
+    from pyspark.sql import functions as F
+
+    from medical_and_charity_document_extraction_system_spark.functions.urlnorm import (
+        canonical_url,
+    )
+
+    df = spark.createDataFrame([(u,) for u, _ in URL_CASES], "url string")
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in URL_CASES]
+
+
+def test_canonical_url_duckdb_parity(spark):
+    """The oracle's SQL canonicalization chain must agree with the JVM
+    chain on every case (same regex subset, same split/filter/join)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from medical_and_charity_document_extraction_system_spark.functions.urlnorm import (
+        canonical_url,
+    )
+
+    df = spark.createDataFrame([(u,) for u, _ in URL_CASES], "url string")
+    jvm = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE urls AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{u}')" for u, _ in URL_CASES)
+        + ") v(u)"
+    )
+    sql = r"""
+WITH c1 AS (SELECT u, regexp_replace(u, '#.*$', '') AS s FROM urls),
+c2 AS (SELECT u, lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1))
+         || regexp_replace(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', '') AS s FROM c1),
+c3 AS (SELECT u, regexp_replace(s, '^http://', 'https://') AS s FROM c2),
+c4 AS (SELECT u, regexp_replace(s, '^(https://[^/?:]+):(80|443)([/?]|$)', '\1\3') AS s FROM c3),
+c5 AS (SELECT u, regexp_replace(regexp_replace(s, '\?.*$', ''), '/+$', '') AS base,
+         coalesce(regexp_extract(s, '\?(.*)$', 1), '') AS q FROM c4),
+c6 AS (SELECT u, base, coalesce(array_to_string(list_filter(string_split(q, '&'),
+         x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-z]+|fbclid|gclid|msclkid|ref_src)=')), '&'), '') AS q2 FROM c5)
+SELECT CASE WHEN q2 = '' THEN base ELSE base || '?' || q2 END FROM c6
+"""
+    duck = [r[0] for r in con.sql(sql).fetchall()]
+    con.close()
+    assert duck == jvm
+
+
+# ------------------------------------------------------------ redaction
+def test_redact_rules_three_engines(spark):
+    """Spark JVM, DuckDB, and Python re must agree on the rule table
+    (the regex subset is engine-portable by construction)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from medical_and_charity_document_extraction_system_spark.functions.redact import (
+        redact_python,
+        redact_sql_expr,
+        redact_text,
+    )
+
+    texts = [
+        "Patient: Kemba Harris owes $1,234.56 by 03/07/23 (code A12.3)",
+        "Donor: Alanah Gomez Invoice 90210 dated 11/28/23",
+        "mail me at a.b+c@ex-ample.org or 123-45-6789",
+        "no pii here at all",
+        "two amounts $5.00 and $6,000.01 two dates 01/01/23 02/02/23",
+    ]
+    expected = [redact_python(t) for t in texts]
+    assert "<NAME>" in expected[0] and "<AMOUNT>" in expected[0]
+    assert "<EMAIL>" in expected[2] and "<SSN>" in expected[2]
+    assert expected[3] == texts[3]
+    assert expected[4].count("<AMOUNT>") == 2 and expected[4].count("<DATE>") == 2
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    jvm = [r.r for r in df.select(redact_text(F.col("t")).alias("r")).collect()]
+    assert jvm == expected
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE tx AS SELECT * FROM (VALUES "
+        + ", ".join("('" + t.replace("'", "''") + "')" for t in texts)
+        + ") v(t)"
+    )
+    duck = [r[0] for r in con.sql(f"SELECT {redact_sql_expr('t')} FROM tx").fetchall()]
+    con.close()
+    assert duck == expected
+
+
+def test_url_dedup_catalog_groups(spark):
+    """Variant groups collapse exactly as designed: v0/v1 spellings of
+    one target merge; v3 keeps its real query param distinct."""
+    import __spark_entry__ as entry
+
+    rows = entry.q_url_dedup(spark, SF_SMALL).collect()
+    by_n = {}
+    for r in rows:
+        by_n.setdefault(r.n_variants, 0)
+        by_n[r.n_variants] += 1
+    # doc pairs (4k,4k+1) have v in {0,1} -> collapse to one canonical;
+    # pairs (4k+2,4k+3) produce base (v2) and base?page=2 (v3)
+    assert set(by_n) == {1, 2}
+    assert all("#" not in r.curl and "utm" not in r.curl for r in rows)
