@@ -623,6 +623,27 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(_doc_id(), redact_text(F.col("text")).alias("redacted"))
 
 
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg-shaped sink exercised end-to-end
+    (plans/snapstore.py): even-id docs committed as snapshot 1, odd
+    ids appended as snapshot 2, then snapshot 1 read back by id —
+    time travel must see ONLY the first commit. Oracle: per-source
+    counts over even doc_ids (pure arithmetic)."""
+    from medical_and_charity_document_extraction_system_spark.plans.snapstore import (
+        SnapshotTable,
+    )
+
+    docs = _docs(spark, sf_dir)
+    t = SnapshotTable(spark, f"{_stage_dir('snaptbl_')}/tbl")
+    t.commit(docs.where("doc_id % 2 = 0"), "append")
+    t.commit(docs.where("doc_id % 2 = 1"), "append")
+    return (
+        t.read(1)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
 def q_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible 10% sample — membership a pure function of the key
     (md5-prefix bucket), identical on any engine/run."""
@@ -843,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "url_dedup": q_url_dedup,
         "pii_redact": q_pii_redact,
+        "snapshot_time_travel": q_snapshot_time_travel,
         "sample_10pct": q_sample_10pct,
         "split_counts": q_split_counts,
         "top_docs_per_source": q_top_docs_per_source,
@@ -886,6 +908,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": oracles.chunk_documents_sql(),
         "url_dedup": oracles.url_dedup_sql(),
         "pii_redact": oracles.pii_redact_sql(),
+        "snapshot_time_travel": oracles.snapshot_time_travel_sql(),
         "sample_10pct": oracles.sample_10pct_sql(),
         "split_counts": oracles.split_counts_sql(),
         "top_docs_per_source": oracles.top_docs_per_source_sql(),

@@ -733,6 +733,16 @@ FROM ({inner})
 """
 
 
+def snapshot_time_travel_sql() -> str:
+    """Twin of q_snapshot_time_travel: snapshot 1 holds exactly the
+    even-id docs, so reading it back must aggregate exactly those."""
+    return """
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 2 = 0
+GROUP BY source
+"""
+
+
 def error_taxonomy_sql() -> str:
     """Twin of q_error_taxonomy: the ~2% malformed-binary rows
     (m in [14,16), sources/pages.py:64-70) produce the pipeline's

@@ -1,0 +1,199 @@
+"""Snapshot-versioned table store — the Iceberg-shaped sink, for real.
+
+SURVEY section 1.3 maps the reference's JSON result sink to an Iceberg
+table; no Iceberg jars exist in this sandbox, so round 2 only wrote
+plain parquet directories and *documented* the snapshot semantics.
+This module implements the table-format core those semantics need, on
+the same design Iceberg uses (spec at iceberg.apache.org/spec/):
+
+- **immutable data files** under ``data/`` — a commit never mutates a
+  written file, it writes new files and a new metadata version;
+- **manifests**: ``metadata/manifest-<sid>.json`` lists exactly the
+  data files (and row counts) visible in snapshot ``sid``;
+- **snapshot log**: ``metadata/snapshot-log.json`` is the single table
+  root pointer — appended copies are swapped in with ``os.replace``
+  (atomic on POSIX), so readers always see a complete, valid log
+  (the sandbox analog of Iceberg's atomic metadata-pointer swap);
+- **append / overwrite commits**: append = parent's files + new
+  files; overwrite = new files only; both create a NEW snapshot with
+  a parent pointer — old snapshots stay readable (time travel);
+- **rollback**: a new snapshot that re-exposes an old snapshot's file
+  set (never deletes anything);
+- **expire_snapshots**: retention (the S7 semantics, reference
+  file_utils.cleanup_files:75-126) — drops old snapshots from the log
+  and physically deletes data files no surviving snapshot references.
+
+Determinism: snapshot ids are sequential ints and metadata carries no
+wall-clock timestamps (rerun-identity is a repo invariant; Iceberg's
+``committed_at`` would differ per run). Local-FS paths only — on a
+real cluster this layer is replaced 1:1 by actual Iceberg commits,
+which is why the public API (commit/read/rollback/expire) mirrors it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+        self.meta_dir = os.path.join(path, "metadata")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.meta_dir, exist_ok=True)
+
+    # ------------------------------------------------------------ log
+    @property
+    def _log_path(self) -> str:
+        return os.path.join(self.meta_dir, "snapshot-log.json")
+
+    def snapshots(self) -> list[dict]:
+        if not os.path.exists(self._log_path):
+            return []
+        with open(self._log_path) as f:
+            return json.load(f)
+
+    def current_snapshot_id(self) -> int | None:
+        snaps = self.snapshots()
+        return snaps[-1]["snapshot_id"] if snaps else None
+
+    def _write_log(self, snaps: list[dict]) -> None:
+        tmp = self._log_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snaps, f, indent=1)
+        os.replace(tmp, self._log_path)  # POSIX-atomic pointer swap
+
+    def _manifest(self, sid: int) -> dict:
+        with open(os.path.join(self.meta_dir, f"manifest-{sid}.json")) as f:
+            return json.load(f)
+
+    # --------------------------------------------------------- commit
+    def commit(self, df: DataFrame, operation: str = "append") -> int:
+        """Write ``df``'s rows as new immutable data files and publish
+        a new snapshot. ``operation``: 'append' (new files join the
+        parent's) or 'overwrite' (table becomes exactly these files).
+        Returns the new snapshot id."""
+        if operation not in ("append", "overwrite"):
+            raise ValueError(f"unknown operation {operation!r}")
+        snaps = self.snapshots()
+        sid = snaps[-1]["snapshot_id"] + 1 if snaps else 1
+        staging = os.path.join(self.path, f"_staging-{sid}")
+        df.write.mode("overwrite").parquet(staging)
+        new_files = []
+        i = 0
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            dst = f"snap{sid:06d}-{i:05d}.parquet"
+            os.replace(
+                os.path.join(staging, name), os.path.join(self.data_dir, dst)
+            )
+            new_files.append(dst)
+            i += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        # row count from footers only (metadata-level count, no scan)
+        rows = (
+            self.spark.read.parquet(
+                *[os.path.join(self.data_dir, f) for f in new_files]
+            ).count()
+            if new_files
+            else 0
+        )
+        files = list(new_files)
+        total = rows
+        parent = snaps[-1]["snapshot_id"] if snaps else None
+        if operation == "append" and parent is not None:
+            pm = self._manifest(parent)
+            files = pm["files"] + files
+            total = pm["total_rows"] + rows
+        manifest = {
+            "snapshot_id": sid,
+            "operation": operation,
+            "parent": parent,
+            "files": files,
+            "added_files": new_files,
+            "added_rows": rows,
+            "total_rows": total,
+        }
+        with open(os.path.join(self.meta_dir, f"manifest-{sid}.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+        self._write_log(
+            snaps + [{"snapshot_id": sid, "operation": operation, "parent": parent}]
+        )
+        return sid
+
+    # ----------------------------------------------------------- read
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """The table at a snapshot (default: current) — time travel is
+        just reading an older manifest's file list."""
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if sid is None:
+            raise ValueError("table has no snapshots")
+        if not any(s["snapshot_id"] == sid for s in self.snapshots()):
+            raise ValueError(f"unknown or expired snapshot {sid}")
+        files = self._manifest(sid)["files"]
+        if not files:
+            return self.spark.range(0).drop("id")
+        return self.spark.read.parquet(
+            *[os.path.join(self.data_dir, f) for f in files]
+        )
+
+    def rollback(self, snapshot_id: int) -> int:
+        """Publish a NEW snapshot exposing an old snapshot's file set
+        (history stays intact — Iceberg's rollback semantics)."""
+        old = self._manifest(snapshot_id)  # raises if unknown
+        snaps = self.snapshots()
+        sid = snaps[-1]["snapshot_id"] + 1
+        manifest = {
+            "snapshot_id": sid,
+            "operation": "rollback",
+            "parent": snaps[-1]["snapshot_id"],
+            "files": old["files"],
+            "added_files": [],
+            "added_rows": 0,
+            "total_rows": old["total_rows"],
+        }
+        with open(os.path.join(self.meta_dir, f"manifest-{sid}.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+        self._write_log(
+            snaps
+            + [{"snapshot_id": sid, "operation": "rollback",
+                "parent": snaps[-1]["snapshot_id"]}]
+        )
+        return sid
+
+    # --------------------------------------------------------- expire
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Retention: keep the newest ``keep_last`` snapshots, delete
+        the rest from the log, and physically remove data files no
+        surviving snapshot references. Returns what was removed."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        snaps = self.snapshots()
+        if len(snaps) <= keep_last:
+            return {"expired_snapshots": [], "deleted_files": []}
+        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        live = set()
+        for s in keep:
+            live.update(self._manifest(s["snapshot_id"])["files"])
+        deleted = []
+        for s in drop:
+            sid = s["snapshot_id"]
+            for f in self._manifest(sid)["files"]:
+                if f not in live and f not in deleted:
+                    p = os.path.join(self.data_dir, f)
+                    if os.path.exists(p):
+                        os.remove(p)
+                    deleted.append(f)
+            os.remove(os.path.join(self.meta_dir, f"manifest-{sid}.json"))
+        self._write_log(keep)
+        return {
+            "expired_snapshots": [s["snapshot_id"] for s in drop],
+            "deleted_files": sorted(deleted),
+        }

@@ -1,0 +1,105 @@
+"""Snapshot-versioned table store (plans/snapstore.py)."""
+
+import os
+
+import pytest
+
+from medical_and_charity_document_extraction_system_spark.plans.snapstore import SnapshotTable
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_append_overwrite_time_travel(spark, docs, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    even = docs.where("doc_id % 2 = 0")
+    odd = docs.where("doc_id % 2 = 1")
+    s1 = t.commit(even, "append")
+    s2 = t.commit(odd, "append")
+    s3 = t.commit(docs.where("doc_id < 10"), "overwrite")
+    assert (s1, s2, s3) == (1, 2, 3)
+    n_even = even.count()
+    n_all = docs.count()
+    assert t.read(1).count() == n_even                      # time travel
+    assert t.read(2).count() == n_all                       # append merged
+    assert t.read(3).count() == 10                          # overwrite replaced
+    assert t.read().count() == 10                           # current = latest
+    # ids are disjoint per snapshot semantics
+    assert {r.doc_id % 2 for r in t.read(1).collect()} == {0}
+    # manifests carry exact row accounting
+    assert t._manifest(2)["total_rows"] == n_all
+    assert t._manifest(2)["added_rows"] == n_all - n_even
+
+
+def test_rollback_republishes_old_files(spark, docs, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(docs.where("doc_id < 100"), "append")
+    t.commit(docs.where("doc_id >= 100"), "append")
+    s3 = t.rollback(1)
+    assert t.read().count() == 100
+    assert t.read(2).count() == docs.count()  # history intact
+    assert t.snapshots()[-1]["operation"] == "rollback" and s3 == 3
+
+
+def test_expire_snapshots_deletes_orphans_only(spark, docs, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(docs.where("doc_id < 50"), "append")       # files A
+    t.commit(docs.where("doc_id >= 450"), "append")     # files A+B
+    t.commit(docs.where("doc_id < 10"), "overwrite")    # files C
+    n_before = len(os.listdir(t.data_dir))
+    out = t.expire_snapshots(keep_last=1)
+    assert out["expired_snapshots"] == [1, 2]
+    # snapshot 3 references only C: A and B files physically removed
+    assert len(os.listdir(t.data_dir)) == n_before - len(out["deleted_files"])
+    assert t.read().count() == 10
+    with pytest.raises(ValueError, match="unknown or expired"):
+        t.read(1)
+    # expired data really gone, surviving data untouched
+    live = set(t._manifest(3)["files"])
+    assert live == set(os.listdir(t.data_dir))
+
+
+def test_expire_keeps_shared_files(spark, docs, tmp_path):
+    """An appended snapshot shares its parent's files; expiring the
+    parent must NOT delete files the survivor still references."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(docs.where("doc_id < 50"), "append")
+    t.commit(docs.where("doc_id >= 450"), "append")  # shares snap-1 files
+    out = t.expire_snapshots(keep_last=1)
+    assert out["expired_snapshots"] == [1] and out["deleted_files"] == []
+    assert t.read().count() == 100
+
+
+def test_log_swap_is_atomic_shape(spark, docs, tmp_path):
+    """The log is replaced, never appended in place: a reader that
+    opens it mid-commit sees either the old or the new complete log."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(docs.where("doc_id < 5"), "append")
+    raw = open(t._log_path).read()
+    import json
+
+    parsed = json.loads(raw)  # always a complete valid document
+    assert parsed[-1]["snapshot_id"] == 1
+    assert not os.path.exists(t._log_path + ".tmp")
+
+
+def test_deterministic_layout(spark, docs, tmp_path):
+    """Same commits -> same file names and same metadata (no wall
+    clock anywhere) — rerun-identity, the repo invariant."""
+    import json
+
+    layouts = []
+    for d in ("a", "b"):
+        t = SnapshotTable(spark, str(tmp_path / d))
+        t.commit(docs.where("doc_id < 20").coalesce(1), "append")
+        t.commit(docs.where("doc_id >= 480").coalesce(1), "append")
+        layouts.append(
+            (
+                sorted(os.listdir(t.data_dir)),
+                json.load(open(t._log_path)),
+                t._manifest(2),
+            )
+        )
+    assert layouts[0] == layouts[1]
