@@ -623,6 +623,33 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(_doc_id(), redact_text(F.col("text")).alias("redacted"))
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (30-min gap):
+    lag -> boundary flag -> running-sum windows, exact decimal value
+    sums. The batch twin of the stateful streaming operator."""
+    from medical_and_charity_document_extraction_system_spark.operators.sessions import (
+        sessionize,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev)
+
+
+BM25_TERMS = ["table", "scan", "index"]
+
+
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 over the documents table for a fixed query. Corpus
+    stats reduce to integers; idf/avgdl are Python-math literals
+    injected into BOTH engines' scoring trees (no engine-side ln —
+    keeps the gate bit-exact; see operators/sessions.bm25_scores)."""
+    from medical_and_charity_document_extraction_system_spark.operators.sessions import (
+        bm25_scores,
+    )
+
+    return bm25_scores(_docs(spark, sf_dir), BM25_TERMS)
+
+
 def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Iceberg-shaped sink exercised end-to-end
     (plans/snapstore.py): even-id docs committed as snapshot 1, odd
@@ -865,6 +892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "pii_redact": q_pii_redact,
         "snapshot_time_travel": q_snapshot_time_travel,
+        "user_sessions": q_user_sessions,
+        "bm25_scores": q_bm25_scores,
         "sample_10pct": q_sample_10pct,
         "split_counts": q_split_counts,
         "top_docs_per_source": q_top_docs_per_source,
@@ -909,6 +938,9 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": oracles.url_dedup_sql(),
         "pii_redact": oracles.pii_redact_sql(),
         "snapshot_time_travel": oracles.snapshot_time_travel_sql(),
+        "user_sessions": oracles.user_sessions_sql(),
+        # corpus-stat literals default to the gate's sf0.01 tables
+        "bm25_scores": oracles.bm25_scores_sql(tuple(BM25_TERMS)),
         "sample_10pct": oracles.sample_10pct_sql(),
         "split_counts": oracles.split_counts_sql(),
         "top_docs_per_source": oracles.top_docs_per_source_sql(),

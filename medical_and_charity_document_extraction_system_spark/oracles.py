@@ -733,6 +733,76 @@ FROM ({inner})
 """
 
 
+def user_sessions_sql(gap_seconds: int = 1800) -> str:
+    """Twin of operators/sessions.sessionize: lag -> boundary flag ->
+    running sum, gap compared in epoch microseconds (epoch_us =
+    Spark's unix_micros), value summed in decimal for order-free
+    exactness."""
+    return f"""
+WITH l AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN pts IS NULL
+                   OR epoch_us(ts) - epoch_us(pts) > {gap_seconds * 1_000_000}
+                 THEN 1 ELSE 0 END AS brk
+  FROM l
+),
+s AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq
+  FROM f
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM s
+GROUP BY user_id, session_seq
+"""
+
+
+def _dlit(x: float) -> str:
+    # quoted-repr -> DOUBLE: a bare float literal parses as DECIMAL in
+    # DuckDB (loses -0.0 and precision); repr round-trips exactly
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def bm25_scores_sql(
+    query_terms: tuple[str, ...] = ("table", "scan", "index"),
+    sf_dir: str = "/root/testdata/sf0.01",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Twin of operators/sessions.bm25_scores. The corpus stats are
+    re-reduced from the same parquet (integers — exact) and the idf /
+    avgdl constants computed with the same Python math, so both
+    engines evaluate the identical literal-for-literal scalar tree in
+    the identical left-to-right term order (no engine-side ln: Java
+    Math.log and libm may differ in the last ulp)."""
+    from .operators.sessions import corpus_stats_for_oracle
+
+    _, avgdl, idfs = corpus_stats_for_oracle(sf_dir, list(query_terms))
+    terms_sql = []
+    for t, idf in zip(query_terms, idfs):
+        tf = f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE)"
+        denom = (
+            f"({tf} + {_dlit(k1)} * ({_dlit(1.0 - b)} + {_dlit(b)} * "
+            f"(CAST(len(toks) AS DOUBLE) / {_dlit(avgdl)})))"
+        )
+        terms_sql.append(f"{_dlit(idf)} * (({tf} * {_dlit(k1 + 1.0)}) / {denom})")
+    score = " + ".join(terms_sql)
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id, {score} AS bm25
+FROM t
+WHERE ({score}) > 0.0
+"""
+
+
 def snapshot_time_travel_sql() -> str:
     """Twin of q_snapshot_time_travel: snapshot 1 holds exactly the
     even-id docs, so reading it back must aggregate exactly those."""

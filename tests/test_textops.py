@@ -175,3 +175,53 @@ def test_url_dedup_catalog_groups(spark):
     # pairs (4k+2,4k+3) produce base (v2) and base?page=2 (v3)
     assert set(by_n) == {1, 2}
     assert all("#" not in r.curl and "utm" not in r.curl for r in rows)
+
+
+# --------------------------------------------------------- sessionize
+def test_sessionize_gap_semantics(spark):
+    import datetime as dt
+
+    from medical_and_charity_document_extraction_system_spark.operators.sessions import (
+        sessionize,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: 3 events in one session, then a 31-min gap
+        (0, t0, 1, "a", 1.0, "{}"),
+        (1, t0 + dt.timedelta(minutes=10), 1, "a", 2.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=29), 1, "a", 3.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=61), 1, "a", 4.0, "{}"),
+        # user 2: exactly-30-min gap does NOT split (strictly greater)
+        (4, t0, 2, "a", 1.0, "{}"),
+        (5, t0 + dt.timedelta(minutes=30), 2, "a", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    out = {(r.user_id, r.session_seq): r for r in sessionize(ev).collect()}
+    assert out[(1, 1)].n_events == 3 and out[(1, 1)].sum_value == 6.0
+    assert out[(1, 2)].n_events == 1 and out[(1, 2)].sum_value == 4.0
+    assert out[(2, 1)].n_events == 2
+    assert (2, 2) not in out
+    assert out[(1, 1)].session_start == "2024-01-01 00:00:00"
+    assert out[(1, 1)].session_end == "2024-01-01 00:29:00"
+
+
+def test_bm25_ranks_term_frequency(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.sessions import (
+        bm25_scores,
+    )
+
+    rows = [
+        (0, "table table table join"),
+        (1, "table join group"),
+        (2, "join group sort"),
+        (3, "scan scan"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.bm25 for r in bm25_scores(df, ["table", "scan"]).collect()}
+    assert 2 not in out                      # matches no query term
+    assert out[0] > out[1] > 0               # higher tf -> higher score
+    assert out[3] > 0                        # rarer term scores
