@@ -650,6 +650,48 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(_docs(spark, sf_dir), BM25_TERMS)
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator (the engine-level form
+    of q_user_sessions' manual lag/cumsum): gap-merged windows are
+    half-open, so an event landing exactly at prev_ts + gap starts a
+    NEW session, and the emitted window end is last_ts + gap. The
+    oracle reconstructs exactly those semantics (>= split, end =
+    max(ts) + interval) — the two session queries together pin both
+    boundary conventions."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sw = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+    return (
+        ev.groupBy("user_id", sw)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias("w_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation via ROLLUP (event_type, day):
+    per-(type, day), per-type subtotals, and the grand total in one
+    pass — grouping-set breadth with a direct SQL twin."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    return (
+        ev.select("event_type", day, "value")
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
 def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Iceberg-shaped sink exercised end-to-end
     (plans/snapstore.py): even-id docs committed as snapshot 1, odd
@@ -893,6 +935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "snapshot_time_travel": q_snapshot_time_travel,
         "user_sessions": q_user_sessions,
+        "session_windows": q_session_windows,
+        "events_rollup": q_events_rollup,
         "bm25_scores": q_bm25_scores,
         "sample_10pct": q_sample_10pct,
         "split_counts": q_split_counts,
@@ -939,6 +983,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": oracles.pii_redact_sql(),
         "snapshot_time_travel": oracles.snapshot_time_travel_sql(),
         "user_sessions": oracles.user_sessions_sql(),
+        "session_windows": oracles.session_windows_sql(),
+        "events_rollup": oracles.events_rollup_sql(),
         # corpus-stat literals default to the gate's sf0.01 tables
         "bm25_scores": oracles.bm25_scores_sql(tuple(BM25_TERMS)),
         "sample_10pct": oracles.sample_10pct_sql(),

@@ -803,6 +803,50 @@ WHERE ({score}) > 0.0
 """
 
 
+def session_windows_sql(gap_seconds: int = 1800) -> str:
+    """Twin of q_session_windows (Spark's native session_window):
+    half-open merge — split when gap >= the window duration — and the
+    emitted end is last event ts + gap."""
+    return f"""
+WITH l AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN pts IS NULL
+                   OR epoch_us(ts) - epoch_us(pts) >= {gap_seconds * 1_000_000}
+                 THEN 1 ELSE 0 END AS brk
+  FROM l
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM f
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+       strftime(max(ts) + INTERVAL {gap_seconds} SECOND, '%Y-%m-%d %H:%M:%S') AS w_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM s
+GROUP BY user_id, sess
+"""
+
+
+def events_rollup_sql() -> str:
+    """Twin of q_events_rollup: GROUP BY ROLLUP. Spark emits NULL for
+    the rolled-up levels; DuckDB ROLLUP does the same."""
+    return """
+SELECT event_type,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, day)
+"""
+
+
 def snapshot_time_travel_sql() -> str:
     """Twin of q_snapshot_time_travel: snapshot 1 holds exactly the
     even-id docs, so reading it back must aggregate exactly those."""
