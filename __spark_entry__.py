@@ -534,6 +534,22 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio path: deterministic square-wave clips encoded as
+    REAL WAV bytes (functions/wavpcm.py), decoded and featurized in
+    one Arrow stage. Oracle: every feature is id arithmetic — a square
+    wave's RMS is its amplitude, crossings are (n-1)//halfperiod."""
+    from medical_and_charity_document_extraction_system_spark.operators.multimodal import (
+        attach_fake_audio,
+        extract_audio_features,
+    )
+
+    docs = _docs(spark, sf_dir).where("doc_id < 300")
+    return extract_audio_features(attach_fake_audio(docs)).select(
+        "media_id", "n_samples", "duration_ms", "peak", "rms", "zero_crossings"
+    )
+
+
 def q_merge_pdf_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed merged-PDF artifact (reference merge_pdfs,
     pdf_service.py:23-85): every document becomes a real one-page
@@ -682,13 +698,22 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass — grouping-set breadth with a direct SQL twin."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
-    return (
+    out = (
         ev.select("event_type", day, "value")
         .rollup("event_type", "day")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
+    )
+    # rolled-up levels surface as '(all)' instead of NULL: grouping
+    # keys stay totally ordered for any comparator (and unambiguous —
+    # event_type/day values can never be the literal '(all)')
+    return out.select(
+        F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+        F.coalesce("day", F.lit("(all)")).alias("day"),
+        "n_events",
+        "sum_value",
     )
 
 
@@ -927,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_words": q_ocr_words,
         "route_stats": q_route_stats,
         "media_resize": q_media_resize,
+        "audio_features": q_audio_features,
         "video_frame_sample": q_video_frame_sample,
         "merge_pdf_artifacts": q_merge_pdf_artifacts,
         "stream_dedup_urls": q_stream_dedup_urls,
@@ -1004,6 +1030,7 @@ def oracle_sql() -> dict[str, str]:
         # round-tripped pixels (same driver-side chain the executors run)
         "image_preprocess_jpeg": oracles.image_preprocess_sql(codec="jpeg"),
         "media_resize": oracles.media_resize_sql(),
+        "audio_features": oracles.audio_features_sql(),
         "video_frame_sample": oracles.video_frame_sample_sql(),
         "merge_pdf_artifacts": oracles.merge_pdf_artifacts_sql(),
         "stream_dedup_urls": oracles.stream_dedup_urls_sql(),

@@ -313,6 +313,99 @@ def sample_frames(
     ).mapInPandas(run, schema=schema)
 
 
+def synth_audio(media_id: int, rate: int = 8000) -> np.ndarray:
+    """Deterministic square-wave clip, pure function of the id (no
+    RNG): n = 800 + id%50 samples, amplitude 1000 + id%500, half
+    period 2 + id%7 — chosen so every audio feature is exact integer
+    arithmetic the oracle recomputes (RMS of a square wave IS its
+    amplitude; crossings = (n-1) // halfperiod)."""
+    n = 800 + media_id % 50
+    p = 2 + media_id % 7
+    a = 1000 + media_id % 500
+    return np.where((np.arange(n) // p) % 2 == 0, a, -a).astype(np.int16)
+
+
+def attach_fake_audio(
+    df: DataFrame, id_col: str = "doc_id", fan_out: bool = True, rate: int = 8000
+) -> DataFrame:
+    """(id) -> (media_id, payload = REAL WAV bytes) — the audio
+    analog of attach_page_images; payloads decode with any WAV
+    reader, not just ours."""
+    from ..functions import wavpcm
+
+    if fan_out:
+        df = df.select(id_col).repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        )
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        wavpcm.encode_wav(synth_audio(int(i), rate), rate)
+                        for i in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, schema=schema)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.DoubleType(), True),
+        T.StructField("peak", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zero_crossings", T.IntegerType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str = "media_id", audio_col: str = "payload"
+) -> DataFrame:
+    """Real audio decode + per-clip features (duration, peak, RMS,
+    zero crossings) as one Arrow stage — zero shuffle; undecodable
+    payloads degrade to error rows."""
+    from ..functions import wavpcm
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("media_id", "n_samples", "sample_rate", "duration_ms",
+                "peak", "rms", "zero_crossings", "error")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, payload in zip(pdf[id_col], pdf[audio_col]):
+                out["media_id"].append(int(mid))
+                try:
+                    samples, rate = wavpcm.decode_wav(bytes(payload))
+                    f = wavpcm.audio_features(samples, rate)
+                    for k in cols[1:-1]:
+                        out[k].append(f[k])
+                    out["error"].append(None)
+                except Exception as exc:
+                    for k in cols[1:-1]:
+                        out[k].append(None)
+                    out["error"].append(str(exc)[:200])
+            yield pd.DataFrame(out)
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(audio_col)
+    ).mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
     """Decode a binary image payload: PNG and baseline JPEG via the
     pure-Python codecs (functions/png.py, functions/jpeg.py —

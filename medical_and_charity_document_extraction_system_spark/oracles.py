@@ -838,12 +838,12 @@ def events_rollup_sql() -> str:
     """Twin of q_events_rollup: GROUP BY ROLLUP. Spark emits NULL for
     the rolled-up levels; DuckDB ROLLUP does the same."""
     return """
-SELECT event_type,
-       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), '(all)') AS day,
        count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
-GROUP BY ROLLUP (event_type, day)
+GROUP BY ROLLUP (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
 """
 
 
@@ -1062,6 +1062,30 @@ SELECT doc_id AS media_id, n_frames,
        CAST(k AS BIGINT) AS n_sampled,
        CAST(k * (k - 1) AS BIGINT) AS sum_kept_idx
 FROM v
+"""
+
+
+def audio_features_sql(n: int = 300, rate: int = 8000) -> str:
+    """Twin of q_audio_features over multimodal.synth_audio clips:
+    n = 800 + id%50, half period p = 2 + id%7, amplitude
+    a = 1000 + id%500; RMS of a square wave = a exactly (sqrt of a
+    perfect-square double), duration is exact double division,
+    crossings = (n-1) // p."""
+    return f"""
+WITH a AS (
+  SELECT doc_id,
+         800 + doc_id % 50  AS n,
+         2 + doc_id % 7     AS p,
+         1000 + doc_id % 500 AS amp
+  FROM documents WHERE doc_id < {n}
+)
+SELECT doc_id AS media_id,
+       CAST(n AS INT) AS n_samples,
+       CAST(n * 1000 AS DOUBLE) / {rate} AS duration_ms,
+       CAST(amp AS BIGINT) AS peak,
+       CAST(amp AS DOUBLE) AS rms,
+       CAST((n - 1) // p AS INT) AS zero_crossings
+FROM a
 """
 
 

@@ -37,7 +37,12 @@ def _norm(v):
 
 
 def _rows(rows):
-    return sorted(tuple(_norm(v) for v in r) for r in rows)
+    # NULL-robust total order: None sorts before any value of any type
+    return sorted(
+        (tuple(_norm(v) for v in r) for r in rows),
+        key=lambda r: tuple((v is not None, str(type(v)), v if v is not None else 0)
+                            for v in r),
+    )
 
 
 QUERY_NAMES = sorted(entry_mod.queries())

@@ -173,3 +173,65 @@ def test_decode_image_handles_png_netpbm_jpeg_and_gates_rest():
         decode_image(b"\xff\xd8\xff\xe0fakejpeg")  # damaged JPEG
     with _pytest.raises(NotImplementedError, match="PIL"):
         decode_image(b"RIFF....WEBP")  # genuinely unsupported container
+
+
+def test_wav_roundtrip_and_foreign_shapes():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from medical_and_charity_document_extraction_system_spark.functions.wavpcm import (
+        WavError, audio_features, decode_wav, encode_wav,
+    )
+
+    rng = np.random.RandomState(1)
+    mono = rng.randint(-30000, 30000, 500).astype(np.int16)
+    stereo = rng.randint(-30000, 30000, (400, 2)).astype(np.int16)
+    s, r = decode_wav(encode_wav(mono, 16000))
+    assert r == 16000 and (s == mono).all()
+    s2, _ = decode_wav(encode_wav(stereo, 44100))
+    assert s2.shape == (400, 2) and (s2 == stereo).all()
+    assert encode_wav(mono) == encode_wav(mono)  # deterministic
+
+    # 8-bit PCM and unknown-chunk skipping (foreign writer shapes)
+    data8 = bytes(range(64))
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    junk = b"LIST" + struct.pack("<I", 5) + b"xxxxx\x00"  # odd size, padded
+    body = (b"WAVE" + junk + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data8)) + data8)
+    wav8 = b"RIFF" + struct.pack("<I", len(body)) + body
+    s8, r8 = decode_wav(wav8)
+    assert r8 == 8000 and s8[0] == (0 - 128) * 256 and s8[-1] == (63 - 128) * 256
+
+    with _pytest.raises(WavError):
+        decode_wav(b"RIFFxxxxNOPE")
+    # compressed format rejected
+    badfmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)  # mu-law
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(badfmt)) + badfmt
+            + b"data" + struct.pack("<I", 2) + b"ab")
+    with _pytest.raises(WavError, match="PCM"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+    f = audio_features(mono, 16000)
+    assert f["n_samples"] == 500 and f["peak"] == int(np.abs(mono).max())
+
+
+def test_audio_features_catalog_semantics(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.multimodal import (
+        attach_fake_audio, extract_audio_features, synth_audio,
+    )
+
+    docs = spark.range(20).withColumnRenamed("id", "doc_id")
+    out = {r.media_id: r for r in
+           extract_audio_features(attach_fake_audio(docs)).collect()}
+    assert set(out) == set(range(20))
+    for i in range(20):
+        n, p, a = 800 + i % 50, 2 + i % 7, 1000 + i % 500
+        r = out[i]
+        assert r.error is None
+        assert r.n_samples == n and r.peak == a
+        assert r.rms == float(a)                       # square wave: exact
+        assert r.zero_crossings == (n - 1) // p
+        assert r.duration_ms == n * 1000 / 8000
+        assert (synth_audio(i) == synth_audio(i)).all()
