@@ -550,6 +550,25 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frame_sample_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over REAL animated GIF payloads (functions/
+    gif.py: LZW, color tables, multi-frame composition) — identical
+    frame counts/indices to the FRAMES-container twin, so the same
+    arithmetic oracle pins container-independent sampling."""
+    from medical_and_charity_document_extraction_system_spark.operators.multimodal import (
+        attach_fake_video,
+        sample_frames,
+    )
+
+    docs = _docs(spark, sf_dir).where("doc_id < 200")
+    sampled = sample_frames(attach_fake_video(docs, codec="gif"), every_k=2)
+    return sampled.groupBy("media_id").agg(
+        F.max("n_frames_total").alias("n_frames"),
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("frame_index").alias("sum_kept_idx"),
+    )
+
+
 def q_merge_pdf_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed merged-PDF artifact (reference merge_pdfs,
     pdf_service.py:23-85): every document becomes a real one-page
@@ -954,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "audio_features": q_audio_features,
         "video_frame_sample": q_video_frame_sample,
+        "video_frame_sample_gif": q_video_frame_sample_gif,
         "merge_pdf_artifacts": q_merge_pdf_artifacts,
         "stream_dedup_urls": q_stream_dedup_urls,
         "chunk_documents": q_chunk_documents,
@@ -1032,6 +1052,8 @@ def oracle_sql() -> dict[str, str]:
         "media_resize": oracles.media_resize_sql(),
         "audio_features": oracles.audio_features_sql(),
         "video_frame_sample": oracles.video_frame_sample_sql(),
+        # same arithmetic truth — the container must not change sampling
+        "video_frame_sample_gif": oracles.video_frame_sample_sql(),
         "merge_pdf_artifacts": oracles.merge_pdf_artifacts_sql(),
         "stream_dedup_urls": oracles.stream_dedup_urls_sql(),
         # ann_topk_ivf (nprobe=4): the seeded-k-means centroids are a

@@ -228,11 +228,17 @@ def decode_frames(payload: bytes) -> list["np.ndarray"]:
 
 
 def attach_fake_video(
-    df: DataFrame, id_col: str = "doc_id", fan_out: bool = True
+    df: DataFrame, id_col: str = "doc_id", fan_out: bool = True,
+    codec: str = "frames",
 ) -> DataFrame:
-    """(id) -> (media_id, payload=FRAMES container): 1 + id%5 frames of
-    deterministic synthetic pages — pure function of the id. fan_out
-    as in attach_page_images."""
+    """(id) -> (media_id, payload): 1 + id%5 frames of deterministic
+    synthetic pages — pure function of the id. ``codec="frames"`` is
+    the length-prefixed test container; ``codec="gif"`` encodes the
+    SAME frames as a real animated GIF89a (functions/gif.py), so the
+    sampler exercises a genuine multi-frame format. fan_out as in
+    attach_page_images."""
+    if codec not in ("frames", "gif"):
+        raise ValueError(f"unknown video codec {codec!r}")
     if fan_out:
         df = df.select(id_col).repartition(
             df.sparkSession.sparkContext.defaultParallelism
@@ -246,17 +252,22 @@ def attach_fake_video(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import gif
+
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
             payloads, counts = [], []
             for i in ids:
                 n = 1 + int(i) % 5
-                payloads.append(
-                    encode_frames(
-                        [render_page_image(int(i) * 31 + f, height=24, width=32)
-                         for f in range(n)]
-                    )
-                )
+                frames = [
+                    render_page_image(int(i) * 31 + f, height=24, width=32)
+                    for f in range(n)
+                ]
+                if codec == "gif":
+                    rgb = [np.stack([fr] * 3, axis=2) for fr in frames]
+                    payloads.append(gif.encode_gif(rgb))
+                else:
+                    payloads.append(encode_frames(frames))
                 counts.append(n)
             yield pd.DataFrame(
                 {"media_id": ids, "payload": payloads, "n_frames": counts}
@@ -285,19 +296,25 @@ def sample_frames(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions import netpbm
+        from ..functions import gif, netpbm
 
         for pdf in batches:
             mids, idxs, frames, totals = [], [], [], []
             for mid, payload in zip(pdf[id_col], pdf[video_col]):
+                raw = bytes(payload)
                 try:
-                    frs = decode_frames(bytes(payload))
+                    if raw[:4] == b"GIF8":  # real animated container
+                        frs = gif.decode_gif(raw)
+                        enc = lambda fr: gif.encode_gif([fr])  # noqa: E731
+                    else:
+                        frs = decode_frames(raw)
+                        enc = netpbm.encode
                 except ValueError:
                     continue
                 for j in range(0, len(frs), every_k):
                     mids.append(int(mid))
                     idxs.append(j)
-                    frames.append(netpbm.encode(frs[j]))
+                    frames.append(enc(frs[j]))
                     totals.append(len(frs))
             yield pd.DataFrame(
                 {
