@@ -97,6 +97,24 @@ def q_extraction_doc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _doc_record_cols(_extract(spark, sf_dir))
 
 
+def q_warc_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME extraction pipeline fed from REAL Common-Crawl-format
+    input: pages written as per-record-gzip ``.warc.gz`` files
+    (sources/warc.py), read back through the binaryFile one-file-per-
+    task path, parsed, and extracted. Oracle: the flagship
+    construction oracle — WARC-fed output must match it bit-for-bit,
+    proving container-faithful ingestion of the crawl's native
+    format."""
+    from medical_and_charity_document_extraction_system_spark.sources.warc import (
+        pages_to_warc_files,
+        read_warc,
+    )
+
+    base = _stage_dir("warc_")
+    pages_to_warc_files(synthesize_pages(spark, sf_dir), f"{base}/warc", n_files=8)
+    return _doc_record_cols(run_extraction(read_warc(spark, f"{base}/warc")))
+
+
 def q_stream_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME extraction plan executed as a Structured Streaming job
     (``trigger(availableNow=True)`` one-shot backfill through
@@ -933,6 +951,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extraction_doc_records": q_extraction_doc_records,
+        "warc_extraction": q_warc_extraction,
         "stream_extraction": q_stream_extraction,
         "stream_host_rate": q_stream_host_rate,
         "stream_host_totals": q_stream_host_totals,
@@ -993,9 +1012,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "extraction_doc_records": oracles.extraction_doc_records_sql(),
-        # batch/streaming parity: the stream must match the same
-        # construction oracle the batch plan matches
+        # batch/streaming/WARC parity: every ingestion shape must match
+        # the same construction oracle the batch plan matches
         "stream_extraction": oracles.extraction_doc_records_sql(),
+        "warc_extraction": oracles.extraction_doc_records_sql(),
         "stream_host_rate": oracles.stream_host_rate_sql(),
         "stream_host_totals": oracles.stream_host_totals_sql(),
         "extraction_spans": oracles.extraction_spans_sql(),
