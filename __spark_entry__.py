@@ -179,6 +179,54 @@ def q_stream_host_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(outp).select("host", "total_pages")
 
 
+def q_stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows over the events stream (one
+    availableNow batch; 30-min gap, 2-h watermark). Oracle: the batch
+    session reconstruction PLUS the append-mode finalization rule
+    (w_end <= max(ts) - watermark) — session merge and watermark
+    semantics both pinned (oracles.stream_user_sessions_sql)."""
+    from medical_and_charity_document_extraction_system_spark.streaming import (
+        user_sessions_stream,
+    )
+
+    base = _stage_dir("stream_sess_")
+    inp, outp, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    q = user_sessions_stream(spark, inp, outp, ck)
+    q.awaitTermination()
+    return spark.read.parquet(outp).select(
+        "user_id",
+        F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        F.date_format("w_end", "yyyy-MM-dd HH:mm:ss").alias("w_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_stream_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming extraction committed into the snapshot-versioned
+    table via foreachBatch — one append snapshot per micro-batch
+    (streaming/stream.extraction_to_snapshot_stream). The final table
+    read must match the flagship construction oracle, proving the
+    stream -> versioned-sink path loses and duplicates nothing."""
+    from medical_and_charity_document_extraction_system_spark.plans.snapstore import (
+        SnapshotTable,
+    )
+    from medical_and_charity_document_extraction_system_spark.streaming import (
+        extraction_to_snapshot_stream,
+    )
+
+    base = _stage_dir("stream_snap_")
+    inp, tbl, ck = f"{base}/in", f"{base}/tbl", f"{base}/ck"
+    synthesize_pages(spark, sf_dir).write.mode("overwrite").parquet(inp)
+    q = extraction_to_snapshot_stream(spark, inp, tbl, ck)
+    q.awaitTermination()
+    return _doc_record_cols(SnapshotTable(spark, tbl).read())
+
+
 def q_extraction_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded field spans with char offsets (reference word-record
     analog, easyocr_engine.py:79-91)."""
@@ -955,6 +1003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_extraction": q_stream_extraction,
         "stream_host_rate": q_stream_host_rate,
         "stream_host_totals": q_stream_host_totals,
+        "stream_user_sessions": q_stream_user_sessions,
+        "stream_snapshot_sink": q_stream_snapshot_sink,
         "extraction_spans": q_extraction_spans,
         "rollup_source": q_rollup_source,
         "token_count": q_token_count,
@@ -1018,6 +1068,9 @@ def oracle_sql() -> dict[str, str]:
         "warc_extraction": oracles.extraction_doc_records_sql(),
         "stream_host_rate": oracles.stream_host_rate_sql(),
         "stream_host_totals": oracles.stream_host_totals_sql(),
+        "stream_user_sessions": oracles.stream_user_sessions_sql(),
+        # streaming -> snapshot sink must reconstruct the same table
+        "stream_snapshot_sink": oracles.extraction_doc_records_sql(),
         "extraction_spans": oracles.extraction_spans_sql(),
         "rollup_source": oracles.rollup_source_sql(),
         "token_count": oracles.token_count_sql(),

@@ -834,6 +834,48 @@ GROUP BY user_id, sess
 """
 
 
+def stream_user_sessions_sql(
+    gap_seconds: int = 1800, watermark_seconds: int = 7200
+) -> str:
+    """Twin of q_stream_user_sessions: the session_windows
+    reconstruction (half-open merge, end = last ts + gap) filtered by
+    the append-mode finalization rule — a session emits iff its end
+    <= max(event time) - watermark when the availableNow drain
+    finishes."""
+    return f"""
+WITH l AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN pts IS NULL
+                   OR epoch_us(ts) - epoch_us(pts) >= {gap_seconds * 1_000_000}
+                 THEN 1 ELSE 0 END AS brk
+  FROM l
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM f
+),
+sessions AS (
+  SELECT user_id,
+         min(ts) AS ws,
+         max(ts) + INTERVAL {gap_seconds} SECOND AS we,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM s GROUP BY user_id, sess
+)
+SELECT user_id,
+       strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start,
+       strftime(we, '%Y-%m-%d %H:%M:%S') AS w_end,
+       n_events, sum_value
+FROM sessions
+WHERE we <= (SELECT max(ts) FROM events) - INTERVAL {watermark_seconds} SECOND
+"""
+
+
 def events_rollup_sql() -> str:
     """Twin of q_events_rollup: GROUP BY ROLLUP. Spark emits NULL for
     the rolled-up levels; DuckDB ROLLUP does the same."""

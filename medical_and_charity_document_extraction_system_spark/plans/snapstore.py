@@ -168,6 +168,26 @@ class SnapshotTable:
         )
         return sid
 
+    def compact(self, target_files: int = 1) -> int:
+        """Small-files maintenance (Iceberg's rewrite_data_files): read
+        the current snapshot, rewrite its rows into ``target_files``
+        data files, and publish the result as an overwrite snapshot.
+        Rows are unchanged; history stays time-travelable; a following
+        expire_snapshots reclaims the small files. Returns the new
+        snapshot id."""
+        cur = self.current_snapshot_id()
+        if cur is None:
+            raise ValueError("nothing to compact")
+        sid = self.commit(self.read(cur).coalesce(target_files), "overwrite")
+        snaps = self.snapshots()
+        snaps[-1]["operation"] = "compact"
+        self._write_log(snaps)
+        m = self._manifest(sid)
+        m["operation"] = "compact"
+        with open(os.path.join(self.meta_dir, f"manifest-{sid}.json"), "w") as f:
+            json.dump(m, f, indent=1)
+        return sid
+
     # --------------------------------------------------------- expire
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Retention: keep the newest ``keep_last`` snapshots, delete

@@ -1,6 +1,8 @@
 from .stream import (  # noqa: F401
     dedup_url_stream,
+    extraction_to_snapshot_stream,
     host_running_totals_stream,
     host_rate_stream,
     run_extraction_stream,
+    user_sessions_stream,
 )

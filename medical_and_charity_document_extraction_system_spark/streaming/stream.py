@@ -124,6 +124,96 @@ def dedup_url_stream(
     return writer.start()
 
 
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def user_sessions_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming session windows: gap-merged per-user sessions with
+    watermark-bounded state. Append mode emits a session once the
+    watermark passes its end (last event + gap) — the emission rule
+    the oracle reconstructs arithmetically, so BOTH the session merge
+    and the finalization semantics sit under the bit-exact gate. The
+    streaming twin of the batch q_session_windows."""
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("session_window"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("w_start"),
+            F.col("session_window.end").alias("w_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def extraction_to_snapshot_stream(
+    spark: SparkSession,
+    input_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    cfg: ExtractionConfig = DEFAULT_CONFIG,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous extraction committed into the snapshot-versioned
+    table (plans/snapstore.SnapshotTable) via foreachBatch — one
+    append SNAPSHOT per micro-batch, so every drained batch is an
+    atomic, time-travelable table version (the Iceberg streaming-sink
+    pattern; exactly-once comes from the streaming checkpoint +
+    epoch-id idempotence on restart)."""
+    from ..plans.snapstore import SnapshotTable
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    stream_cfg = cfg if cfg.repartition is None else ExtractionConfig(
+        **{**cfg.__dict__, "repartition": None}
+    )
+    out = run_extraction(stream, stream_cfg)
+    table = SnapshotTable(spark, table_path)
+
+    def commit_batch(batch_df, epoch_id: int) -> None:
+        table.commit(batch_df, "append")
+
+    writer = (
+        out.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def host_running_totals_stream(
     spark: SparkSession,
     input_dir: str,

@@ -183,3 +183,78 @@ def test_minipdf_roundtrip_any_text_pages(pages, compress, xref_stream):
     pdf = build_pdf(pages, compress=compress, xref_stream=xref_stream)
     assert extract_text_pages(pdf) == pages
     assert pdf == build_pdf(pages, compress=compress, xref_stream=xref_stream)
+
+
+# ------------------------------------------------- media codec roundtrips
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 24), st.integers(1, 24),
+    st.sampled_from([1, 2, 3, 4]), st.integers(0, 2**32 - 1),
+)
+def test_png_roundtrip_any_array(h, w, ch, seed):
+    import numpy as np
+
+    from medical_and_charity_document_extraction_system_spark.functions.png import (
+        decode_png, encode_png,
+    )
+
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    img = rng.randint(0, 256, shape, dtype=np.uint8)
+    out = decode_png(encode_png(img))
+    assert out.shape == img.shape and (out == img).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 4), st.integers(2, 16), st.integers(2, 20),
+       st.integers(0, 2**32 - 1))
+def test_gif_roundtrip_any_paletted_frames(n, h, w, seed):
+    import numpy as np
+
+    from medical_and_charity_document_extraction_system_spark.functions.gif import (
+        decode_gif, encode_gif,
+    )
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (8, 3), dtype=np.uint8)
+    frames = [pal[rng.randint(0, 8, (h, w))] for _ in range(n)]
+    out = decode_gif(encode_gif(frames))
+    assert len(out) == n
+    for a, b in zip(frames, out):
+        assert (a == b).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 300), st.integers(1, 2), st.integers(0, 2**32 - 1))
+def test_wav_roundtrip_any_pcm(n, ch, seed):
+    import numpy as np
+
+    from medical_and_charity_document_extraction_system_spark.functions.wavpcm import (
+        decode_wav, encode_wav,
+    )
+
+    rng = np.random.RandomState(seed)
+    shape = (n,) if ch == 1 else (n, ch)
+    samples = rng.randint(-32768, 32768, shape).astype(np.int16)
+    out, rate = decode_wav(encode_wav(samples, 8000))
+    assert rate == 8000 and out.shape == shape and (out == samples).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1))
+def test_jpeg_decode_total_on_own_encoder(h, w, seed):
+    """JPEG is lossy, so the property is totality + determinism +
+    bounded error on smooth content, not bit identity."""
+    import numpy as np
+
+    from medical_and_charity_document_extraction_system_spark.functions.jpeg import (
+        decode_jpeg, encode_jpeg,
+    )
+
+    rng = np.random.RandomState(seed)
+    base = rng.randint(60, 196)
+    img = np.full((h, w), base, np.uint8)  # flat: DC-dominated
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert out.shape == (h, w)
+    assert np.abs(out.astype(int) - base).max() <= 2
+    assert (decode_jpeg(encode_jpeg(img, quality=95)) == out).all()

@@ -103,3 +103,25 @@ def test_deterministic_layout(spark, docs, tmp_path):
             )
         )
     assert layouts[0] == layouts[1]
+
+
+def test_compact_rewrites_small_files(spark, docs, tmp_path):
+    """Ten tiny append commits -> one compact -> a single data file
+    with identical rows; history stays readable until expired, and
+    expiry then reclaims every small file."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    for k in range(10):
+        t.commit(docs.where(f"doc_id % 10 = {k}").coalesce(1), "append")
+    n_all = docs.count()
+    assert t.read().count() == n_all
+    files_before = len(t._manifest(10)["files"])
+    assert files_before >= 10
+    sid = t.compact(target_files=1)
+    assert t.snapshots()[-1]["operation"] == "compact"
+    assert len(t._manifest(sid)["files"]) == 1
+    got = sorted(r.doc_id for r in t.read().collect())
+    assert got == sorted(r.doc_id for r in docs.collect())
+    assert t.read(5).count() == docs.where("doc_id % 10 < 5").count()  # history
+    out = t.expire_snapshots(keep_last=1)
+    assert len(out["deleted_files"]) == files_before
+    assert len(os.listdir(t.data_dir)) == 1
