@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--salt-buckets", type=int, default=8)
     p.add_argument("--engine", default="stub")
     p.add_argument("--html-method", default="auto")
+    p.add_argument(
+        "--snapshot-table",
+        default=None,
+        help="optional snapshot-versioned table path (plans/snapstore): "
+        "each run's newly completed buckets commit as ONE append "
+        "snapshot — atomic, time-travelable run outputs",
+    )
     return p
 
 
@@ -108,7 +115,22 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
         write_metrics(
             host_quality_metrics(extracted, args.run_id), args.metrics + "_hosts"
         )
-        return {"completed_parts": done, "heavy_hosts": heavy}
+        snapshot_id = None
+        if args.snapshot_table and done:
+            from pyspark.sql import functions as F
+
+            from medical_and_charity_document_extraction_system_spark.plans.snapstore import (
+                SnapshotTable,
+            )
+
+            snapshot_id = SnapshotTable(spark, args.snapshot_table).commit(
+                extracted.where(F.col("part_id").isin(done)), "append"
+            )
+        return {
+            "completed_parts": done,
+            "heavy_hosts": heavy,
+            "snapshot_id": snapshot_id,
+        }
     finally:
         if owns_spark:
             spark.stop()

@@ -32,7 +32,8 @@ spark-submit \
   --metrics "$WORK/metrics" \
   --manifest "$WORK/manifest" \
   --run-id smoke1 \
-  --buckets 16 2>&1 | tail -2
+  --buckets 16 \
+  --snapshot-table "$WORK/snaptbl" 2>&1 | tail -2
 
 python - "$WORK" <<'EOF'
 import sys
@@ -44,5 +45,11 @@ x = duckdb.sql(f"select sum(docs_in) from read_parquet('{work}/metrics/*.parquet
 assert n == 500, n
 assert m == 16, m
 assert x == 500, x
-print(f"spark-submit smoke OK: {n} docs extracted, {m} manifest buckets, metrics docs_in={x}")
+import json
+log = json.load(open(f"{work}/snaptbl/metadata/snapshot-log.json"))
+assert log[-1]["snapshot_id"] == 1 and log[-1]["operation"] == "append", log
+s = duckdb.sql(f"select count(*) from read_parquet('{work}/snaptbl/data/*.parquet')").fetchone()[0]
+assert s == 500, s
+print(f"spark-submit smoke OK: {n} docs extracted, {m} manifest buckets, "
+      f"metrics docs_in={x}, snapshot 1 committed with {s} rows")
 EOF
