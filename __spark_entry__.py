@@ -823,6 +823,42 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl change detection via set difference: crawl2 rewrites
+    every 10th document's text; exceptAll on (doc_id, fingerprint)
+    returns exactly the changed rows — the daily 'what must be
+    re-extracted' diff. Oracle: the changed population is doc_id
+    arithmetic."""
+    docs = _docs(spark, sf_dir)
+    crawl1 = docs.select("doc_id", ts.fingerprint_md5(F.col("text")).alias("fp"))
+    text2 = F.when(
+        F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+    ).otherwise(F.col("text"))
+    crawl2 = docs.select("doc_id", ts.fingerprint_md5(text2).alias("fp"))
+    return crawl2.exceptAll(crawl1).select("doc_id", "fp")
+
+
+def q_host_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source discrete p50/p95 of document length (value at row
+    ceil(p*n) of the sorted group — integer-exact, engine-portable,
+    unlike interpolated percentiles whose FP arithmetic differs).
+    Window rank + conditional min."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source", "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    return ranked.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        F.min(F.when(F.col("rk") >= F.ceil(F.col("n") * 0.5), F.col("n_chars"))).alias("p50_chars"),
+        F.min(F.when(F.col("rk") >= F.ceil(F.col("n") * 0.95), F.col("n_chars"))).alias("p95_chars"),
+    )
+
+
 def q_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible 10% sample — membership a pure function of the key
     (md5-prefix bucket), identical on any engine/run."""
@@ -1053,6 +1089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": q_session_windows,
         "events_rollup": q_events_rollup,
         "bm25_scores": q_bm25_scores,
+        "crawl_diff": q_crawl_diff,
+        "host_length_quantiles": q_host_length_quantiles,
         "sample_10pct": q_sample_10pct,
         "split_counts": q_split_counts,
         "top_docs_per_source": q_top_docs_per_source,
@@ -1106,6 +1144,8 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": oracles.events_rollup_sql(),
         # corpus-stat literals default to the gate's sf0.01 tables
         "bm25_scores": oracles.bm25_scores_sql(tuple(BM25_TERMS)),
+        "crawl_diff": oracles.crawl_diff_sql(),
+        "host_length_quantiles": oracles.host_length_quantiles_sql(),
         "sample_10pct": oracles.sample_10pct_sql(),
         "split_counts": oracles.split_counts_sql(),
         "top_docs_per_source": oracles.top_docs_per_source_sql(),

@@ -889,6 +889,38 @@ GROUP BY ROLLUP (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
 """
 
 
+def crawl_diff_sql() -> str:
+    """Twin of q_crawl_diff: exceptAll(crawl2, crawl1) on
+    (doc_id, md5) is exactly the rewritten rows (every 10th doc)."""
+    return """
+SELECT doc_id, md5(text || ' [rev2]') AS fp
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def host_length_quantiles_sql() -> str:
+    """Twin of q_host_length_quantiles. The 0.95 multiplier travels as
+    a quoted-repr DOUBLE: a bare 0.95 literal is DECIMAL in DuckDB and
+    its exact ceil() can differ from Spark's double arithmetic at
+    n*0.95 near an integer (e.g. n=40: double gives 38.000...004 ->
+    ceil 39, decimal gives exactly 38)."""
+    p50 = "CAST('0.5' AS DOUBLE)"
+    p95 = "CAST('0.95' AS DOUBLE)"
+    return f"""
+WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       min(CASE WHEN rk >= ceil(n * {p50}) THEN n_chars END) AS p50_chars,
+       min(CASE WHEN rk >= ceil(n * {p95}) THEN n_chars END) AS p95_chars
+FROM r GROUP BY source
+"""
+
+
 def snapshot_time_travel_sql() -> str:
     """Twin of q_snapshot_time_travel: snapshot 1 holds exactly the
     even-id docs, so reading it back must aggregate exactly those."""
