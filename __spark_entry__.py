@@ -823,6 +823,24 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus cleanup: lines appearing in >= 10 distinct
+    documents ("--- Page N ---" headers here; nav/footer boilerplate
+    in real crawls) are detected with one hash-agg and stripped from
+    every document via a broadcast anti-join, text reassembled in
+    line order (operators/chunking.frequent_lines /
+    remove_frequent_lines). Oracle: the same two passes over the
+    reconstructed extraction text."""
+    from medical_and_charity_document_extraction_system_spark.operators.chunking import (
+        frequent_lines,
+        remove_frequent_lines,
+    )
+
+    out = _extract(spark, sf_dir).select(_doc_id(), "text")
+    bp = frequent_lines(out, min_docs=10)
+    return remove_frequent_lines(out, bp)
+
+
 def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recrawl change detection via set difference: crawl2 rewrites
     every 10th document's text; exceptAll on (doc_id, fingerprint)
@@ -1089,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": q_session_windows,
         "events_rollup": q_events_rollup,
         "bm25_scores": q_bm25_scores,
+        "boilerplate_removal": q_boilerplate_removal,
         "crawl_diff": q_crawl_diff,
         "host_length_quantiles": q_host_length_quantiles,
         "sample_10pct": q_sample_10pct,
@@ -1144,6 +1163,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": oracles.events_rollup_sql(),
         # corpus-stat literals default to the gate's sf0.01 tables
         "bm25_scores": oracles.bm25_scores_sql(tuple(BM25_TERMS)),
+        "boilerplate_removal": oracles.boilerplate_removal_sql(),
         "crawl_diff": oracles.crawl_diff_sql(),
         "host_length_quantiles": oracles.host_length_quantiles_sql(),
         "sample_10pct": oracles.sample_10pct_sql(),

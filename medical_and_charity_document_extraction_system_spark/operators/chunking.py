@@ -24,6 +24,67 @@ from pyspark.sql import functions as F
 from ..functions.textstats import tokens
 
 
+def frequent_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    min_docs: int = 10,
+) -> DataFrame:
+    """Corpus-wide boilerplate detection (the C4/RefinedWeb cleanup):
+    a LINE is boilerplate when it appears in >= ``min_docs`` distinct
+    documents. One explode + one hash-agg; returns (line, n_docs).
+    At 10^12 docs the agg runs on line-hash keys with map-side
+    combine — the shuffle carries one row per distinct line, not per
+    occurrence."""
+    # array_distinct per document first, so a line repeated inside ONE
+    # doc counts that doc once
+    per_doc = df.select(
+        F.explode(F.array_distinct(F.split(F.col(text_col), "\n"))).alias("line")
+    )
+    return (
+        per_doc.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where((F.col("n_docs") >= min_docs) & (F.trim("line") != ""))
+    )
+
+
+def remove_frequent_lines(
+    df: DataFrame,
+    boilerplate: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Strip corpus-boilerplate lines from every document: lines
+    exploded WITH their position, anti-joined against the boilerplate
+    set (broadcastable — it is tiny relative to the corpus), and
+    reassembled in order. Returns (id, clean_text, n_removed)."""
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("ln", "line"),
+    )
+    kept = pos.join(F.broadcast(boilerplate.select("line")), "line", "left_anti")
+    removed = pos.join(F.broadcast(boilerplate.select("line")), "line", "left_semi")
+    clean = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("ln"), F.col("line")))
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text")
+    )
+    n_rm = removed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_removed"))
+    return (
+        clean.join(n_rm, id_col, "left")
+        .select(
+            id_col,
+            "clean_text",
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -89,6 +89,17 @@ def _words(s: str) -> str:
     return _WORDS.format(s=s)
 
 
+# the expected full text per document (shared by the flagship oracle
+# and every oracle that post-processes extraction text)
+_EXTRACT_TEXT_CASE = (
+    f"CASE WHEN m >= 14 AND m < 16 THEN '' "
+    f"WHEN m >= 10 AND m < 14 THEN {HDR1} || scan_text "
+    f"WHEN m >= 4 AND m < 10 THEN {HDR1} || text || {NL} || {NL} || "
+    f"'--- Page 2 ---' || {NL} || p2 "
+    f"ELSE {HDR1} || main END"
+)
+
+
 def extraction_doc_records_sql() -> str:
     """Expected document records (flagship oracle)."""
     return f"""
@@ -114,10 +125,7 @@ SELECT
   CAST(CASE WHEN m >= 14 AND m < 16 THEN 0.0
             WHEN m >= 10 AND m < 14 THEN 80 + length(scan_text) % 20
             ELSE 100.0 END AS DOUBLE) AS average_confidence,
-  CASE WHEN m >= 14 AND m < 16 THEN ''
-       WHEN m >= 10 AND m < 14 THEN {HDR1} || scan_text
-       WHEN m >= 4 AND m < 10 THEN {HDR1} || text || {NL} || {NL} || '--- Page 2 ---' || {NL} || p2
-       ELSE {HDR1} || main END AS text,
+  {_EXTRACT_TEXT_CASE} AS text,
   CASE WHEN m < 4 THEN 'text' WHEN m < 10 THEN 'text' WHEN m < 14 THEN 'stub'
        WHEN m < 16 THEN 'none' ELSE 'density_v1' END AS engine,
   lang
@@ -886,6 +894,44 @@ SELECT coalesce(event_type, '(all)') AS event_type,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY ROLLUP (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
+"""
+
+
+def boilerplate_removal_sql(min_docs: int = 10) -> str:
+    """Twin of q_boilerplate_removal over the reconstructed extraction
+    text: lines present in >= min_docs distinct documents (per-doc
+    distinct, blank lines never boilerplate) are stripped; remaining
+    lines reassemble in position order."""
+    return f"""
+WITH {base_cte()},
+doc_text AS (
+  SELECT doc_id, {_EXTRACT_TEXT_CASE} AS t FROM rec
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS line,
+         generate_subscripts(string_split(t, chr(10)), 1) AS ln
+  FROM doc_text
+),
+bp AS (
+  SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines)
+  GROUP BY line
+  HAVING count(*) >= {min_docs} AND trim(line) <> ''
+),
+kept AS (
+  SELECT * FROM lines WHERE line NOT IN (SELECT line FROM bp)
+),
+rem AS (
+  SELECT doc_id, count(*) AS n_removed
+  FROM lines WHERE line IN (SELECT line FROM bp) GROUP BY doc_id
+),
+clean AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT c.doc_id, c.clean_text,
+       CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed
+FROM clean c LEFT JOIN rem r ON r.doc_id = c.doc_id
 """
 
 

@@ -225,3 +225,28 @@ def test_bm25_ranks_term_frequency(spark):
     assert 2 not in out                      # matches no query term
     assert out[0] > out[1] > 0               # higher tf -> higher score
     assert out[3] > 0                        # rarer term scores
+
+
+def test_frequent_line_removal_semantics(spark):
+    """Boilerplate = lines in >= min_docs distinct documents; in-doc
+    repeats count once; blanks never boilerplate; reassembly keeps
+    line order; n_removed counts occurrences (not distinct lines)."""
+    from medical_and_charity_document_extraction_system_spark.operators.chunking import (
+        frequent_lines,
+        remove_frequent_lines,
+    )
+
+    rows = []
+    for i in range(12):
+        body = f"unique to {i}\nSUBSCRIBE NOW\ncontent {i}\nSUBSCRIBE NOW"
+        rows.append((i, body))
+    rows.append((12, "no boiler here\n\njust text"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bp = frequent_lines(df, min_docs=10)
+    bp_lines = {r.line for r in bp.collect()}
+    assert bp_lines == {"SUBSCRIBE NOW"}  # blank line NOT boilerplate
+    out = {r.doc_id: r for r in remove_frequent_lines(df, bp).collect()}
+    assert out[0].clean_text == "unique to 0\ncontent 0"
+    assert out[0].n_removed == 2  # both occurrences stripped
+    assert out[12].clean_text == "no boiler here\n\njust text"
+    assert out[12].n_removed == 0
