@@ -140,7 +140,7 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
 
 
 # ------------------------------------------------------------------ read
-def decode_gif(data: bytes) -> list[np.ndarray]:
+def _decode_gif_impl(data: bytes) -> list[np.ndarray]:
     """GIF bytes -> list of composited (H, W, 3) uint8 RGB frames."""
     data = bytes(data)
     if data[:6] not in GIF_MAGIC:
@@ -272,3 +272,14 @@ def encode_gif(frames: list[np.ndarray], loop: bool = True) -> bytes:
         out.append(0)
     out += b"\x3b"
     return bytes(out)
+
+
+def decode_gif(data: bytes) -> list[np.ndarray]:
+    """See ``_decode_gif_impl``. Malformed input of ANY shape raises
+    GifError: low-level struct/index/zlib failures from truncated or
+    spliced payloads are re-raised typed, so callers' degrade paths
+    (except GifError/ValueError) always catch them."""
+    try:
+        return _decode_gif_impl(data)
+    except (struct.error, IndexError) as exc:
+        raise GifError(f"malformed payload: {exc}") from None

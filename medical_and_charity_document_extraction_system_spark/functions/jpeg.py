@@ -229,7 +229,7 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
+def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     """JPEG bytes -> uint8 ndarray: (H,W) for 1 component, (H,W,3) RGB
     for 3 (YCbCr converted)."""
     data = bytes(data)
@@ -294,7 +294,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan = []
             for c in range(ns):
                 cid, tt = body[1 + 2 * c : 3 + 2 * c]
-                comp = next(x for x in comps if x["id"] == cid)
+                comp = next((x for x in comps if x["id"] == cid), None)
+                if comp is None:
+                    raise JpegError(f"SOS references unknown component {cid}")
                 scan.append((comp, tt >> 4, tt & 0xF))
             return _decode_scan(
                 data, pos + 2 + seglen, scan, qtables, htables, h, w,
@@ -604,3 +606,14 @@ def encode_jpeg(
     out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """See ``_decode_jpeg_impl``. Malformed input of ANY shape raises
+    JpegError: low-level struct/index/zlib failures from truncated or
+    spliced payloads are re-raised typed, so callers' degrade paths
+    (except JpegError/ValueError) always catch them."""
+    try:
+        return _decode_jpeg_impl(data)
+    except (struct.error, IndexError) as exc:
+        raise JpegError(f"malformed payload: {exc}") from None

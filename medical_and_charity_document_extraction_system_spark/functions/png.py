@@ -155,7 +155,7 @@ def _rows_to_samples(
     return expanded.reshape(h, -1)[:, :n]
 
 
-def decode_png(data: bytes, check_crc: bool = True) -> np.ndarray:
+def _decode_png_impl(data: bytes, check_crc: bool = True) -> np.ndarray:
     """PNG bytes -> ndarray: (H,W) gray, (H,W,2) gray+alpha, (H,W,3)
     RGB (incl. palette), (H,W,4) RGBA; uint8, or uint16 for 16-bit."""
     data = bytes(data)
@@ -276,3 +276,14 @@ def to_gray_u8(img: np.ndarray) -> np.ndarray:
     return (
         (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2] + 500) // 1000
     ).astype(np.uint8)
+
+
+def decode_png(data: bytes, check_crc: bool = True) -> np.ndarray:
+    """See ``_decode_png_impl``. Malformed input of ANY shape raises
+    PngError: low-level struct/index/zlib failures from truncated or
+    spliced payloads are re-raised typed, so callers' degrade paths
+    (except PngError/ValueError) always catch them."""
+    try:
+        return _decode_png_impl(data, check_crc)
+    except (struct.error, zlib.error, IndexError) as exc:
+        raise PngError(f"malformed payload: {exc}") from None

@@ -48,7 +48,7 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+def _decode_wav_impl(data: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes -> (int16 samples (n,) mono or (n, ch), sample_rate).
     8-bit PCM is rescaled to int16 ((x - 128) * 256, the exact
     inverse-free widening every decoder uses)."""
@@ -111,3 +111,14 @@ def audio_features(samples: np.ndarray, rate: int) -> dict:
         "rms": rms,
         "zero_crossings": int((signs[1:] != signs[:-1]).sum()),
     }
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """See ``_decode_wav_impl``. Malformed input of ANY shape raises
+    WavError: low-level struct/index/zlib failures from truncated or
+    spliced payloads are re-raised typed, so callers' degrade paths
+    (except WavError/ValueError) always catch them."""
+    try:
+        return _decode_wav_impl(data)
+    except (struct.error, IndexError) as exc:
+        raise WavError(f"malformed payload: {exc}") from None

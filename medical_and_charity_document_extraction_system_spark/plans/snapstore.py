@@ -74,14 +74,25 @@ class SnapshotTable:
             return json.load(f)
 
     # --------------------------------------------------------- commit
-    def commit(self, df: DataFrame, operation: str = "append") -> int:
+    def commit(
+        self, df: DataFrame, operation: str = "append", tag: str | None = None
+    ) -> int:
         """Write ``df``'s rows as new immutable data files and publish
         a new snapshot. ``operation``: 'append' (new files join the
         parent's) or 'overwrite' (table becomes exactly these files).
-        Returns the new snapshot id."""
+        ``tag`` makes the commit IDEMPOTENT: if a snapshot with the
+        same tag already exists, its id is returned and nothing is
+        written — the dedup handle a streaming foreachBatch sink needs
+        so an epoch replayed after a crash-before-checkpoint cannot
+        double-commit (Iceberg stores the same thing as
+        snapshot summary properties). Returns the snapshot id."""
         if operation not in ("append", "overwrite"):
             raise ValueError(f"unknown operation {operation!r}")
         snaps = self.snapshots()
+        if tag is not None:
+            for s in snaps:
+                if s.get("tag") == tag:
+                    return s["snapshot_id"]
         sid = snaps[-1]["snapshot_id"] + 1 if snaps else 1
         staging = os.path.join(self.path, f"_staging-{sid}")
         df.write.mode("overwrite").parquet(staging)
@@ -123,9 +134,10 @@ class SnapshotTable:
         }
         with open(os.path.join(self.meta_dir, f"manifest-{sid}.json"), "w") as f:
             json.dump(manifest, f, indent=1)
-        self._write_log(
-            snaps + [{"snapshot_id": sid, "operation": operation, "parent": parent}]
-        )
+        entry = {"snapshot_id": sid, "operation": operation, "parent": parent}
+        if tag is not None:
+            entry["tag"] = tag
+        self._write_log(snaps + [entry])
         return sid
 
     # ----------------------------------------------------------- read

@@ -186,8 +186,11 @@ def extraction_to_snapshot_stream(
     table (plans/snapstore.SnapshotTable) via foreachBatch — one
     append SNAPSHOT per micro-batch, so every drained batch is an
     atomic, time-travelable table version (the Iceberg streaming-sink
-    pattern; exactly-once comes from the streaming checkpoint +
-    epoch-id idempotence on restart)."""
+    pattern). Exactly-once: the commit is TAGGED with the epoch id, so
+    a batch replayed after a crash-before-checkpoint returns the
+    already-committed snapshot instead of double-appending — the
+    foreachBatch idempotence contract the Structured Streaming guide
+    requires of the sink."""
     from ..plans.snapstore import SnapshotTable
 
     stream = (
@@ -202,7 +205,7 @@ def extraction_to_snapshot_stream(
     table = SnapshotTable(spark, table_path)
 
     def commit_batch(batch_df, epoch_id: int) -> None:
-        table.commit(batch_df, "append")
+        table.commit(batch_df, "append", tag=f"epoch-{epoch_id}")
 
     writer = (
         out.writeStream.foreachBatch(commit_batch)

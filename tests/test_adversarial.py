@@ -72,3 +72,75 @@ def test_nasty_rerun_deterministic(spark, nasty_pages):
     a = sorted(map(tuple, run_extraction(nasty_pages).select("url", "text", "error").collect()))
     b = sorted(map(tuple, run_extraction(nasty_pages).select("url", "text", "error").collect()))
     assert a == b
+
+
+# ---------------------------------------------- codec/parser fuzzing
+def _mutations(valid: bytes, seed: int, n: int = 60):
+    """Truncations, byte flips, and splices of a valid payload —
+    every decoder must either succeed or raise its typed error."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    outs = []
+    for _ in range(n):
+        kind = rng.randint(3)
+        b = bytearray(valid)
+        if kind == 0 and len(b) > 1:  # truncate
+            b = b[: rng.randint(1, len(b))]
+        elif kind == 1 and len(b) > 0:  # flip random bytes
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randint(len(b))] = rng.randint(256)
+        else:  # splice two halves at a random cut
+            i, j = sorted(rng.randint(0, len(b), 2))
+            b = b[:i] + b[j:]
+        outs.append(bytes(b))
+    return outs
+
+
+def test_media_decoders_never_crash_uncontrolled():
+    import numpy as np
+
+    from medical_and_charity_document_extraction_system_spark.functions import (
+        gif, jpeg, minipdf, netpbm, png, wavpcm,
+    )
+    from medical_and_charity_document_extraction_system_spark.sources import warc
+
+    img = (np.arange(240, dtype=np.uint8).reshape(12, 20) * 3) % 256
+    rgb = np.stack([img] * 3, axis=2)
+    cases = [
+        (png.encode_png(img), png.decode_png, (png.PngError, ValueError)),
+        (jpeg.encode_jpeg(img), jpeg.decode_jpeg, (jpeg.JpegError, ValueError)),
+        (gif.encode_gif([rgb]), gif.decode_gif, (gif.GifError, ValueError)),
+        (wavpcm.encode_wav(np.arange(-50, 50, dtype=np.int16)),
+         wavpcm.decode_wav, (wavpcm.WavError, ValueError)),
+        (netpbm.encode(img), netpbm.decode, (ValueError,)),
+        (minipdf.build_pdf(["fuzz page"], xref_stream=True),
+         minipdf.extract_text_pages, (ValueError,)),
+    ]
+    for seed, (valid, decode, errs) in enumerate(cases):
+        decode(valid)  # sanity: the unmutated payload decodes
+        for payload in _mutations(valid, seed):
+            try:
+                decode(payload)
+            except errs:
+                pass  # the typed degrade path — exactly what callers catch
+
+
+def test_warc_parser_never_raises_on_mutations():
+    import datetime
+
+    from medical_and_charity_document_extraction_system_spark.sources.warc import (
+        _gunzip_members, build_warc_record, parse_warc,
+    )
+
+    rec = build_warc_record(
+        "https://h/x", datetime.datetime(2026, 1, 1), b"<p>hi</p>",
+        "text/html", "en",
+    )
+    import gzip as _gz
+
+    gz = _gz.compress(rec, 6, mtime=0)
+    for payload in _mutations(rec + rec, 7):
+        parse_warc(payload)  # contract: returns a list, never raises
+    for payload in _mutations(gz + gz, 8):
+        parse_warc(_gunzip_members(payload))

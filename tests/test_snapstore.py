@@ -125,3 +125,17 @@ def test_compact_rewrites_small_files(spark, docs, tmp_path):
     out = t.expire_snapshots(keep_last=1)
     assert len(out["deleted_files"]) == files_before
     assert len(os.listdir(t.data_dir)) == 1
+
+
+def test_tagged_commit_is_idempotent(spark, docs, tmp_path):
+    """The streaming-sink replay contract: committing the same tag
+    twice returns the original snapshot and writes nothing new."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    s1 = t.commit(docs.where("doc_id < 50"), "append", tag="epoch-0")
+    n_files = len(os.listdir(t.data_dir))
+    s1b = t.commit(docs.where("doc_id < 50"), "append", tag="epoch-0")
+    assert s1b == s1 == 1
+    assert len(os.listdir(t.data_dir)) == n_files  # no new data files
+    assert len(t.snapshots()) == 1
+    s2 = t.commit(docs.where("doc_id >= 450"), "append", tag="epoch-1")
+    assert s2 == 2 and t.read().count() == 100
