@@ -214,7 +214,9 @@ def _decode_gif_impl(data: bytes) -> list[np.ndarray]:
         frames.append(canvas.copy())
         # prepare canvas for the NEXT frame per this frame's disposal
         if disposal == 2:  # restore background over this frame's rect
-            bgcolor = ct[bg] if (gct is not None and bg < len(gct)) else 0
+            # the background index addresses the GLOBAL table (spec
+            # 18-19); a frame's local table must not be consulted
+            bgcolor = gct[bg] if (gct is not None and bg < len(gct)) else 0
             canvas[fy : fy + fh, fx : fx + fw] = bgcolor
         prev_rect = (fx, fy, fw, fh)
         transparent = None

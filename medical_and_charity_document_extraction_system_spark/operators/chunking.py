@@ -75,11 +75,15 @@ def remove_frequent_lines(
         ).alias("clean_text")
     )
     n_rm = removed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_removed"))
+    # anchor on the INPUT's ids: a document whose every line was
+    # boilerplate must surface as ('', n_removed), not vanish
     return (
-        clean.join(n_rm, id_col, "left")
+        df.select(id_col)
+        .join(clean, id_col, "left")
+        .join(n_rm, id_col, "left")
         .select(
             id_col,
-            "clean_text",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
             F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
         )
     )

@@ -431,14 +431,16 @@ def decode_image(payload: bytes) -> "np.ndarray":
     progressive JPEG) fall back to PIL when installed, else raise the
     documented gate."""
     from ..functions import imageio
-    from ..functions.jpeg import JpegError
 
     payload = bytes(payload)
     if imageio.sniff_format(payload) is not None:
         try:
             return imageio.decode_auto(payload)[0]
-        except JpegError:
-            if not _HAS_PIL:  # progressive/arithmetic JPEG
+        except ValueError:
+            # a recognized container our codec can't finish (e.g.
+            # progressive JPEG, exotic PNG): symmetric PIL fallback
+            # for every format, typed error without PIL
+            if not _HAS_PIL:
                 raise
     if _HAS_PIL:  # pragma: no cover - PIL absent in this container
         import io

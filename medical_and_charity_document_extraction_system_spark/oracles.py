@@ -748,7 +748,7 @@ def user_sessions_sql(gap_seconds: int = 1800) -> str:
     exactness."""
     return f"""
 WITH l AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, event_id, ts, value,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
   FROM events
 ),
@@ -759,7 +759,7 @@ f AS (
   FROM l
 ),
 s AS (
-  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq
   FROM f
 )
@@ -817,7 +817,7 @@ def session_windows_sql(gap_seconds: int = 1800) -> str:
     emitted end is last event ts + gap."""
     return f"""
 WITH l AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, event_id, ts, value,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
   FROM events
 ),
@@ -828,7 +828,7 @@ f AS (
   FROM l
 ),
 s AS (
-  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS sess
   FROM f
 )
@@ -852,7 +852,7 @@ def stream_user_sessions_sql(
     finishes."""
     return f"""
 WITH l AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, event_id, ts, value,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
   FROM events
 ),
@@ -863,7 +863,7 @@ f AS (
   FROM l
 ),
 s AS (
-  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS sess
   FROM f
 ),
@@ -929,9 +929,12 @@ clean AS (
   SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS clean_text
   FROM kept GROUP BY doc_id
 )
-SELECT c.doc_id, c.clean_text,
+SELECT d.doc_id,
+       coalesce(c.clean_text, '') AS clean_text,
        CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed
-FROM clean c LEFT JOIN rem r ON r.doc_id = c.doc_id
+FROM doc_text d
+LEFT JOIN clean c ON c.doc_id = d.doc_id
+LEFT JOIN rem r ON r.doc_id = d.doc_id
 """
 
 
@@ -1100,7 +1103,6 @@ FROM documents
 """
 
 
-@_functools.lru_cache(maxsize=4)
 @_functools.lru_cache(maxsize=None)
 def _image_preprocess_rows(
     n: int = 200, codec: str = "netpbm"

@@ -110,6 +110,10 @@ def pages_to_warc_files(
         import pandas as _pd
 
         for pdf in batches:
+            # shuffle-fetch order is NOT deterministic: sort by url
+            # inside the partition so two runs concatenate members in
+            # identical order (the byte-determinism contract)
+            pdf = pdf.sort_values("url", kind="mergesort")
             blobs = [
                 member(row) for row in pdf.itertuples(index=False)
             ]

@@ -203,9 +203,17 @@ def extraction_to_snapshot_stream(
     )
     out = run_extraction(stream, stream_cfg)
     table = SnapshotTable(spark, table_path)
+    # scope the idempotence tag to THIS logical stream: epoch ids
+    # restart at 0 for a fresh checkpoint, so a bare epoch tag would
+    # make a second stream into the same table silently drop its
+    # batches. The checkpoint dir is stable across restarts of the
+    # same query and distinct for new ones (Delta's txnAppId pattern).
+    import hashlib as _hashlib
+
+    stream_id = _hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()[:12]
 
     def commit_batch(batch_df, epoch_id: int) -> None:
-        table.commit(batch_df, "append", tag=f"epoch-{epoch_id}")
+        table.commit(batch_df, "append", tag=f"{stream_id}-epoch-{epoch_id}")
 
     writer = (
         out.writeStream.foreachBatch(commit_batch)

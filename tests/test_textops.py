@@ -250,3 +250,20 @@ def test_frequent_line_removal_semantics(spark):
     assert out[0].n_removed == 2  # both occurrences stripped
     assert out[12].clean_text == "no boiler here\n\njust text"
     assert out[12].n_removed == 0
+
+
+def test_remove_frequent_lines_keeps_all_boilerplate_docs(spark):
+    """A document made ENTIRELY of boilerplate must surface as
+    ('', n_removed), never vanish — docs-in == docs-out."""
+    from medical_and_charity_document_extraction_system_spark.operators.chunking import (
+        frequent_lines,
+        remove_frequent_lines,
+    )
+
+    rows = [(i, "AD LINE") for i in range(11)] + [(11, "real content\nAD LINE")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bp = frequent_lines(df, min_docs=10)
+    out = {r.doc_id: r for r in remove_frequent_lines(df, bp).collect()}
+    assert set(out) == set(range(12))  # nobody vanished
+    assert out[0].clean_text == "" and out[0].n_removed == 1
+    assert out[11].clean_text == "real content" and out[11].n_removed == 1
