@@ -295,6 +295,21 @@ def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix — the corpus
+    quality dashboard for language metadata drift (web crawls lie
+    about lang constantly; this is the table that quantifies it)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            F.col("lang").alias("declared"),
+            ts.lang_guess(F.col("text")).alias("detected"),
+        )
+        .groupBy("declared", "detected")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", ts.fingerprint_md5(F.col("text")).alias("fp")
@@ -1064,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_guess": q_lang_guess,
+        "lang_agreement": q_lang_agreement,
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1133,6 +1149,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": oracles.token_count_sql(),
         "quality_score": oracles.quality_score_sql(),
         "lang_guess": oracles.lang_guess_sql(),
+        "lang_agreement": oracles.lang_agreement_sql(),
         "fingerprint": oracles.fingerprint_sql(),
         "exact_dedup": oracles.exact_dedup_sql(),
         "ngram_jaccard": oracles.ngram_jaccard_sql(),

@@ -246,6 +246,19 @@ FROM c
 """
 
 
+def lang_agreement_sql() -> str:
+    """Twin of q_lang_agreement: the declared-vs-detected language
+    confusion matrix (the corpus-quality dashboard table), reusing the
+    lang_guess reconstruction verbatim."""
+    return f"""
+WITH g AS ({lang_guess_sql()})
+SELECT d.lang AS declared, g.lang_guess AS detected,
+       count(*) AS n_docs
+FROM documents d JOIN g ON g.doc_id = d.doc_id
+GROUP BY d.lang, g.lang_guess
+"""
+
+
 def fingerprint_sql() -> str:
     return "SELECT doc_id, md5(text) AS fp FROM documents"
 
