@@ -141,3 +141,49 @@ def test_sample_frames_gif_matches_frames_container(spark):
         # (disposal-2 background); the frame rect itself is identical
         rgb = gif.decode_gif(bytes(rb[k].frame))[0]
         assert (rgb[: gray.shape[0], : gray.shape[1], 0] == gray).all()
+
+
+def test_disposal2_background_uses_global_table_with_local_frames():
+    """Review regression: a frame with a small LOCAL color table and
+    disposal 2 must restore background from the GLOBAL table (a large
+    bg index would crash or recolor if the local table were used)."""
+    import numpy as np
+
+    from medical_and_charity_document_extraction_system_spark.functions.gif import (
+        _lzw_encode, decode_gif,
+    )
+
+    # global table: 8 colors, background index 6 (beyond the local
+    # table's 2 entries); logical screen 4x4
+    gct = np.zeros((8, 3), np.uint8)
+    gct[6] = [10, 20, 30]   # background color
+    gct[1] = [200, 0, 0]
+    data = bytearray(b"GIF89a")
+    data += struct.pack("<HHBBB", 4, 4, 0x80 | 2, 6, 0)  # 8-entry GCT, bg=6
+    data += gct.tobytes()
+    lct = np.array([[0, 0, 255], [0, 255, 0]], np.uint8)
+
+    def frame(idx_bytes, use_local, disposal):
+        out = bytearray()
+        out += bytes([0x21, 0xF9, 0x04, (disposal << 2), 0, 0, 0, 0])
+        flags = (0x80 | 0) if use_local else 0  # 2-entry local table
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 4, flags)
+        if use_local:
+            out += lct.tobytes()
+        mc = 2
+        lzw = _lzw_encode(idx_bytes, mc)
+        out.append(mc)
+        out.append(len(lzw))
+        out += lzw
+        out.append(0)
+        return out
+
+    # frame 1: local table, all index 1 (green), disposal 2
+    data += frame(bytes([1] * 16), use_local=True, disposal=2)
+    # frame 2: global table, all index 1 (red), disposal 0
+    data += frame(bytes([1] * 16), use_local=False, disposal=0)
+    data += b"\x3b"
+    frames = decode_gif(bytes(data))
+    assert len(frames) == 2
+    assert (frames[0] == [0, 255, 0]).all()   # local color
+    assert (frames[1] == [200, 0, 0]).all()   # painted over restored bg
