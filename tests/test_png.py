@@ -206,3 +206,38 @@ def test_to_gray_u8_luma():
     assert g[0, 0] == (299 * 255 + 500) // 1000
     assert g[0, 1] == (587 * 255 + 500) // 1000
     assert g[0, 2] == (299 * 10 + 587 * 20 + 114 * 30 + 500) // 1000
+
+
+def test_rgb16_roundtrip_via_handbuilt_stream():
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 65536, (5, 4, 3), dtype=np.uint16)
+    rows = img.astype(">u2").reshape(5, -1).view(np.uint8).reshape(5, 24)
+    raw = _filter_rows(rows, bpp=6, ftype=lambda y: y % 5)
+    data = _build_png(4, 5, 16, 2, raw)
+    out = decode_png(data)
+    assert out.dtype == np.uint16 and (out == img).all()
+
+
+@pytest.mark.parametrize("depth", [2, 4])
+def test_subbyte_palette(depth):
+    """Palette indices below 8 bits: unpacked but NOT scaled (scaling
+    applies to gray samples only)."""
+    n = 1 << depth
+    plte = bytes(range(3 * n))
+    w, h = 5, 2
+    vals = (np.arange(w * h).reshape(h, w) % n).astype(np.uint8)
+    per_byte = 8 // depth
+    rows = []
+    for y in range(h):
+        packed = bytearray()
+        for i in range(0, w, per_byte):
+            byte = 0
+            for j, v in enumerate(vals[y, i : i + per_byte]):
+                byte |= int(v) << (8 - depth * (j + 1))
+            packed.append(byte)
+        rows.append(bytes(packed))
+    arr = np.frombuffer(b"".join(rows), np.uint8).reshape(h, len(rows[0]))
+    raw = _filter_rows(arr, bpp=1, ftype=0)
+    data = _build_png(w, h, depth, 3, raw, plte=plte)
+    pal = np.frombuffer(plte, np.uint8).reshape(n, 3)
+    assert (decode_png(data) == pal[vals]).all()
