@@ -503,7 +503,7 @@ def encode_jpeg(
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
         raise JpegError(f"unsupported image shape {image.shape}")
-    if subsampling not in ("444", "420"):
+    if subsampling not in ("444", "422", "420"):
         raise JpegError(f"unsupported subsampling {subsampling!r}")
     h, w = img.shape[:2]
     if h == 0 or w == 0:
@@ -521,7 +521,11 @@ def encode_jpeg(
         cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
         cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
         planes = [y, cb, cr]
-        samp = [(2, 2), (1, 1), (1, 1)] if subsampling == "420" else [(1, 1)] * 3
+        samp = {
+            "444": [(1, 1)] * 3,
+            "422": [(2, 1), (1, 1), (1, 1)],  # chroma halved horizontally
+            "420": [(2, 2), (1, 1), (1, 1)],
+        }[subsampling]
         qsel = [0, 1, 1]
 
     hmax = max(s[0] for s in samp)

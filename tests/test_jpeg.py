@@ -25,13 +25,15 @@ def test_gray_roundtrip_quality_bounds():
         assert np.abs(out.astype(int) - img.astype(int)).max() <= bound
 
 
-def test_rgb_444_and_420_roundtrip():
+def test_rgb_444_422_420_roundtrip():
     g = _smooth()
     rgb = np.stack([g, 255 - g, np.roll(g, 7, axis=1)], axis=2)
     out444 = decode_jpeg(encode_jpeg(rgb, quality=92, subsampling="444"))
+    out422 = decode_jpeg(encode_jpeg(rgb, quality=92, subsampling="422"))
     out420 = decode_jpeg(encode_jpeg(rgb, quality=92, subsampling="420"))
-    assert out444.shape == out420.shape == rgb.shape
+    assert out444.shape == out422.shape == out420.shape == rgb.shape
     assert np.abs(out444.astype(int) - rgb.astype(int)).mean() < 3
+    assert np.abs(out422.astype(int) - rgb.astype(int)).mean() < 5
     assert np.abs(out420.astype(int) - rgb.astype(int)).mean() < 6
 
 
