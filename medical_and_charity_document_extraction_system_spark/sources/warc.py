@@ -211,15 +211,32 @@ def parse_warc(stream: bytes) -> list[dict]:
     return out
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(
+    spark: SparkSession, path: str, with_provenance: bool = False
+) -> DataFrame:
     """``.warc.gz`` files -> pages DataFrame (url, warc_ts, html,
-    text, lang). One file per task (binaryFile source)."""
-    files = spark.read.format("binaryFile").load(path).select("content")
+    text, lang). One file per task (binaryFile source).
+    ``with_provenance`` appends ``warc_file`` — which archive each
+    page came from (the lineage column a crawl pipeline records so a
+    bad extraction can be traced to its source file and that one file
+    reprocessed); the extraction plan's column pruning drops it for
+    free when unused."""
+    cols = ["content"] + (["path"] if with_provenance else [])
+    files = spark.read.format("binaryFile").load(path).select(*cols)
+    out_cols = ("url", "warc_ts", "html", "text", "lang") + (
+        ("warc_file",) if with_provenance else ()
+    )
+    schema = (
+        PAGES_SCHEMA
+        if not with_provenance
+        else T.StructType(PAGES_SCHEMA.fields + [T.StructField("warc_file", T.StringType(), True)])
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {k: [] for k in ("url", "warc_ts", "html", "text", "lang")}
-            for content in pdf["content"]:
+            rows = {k: [] for k in out_cols}
+            paths = pdf["path"] if with_provenance else [None] * len(pdf)
+            for content, src in zip(pdf["content"], paths):
                 for rec in parse_warc(_gunzip_members(bytes(content))):
                     rows["url"].append(rec["url"])
                     rows["warc_ts"].append(rec["warc_ts"])
@@ -232,6 +249,8 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                         rows["html"].append(rec["payload"])
                         rows["text"].append(None)
                     rows["lang"].append(rec["lang"])
+                    if with_provenance:
+                        rows["warc_file"].append(src)
             yield pd.DataFrame(rows)
 
-    return files.mapInPandas(run, schema=PAGES_SCHEMA)
+    return files.mapInPandas(run, schema=schema)

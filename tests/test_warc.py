@@ -76,3 +76,14 @@ def test_warc_files_deterministic(spark, pages_small, tmp_path):
     a = pages_to_warc_files(pages_small, str(tmp_path / "a"), n_files=3)
     b = pages_to_warc_files(pages_small, str(tmp_path / "b"), n_files=3)
     assert [open(p, "rb").read() for p in a] == [open(p, "rb").read() for p in b]
+
+
+def test_read_warc_provenance_column(spark, pages_small, tmp_path):
+    paths = pages_to_warc_files(pages_small, str(tmp_path / "w"), n_files=3)
+    back = read_warc(spark, str(tmp_path / "w"), with_provenance=True)
+    assert "warc_file" in back.columns
+    rows = back.select("url", "warc_file").collect()
+    assert all(r.warc_file.endswith(".warc.gz") for r in rows)
+    # every member file contributed, and counts reconcile
+    assert len({r.warc_file.rsplit("/", 1)[-1] for r in rows}) == len(paths)
+    assert len(rows) == pages_small.count()
