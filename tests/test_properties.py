@@ -258,3 +258,83 @@ def test_jpeg_decode_total_on_own_encoder(h, w, seed):
     assert out.shape == (h, w)
     assert np.abs(out.astype(int) - base).max() <= 2
     assert (decode_jpeg(encode_jpeg(img, quality=95)) == out).all()
+
+
+# ------------------------------------------------ text-op invariants
+_URLISH = st.builds(
+    lambda scheme, host, port, path, params, frag: (
+        scheme + host + port + path
+        + ("?" + "&".join(params) if params else "")
+        + frag
+    ),
+    st.sampled_from(["http://", "https://", "HTTP://", "HTTPS://"]),
+    st.sampled_from(["Example.COM", "host7.example.com", "a-b.cz"]),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.sampled_from(["", "/", "/a/B", "/a/b/", "/a//"]),
+    st.lists(
+        st.sampled_from(
+            ["x=1", "utm_source=f", "q=Case", "fbclid=9", "gclid=", "page=2"]
+        ),
+        max_size=3,
+    ),
+    st.sampled_from(["", "#frag", "#a?b"]),
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_URLISH, min_size=1, max_size=12, unique=True))
+def test_canonical_url_idempotent(spark, urls):
+    """canonical(canonical(u)) == canonical(u): the canonical form is
+    a fixpoint — the property that makes dedup keys stable across
+    repeated normalization passes."""
+    from pyspark.sql import functions as F
+
+    from medical_and_charity_document_extraction_system_spark.functions.urlnorm import (
+        canonical_url,
+    )
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonical_url(F.col("url")).alias("c"))
+    twice = once.select(canonical_url(F.col("c")).alias("c2"))
+    a = [r.c for r in once.collect()]
+    b = [r.c2 for r in twice.collect()]
+    assert a == b
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E)
+        | st.sampled_from("\n$,./-@"),
+        max_size=120,
+    )
+)
+def test_redaction_idempotent(raw):
+    """redact(redact(x)) == redact(x): replacement tokens never
+    re-trigger any rule, so a twice-cleaned corpus equals a
+    once-cleaned one."""
+    from medical_and_charity_document_extraction_system_spark.functions.redact import (
+        redact_python,
+    )
+
+    once = redact_python(raw)
+    assert redact_python(once) == once
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(1, 500), st.integers(2, 64), st.integers(0, 32))
+def test_chunk_window_arithmetic_covers_every_token(n, chunk_size, overlap):
+    """Pure mirror of the chunking arithmetic: the windows cover every
+    token index, overlap exactly as configured, and the final chunk is
+    never empty."""
+    if overlap >= chunk_size:
+        return
+    step = chunk_size - overlap
+    k = 1 if n <= chunk_size else (n - chunk_size + step - 1) // step + 1
+    covered = set()
+    for i in range(k):
+        start = i * step
+        end = min(start + chunk_size, n)
+        assert end > start  # never an empty chunk
+        covered.update(range(start, end))
+    assert covered == set(range(n))
