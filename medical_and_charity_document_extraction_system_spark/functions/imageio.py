@@ -3,22 +3,28 @@
 The pipeline's image stages (operators/preprocess.py,
 operators/multimodal.py) accept any supported container and emit their
 output in the SAME container they were fed — netpbm (P5/P6), PNG
-(functions/png.py) or baseline JPEG (functions/jpeg.py), all pure
-Python. Other compressed formats (WebP/GIF/TIFF) need PIL/cv2 (absent
-here) and degrade to a clear error row; reference analog loads any
-cv2-readable format (/root/reference/backend/app/utils/
-file_utils.py:129-173).
+(functions/png.py), baseline JPEG (functions/jpeg.py), GIF
+(functions/gif.py, first frame), BMP (functions/bmp.py) and
+uncompressed TIFF (functions/tiff.py), all pure Python. This covers
+every image suffix the reference accepts
+(/root/reference/backend/app/utils/file_utils.py:271-273) except WebP
+(VP8 entropy coding needs a real codec library, absent here), which
+degrades to a clear error row; reference analog loads any
+cv2-readable format (file_utils.py:129-173).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from . import jpeg, netpbm, png
+from . import bmp, gif, jpeg, netpbm, png, tiff
 
 FORMAT_PNG = "png"
 FORMAT_NETPBM = "netpbm"
 FORMAT_JPEG = "jpeg"
+FORMAT_GIF = "gif"
+FORMAT_BMP = "bmp"
+FORMAT_TIFF = "tiff"
 
 _JPEG_MAGIC = b"\xff\xd8\xff"
 
@@ -35,19 +41,31 @@ def sniff_format(payload: bytes) -> str | None:
         return FORMAT_NETPBM
     if payload.startswith(_JPEG_MAGIC):
         return FORMAT_JPEG
+    if payload[:6] in gif.GIF_MAGIC:
+        return FORMAT_GIF
+    if payload[:2] == bmp.BMP_MAGIC and len(payload) >= 54:
+        return FORMAT_BMP
+    if payload[:4] in (tiff.TIFF_MAGIC_LE, tiff.TIFF_MAGIC_BE):
+        return FORMAT_TIFF
     return None
 
 
 def decode_auto(payload: bytes) -> tuple[np.ndarray, str]:
     """bytes -> (ndarray, format). Results are collapsed to the shapes
     the numpy kernels understand: gray (H,W) or RGB (H,W,3) uint8
-    (16-bit PNG scaled down, alpha dropped)."""
+    (16-bit PNG scaled down, alpha dropped, GIF first frame)."""
     payload = bytes(payload)
     fmt = sniff_format(payload)
     if fmt == FORMAT_NETPBM:
         return netpbm.decode(payload), fmt
     if fmt == FORMAT_JPEG:
         return jpeg.decode_jpeg(payload), fmt
+    if fmt == FORMAT_GIF:
+        return gif.decode_gif(payload)[0], fmt
+    if fmt == FORMAT_BMP:
+        return bmp.decode_bmp(payload), fmt
+    if fmt == FORMAT_TIFF:
+        return tiff.decode_tiff(payload), fmt
     if fmt == FORMAT_PNG:
         img = png.decode_png(payload)
         if img.dtype == np.uint16:
@@ -57,17 +75,30 @@ def decode_auto(payload: bytes) -> tuple[np.ndarray, str]:
         elif img.ndim == 3 and img.shape[2] == 4:  # RGBA -> RGB
             img = img[:, :, :3]
         return img, fmt
-    raise ValueError("unrecognized image container (not PNG/JPEG/netpbm)")
+    raise ValueError(
+        "unrecognized image container (not PNG/JPEG/GIF/BMP/TIFF/netpbm)"
+    )
 
 
 def encode_as(image: np.ndarray, fmt: str) -> bytes:
     """ndarray -> bytes in the given container (round-trips the format
     the stage was fed, so PNG/JPEG corpora stay PNG/JPEG end-to-end).
-    JPEG is lossy by nature; quality is pinned for determinism."""
+    JPEG is lossy by nature; quality is pinned for determinism. GIF is
+    palette-bound (RGB, <=256 distinct colors), so gray inputs are
+    expanded — a decoded GIF therefore comes back as (H, W, 3)."""
     if fmt == FORMAT_PNG:
         return png.encode_png(image)
     if fmt == FORMAT_NETPBM:
         return netpbm.encode(image)
     if fmt == FORMAT_JPEG:
         return jpeg.encode_jpeg(image, quality=_JPEG_OUT_QUALITY)
+    if fmt == FORMAT_GIF:
+        arr = np.asarray(image, np.uint8)
+        if arr.ndim == 2:
+            arr = np.repeat(arr[:, :, None], 3, axis=2)
+        return gif.encode_gif([arr])
+    if fmt == FORMAT_BMP:
+        return bmp.encode_bmp(image)
+    if fmt == FORMAT_TIFF:
+        return tiff.encode_tiff(image)
     raise ValueError(f"unknown image format {fmt!r}")

@@ -42,6 +42,7 @@ _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
 _CONTENTS_RE = re.compile(rb"/Contents\s+(?:\[(.*?)\]|(\d+)\s+\d+\s+R)", re.DOTALL)
 
 _OP_RE = re.compile(rb"[A-Za-z'\"*][A-Za-z0-9'\"*]*")
+_NAME_RE = re.compile(rb"/([^\s/<>\[\]()%]*)")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 
 _ESCAPES = {
@@ -108,8 +109,99 @@ def _unescape_pdf_string(raw: bytes) -> str:
 
 
 # ------------------------------------------------------------------ write
+def _stream_obj(body: bytes, compress: bool) -> bytes:
+    if compress:
+        data = zlib.compress(body, 9)
+        return (
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(data)
+            + data + b"\nendstream"
+        )
+    return b"<< /Length %d >>\nstream\n" % len(body) + body + b"\nendstream"
+
+
+def _tounicode_cmap(chars: list[str]) -> bytes:
+    """A /ToUnicode CMap stream body mapping subset CIDs (1-based,
+    first-appearance order — the subsetted-font shape real generators
+    emit) to Unicode, bfchar blocks capped at 100 entries per the
+    CMap spec."""
+    out = bytearray(
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) "
+        b"/Supplement 0 >> def\n"
+        b"/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    )
+    for start in range(0, len(chars), 100):
+        block = chars[start : start + 100]
+        out += b"%d beginbfchar\n" % len(block)
+        for i, ch in enumerate(block, start=start):
+            dst = ch.encode("utf-16-be").hex().upper().encode()
+            out += b"<%04X> <" % (i + 1) + dst + b">\n"
+        out += b"endbfchar\n"
+    out += (
+        b"endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n"
+    )
+    return bytes(out)
+
+
+def _type0_objects(pages: list[str], compress: bool) -> tuple[list[bytes], int]:
+    """Object list for the Type0 (composite, Identity-H, subsetted-CID)
+    font shape — the other common modern-writer generation: text shows
+    are 2-byte CID hex strings meaningless without the font's
+    /ToUnicode CMap (reference handles these via fitz,
+    pdf_service.py:174-229). Layout: 1 catalog, 2 page tree, 3 Type0
+    font, 4 CIDFontType2 descendant, 5..4+n page dicts (all
+    non-stream), then 5+n ToUnicode stream and 6+n..5+2n content
+    streams (streams stay top-level for the ObjStm assembly)."""
+    n_pages = len(pages)
+    chars: list[str] = []
+    seen: set[str] = set()
+    for page in pages:
+        for line in page.split("\n"):
+            for ch in line:
+                if ch not in seen:
+                    seen.add(ch)
+                    chars.append(ch)
+    if len(chars) > 0xFFFF:
+        raise ValueError("too many distinct characters for a 2-byte CID subset")
+    cid_of = {ch: i + 1 for i, ch in enumerate(chars)}
+    tounicode_id = 5 + n_pages
+    kids = b" ".join(b"%d 0 R" % (5 + i) for i in range(n_pages))
+    objs: list[bytes] = []
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages)
+    objs.append(
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+Synthetic "
+        b"/Encoding /Identity-H /DescendantFonts [4 0 R] "
+        b"/ToUnicode %d 0 R >>" % tounicode_id
+    )
+    objs.append(
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /AAAAAA+Synthetic "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> /DW 1000 >>"
+    )
+    for i in range(n_pages):
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
+            % (6 + n_pages + i)
+        )
+    objs.append(_stream_obj(_tounicode_cmap(chars), compress))
+    for page in pages:
+        shows = []
+        for line in page.split("\n"):
+            hexs = "".join("%04X" % cid_of[ch] for ch in line)
+            shows.append(b"<" + hexs.encode("ascii") + b"> Tj")
+        body = b"BT /F1 11 Tf 72 720 Td " + b" 0 -14 Td ".join(shows) + b" ET"
+        objs.append(_stream_obj(body, compress))
+    return objs, 4 + n_pages
+
+
 def build_pdf(
-    pages: list[str], compress: bool = True, xref_stream: bool = False
+    pages: list[str],
+    compress: bool = True,
+    xref_stream: bool = False,
+    font: str = "type1",
 ) -> bytes:
     """Emit a valid single-font text PDF, one input string per page;
     lines inside a page become separate Tj shows with Td line moves.
@@ -121,47 +213,46 @@ def build_pdf(
     top-level (streams cannot live inside an ObjStm, spec 7.5.7), and
     a /W-packed FlateDecode cross-reference STREAM with type-1 and
     type-2 entries — the dominant shape modern generators write and
-    the fixture source for the reader's xref-stream path."""
-    objs: list[bytes] = []  # 1-indexed bodies, object n = index n-1
+    the fixture source for the reader's xref-stream path.
+
+    ``font="type0"`` emits the subsetted-CID composite-font shape
+    (Identity-H Type0 + /ToUnicode CMap, 2-byte hex CID shows) — the
+    other common modern generation, readable only through the CMap."""
     n_pages = len(pages)
-    # 1: catalog, 2: page tree, 3: font; pages at 4..3+n; contents after
-    kids = b" ".join(b"%d 0 R" % (4 + i) for i in range(n_pages))
-    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
-    objs.append(
-        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
-    )
-    objs.append(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
-    )
-    content_ids = []
-    for i in range(n_pages):
-        cid = 4 + n_pages + i
-        content_ids.append(cid)
+    if font == "type0":
+        objs, n_nonstream = _type0_objects(pages, compress)
+    elif font == "type1":
+        objs = []  # 1-indexed bodies, object n = index n-1
+        # 1: catalog, 2: page tree, 3: font; pages 4..3+n; contents after
+        kids = b" ".join(b"%d 0 R" % (4 + i) for i in range(n_pages))
+        objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
         objs.append(
-            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>" % cid
+            b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
         )
-    for i, page in enumerate(pages):
-        shows = []
-        for line in page.split("\n"):
-            shows.append(_show_operand(line) + b" Tj")
-        body = (
-            b"BT /F1 11 Tf 72 720 Td "
-            + b" 0 -14 Td ".join(shows)
-            + b" ET"
+        objs.append(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
         )
-        if compress:
-            data = zlib.compress(body, 9)
+        for i in range(n_pages):
             objs.append(
-                b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(data)
-                + data + b"\nendstream"
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
+                % (4 + n_pages + i)
             )
-        else:
-            objs.append(
-                b"<< /Length %d >>\nstream\n" % len(body) + body + b"\nendstream"
+        for page in pages:
+            shows = []
+            for line in page.split("\n"):
+                shows.append(_show_operand(line) + b" Tj")
+            body = (
+                b"BT /F1 11 Tf 72 720 Td "
+                + b" 0 -14 Td ".join(shows)
+                + b" ET"
             )
+            objs.append(_stream_obj(body, compress))
+        n_nonstream = 3 + n_pages
+    else:
+        raise ValueError(f"unknown font shape {font!r}")
     if xref_stream:
-        return _assemble_xref_stream(objs, n_pages)
+        return _assemble_xref_stream(objs, n_nonstream)
     # assemble with the classic xref table
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
@@ -180,11 +271,10 @@ def build_pdf(
     return bytes(out)
 
 
-def _assemble_xref_stream(objs: list[bytes], n_pages: int) -> bytes:
-    """PDF 1.5 assembly: non-stream objects (1..3+n: catalog, page
-    tree, font, page dicts) into one ObjStm; content streams
-    (4+n..3+2n) top-level; then the /W [1 4 2] xref stream."""
-    n_nonstream = 3 + n_pages
+def _assemble_xref_stream(objs: list[bytes], n_nonstream: int) -> bytes:
+    """PDF 1.5 assembly: the first ``n_nonstream`` objects (catalog,
+    page tree, font dicts, page dicts) into one ObjStm; stream objects
+    (ToUnicode, content) top-level; then the /W [1 4 2] xref stream."""
     stm_id = len(objs) + 1  # the ObjStm
     xref_id = len(objs) + 2  # the xref stream
     out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
@@ -433,6 +523,125 @@ def _load_objects(data: bytes) -> dict[int, bytes]:
     return objs
 
 
+# --------------------------------------------------- Type0 / CMap read
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_CMAP_TOK_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>|\[|\]")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
+_FONT_ENTRY_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
+_RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
+
+
+def _hex_to_unicode(h: bytes) -> str:
+    compact = b"".join(h.split())
+    if len(compact) % 2:
+        compact += b"0"
+    return bytes.fromhex(compact.decode("ascii")).decode("utf-16-be", "replace")
+
+
+def _parse_tounicode(body: bytes) -> dict[int, str]:
+    """/ToUnicode CMap stream -> {2-byte code: unicode str}. Handles
+    bfchar pairs and all three bfrange entry shapes (spec 9.10.3):
+    <lo> <hi> <dstStart> (last UTF-16 unit increments across the
+    range) and <lo> <hi> [<dst> ...] (one dst per code)."""
+    data = _stream_bytes(body)
+    cmap: dict[int, str] = {}
+    for m in _BFCHAR_RE.finditer(data):
+        toks = [t for t in _CMAP_TOK_RE.findall(m.group(1)) if t]
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            cmap[int(b"".join(src.split()), 16)] = _hex_to_unicode(dst)
+    for m in _BFRANGE_RE.finditer(data):
+        toks: list = []
+        for tm in _CMAP_TOK_RE.finditer(m.group(1)):
+            if tm.group(0) == b"[":
+                toks.append("[")
+            elif tm.group(0) == b"]":
+                toks.append("]")
+            else:
+                toks.append(tm.group(1))
+        i = 0
+        while i < len(toks):
+            if not isinstance(toks[i], bytes) or i + 2 >= len(toks):
+                break
+            lo = int(b"".join(toks[i].split()), 16)
+            hi = int(b"".join(toks[i + 1].split()), 16)
+            if toks[i + 2] == "[":
+                j = i + 3
+                code = lo
+                while j < len(toks) and toks[j] != "]":
+                    cmap[code] = _hex_to_unicode(toks[j])
+                    code += 1
+                    j += 1
+                i = j + 1
+            else:
+                base = _hex_to_unicode(toks[i + 2])
+                for k in range(hi - lo + 1):
+                    # increment the LAST code unit (spec 9.10.3 note)
+                    cmap[lo + k] = base[:-1] + chr(ord(base[-1]) + k) if base else ""
+                i += 3
+    return cmap
+
+
+def _cid_decode(raw: bytes, cmap: dict[int, str]) -> str:
+    """2-byte-code string bytes -> text via the font's ToUnicode map;
+    unmapped codes become U+FFFD (what fitz shows for them)."""
+    if len(raw) % 2:
+        raw += b"\x00"
+    return "".join(
+        cmap.get(int.from_bytes(raw[i : i + 2], "big"), "�")
+        for i in range(0, len(raw), 2)
+    )
+
+
+def _font_cmap(objs: dict[int, bytes], num: int) -> dict[int, str] | None:
+    """Font object -> ToUnicode map for Type0 fonts, None for simple
+    (single-byte) fonts. Type0 without a usable /ToUnicode raises so
+    callers degrade to the scanned/error route instead of emitting
+    garbage codes (pdf_service.py:258 semantics)."""
+    body = objs.get(num)
+    if body is None or not re.search(rb"/Subtype\s*/Type0\b", body):
+        return None
+    if not re.search(rb"/Encoding\s*/Identity-[HV]\b", body):
+        raise ValueError("Type0 font with a non-Identity CMap encoding")
+    tm = _TOUNICODE_RE.search(body)
+    if tm is None:
+        raise ValueError("Type0 font without /ToUnicode")
+    tobody = objs.get(int(tm.group(1)))
+    if tobody is None:
+        raise ValueError("/ToUnicode object missing")
+    cmap = _parse_tounicode(tobody)
+    if not cmap:
+        raise ValueError("empty /ToUnicode CMap")
+    return cmap
+
+
+def _page_fonts(
+    page_body: bytes,
+    objs: dict[int, bytes],
+    parents: list[bytes],
+    cache: dict[int, dict[int, str] | None],
+) -> dict[bytes, dict[int, str] | None]:
+    """Resolve the page's /Resources /Font dict (inline or indirect,
+    falling back to inherited page-tree resources) to
+    {font resource name: ToUnicode map or None}."""
+    for src in (page_body, *parents):
+        rm = _RESOURCES_REF_RE.search(src)
+        if rm is not None:
+            src = objs.get(int(rm.group(1)), b"")
+        fm = _FONT_DICT_RE.search(src)
+        if fm is None:
+            continue
+        fonts: dict[bytes, dict[int, str] | None] = {}
+        for name, num in _FONT_ENTRY_RE.findall(fm.group(1)):
+            n = int(num)
+            if n not in cache:
+                cache[n] = _font_cmap(objs, n)
+            fonts[name] = cache[n]
+        return fonts
+    return {}
+
+
 def _tokenize_content(content: bytes):
     """Linear scan of a content stream into (kind, payload) tokens:
     ``('str', bytes)`` for literal strings (balanced parens, escapes),
@@ -472,30 +681,45 @@ def _tokenize_content(content: bytes):
                 break
             yield ("hex", content[i + 1 : j])
             i = j + 1
+        elif c == 0x2F:  # '/' — name (a Tf operand selects the font)
+            m = _NAME_RE.match(content, i)
+            yield ("name", m.group(1))
+            i = m.end()
         else:
             m = _OP_RE.match(content, i)
             if m is not None:
                 yield ("op", m.group(0))
                 i = m.end()
             else:
-                i += 1  # numbers, names, delimiters, whitespace
+                i += 1  # numbers, delimiters, whitespace
 
 
 _SHOW_NEWLINE_OPS = (b"'", b'"')  # shows that imply move-to-next-line
 _MOVE_OPS = (b"Td", b"TD", b"T*")
 
 
-def _text_from_content(content: bytes) -> str:
+def _text_from_content(
+    content: bytes,
+    fonts: dict[bytes, dict[int, str] | None] | None = None,
+) -> str:
     """Concatenate text shows between BT..ET; Td/TD/T* (and the
     '/\" show variants) between shows start a new line — what a
     layout-aware extractor (fitz get_text) returns for
     build_pdf-shaped pages. Postfix evaluation: string/hex operands
-    collect until an operator consumes or discards them."""
+    collect until an operator consumes or discards them.
+
+    ``fonts`` maps the page's font resource names to ToUnicode maps
+    (None for simple single-byte fonts); the ``Tf`` operator switches
+    the active map, under which show operands are decoded as 2-byte
+    CIDs (Type0/Identity-H) instead of byte codes."""
+    fonts = fonts or {}
     lines: list[str] = []
     cur: list[str] = []
     pending: list[str] = []
     in_text = False
     first_move = True
+    last_name: bytes | None = None
+    cur_cmap: dict[int, str] | None = None
 
     def newline() -> None:
         nonlocal first_move
@@ -506,12 +730,30 @@ def _text_from_content(content: bytes) -> str:
         cur.clear()
 
     for kind, payload in _tokenize_content(content):
-        if kind == "str":
+        if kind == "name":
+            last_name = payload
+        elif kind == "str":
             if in_text:
-                pending.append(_unescape_pdf_string(payload))
+                if cur_cmap is not None:
+                    raw = _unescape_pdf_string(payload).encode("latin-1")
+                    pending.append(_cid_decode(raw, cur_cmap))
+                else:
+                    pending.append(_unescape_pdf_string(payload))
         elif kind == "hex":
             if in_text:
-                pending.append(_decode_hex_string(payload))
+                if cur_cmap is not None:
+                    compact = b"".join(payload.split())
+                    if len(compact) % 2:
+                        compact += b"0"
+                    pending.append(
+                        _cid_decode(bytes.fromhex(compact.decode("ascii")), cur_cmap)
+                    )
+                else:
+                    pending.append(_decode_hex_string(payload))
+        elif payload == b"Tf":
+            if last_name is not None:
+                cur_cmap = fonts.get(last_name)
+            pending.clear()
         elif payload == b"BT":
             in_text, first_move = True, True
             pending.clear()
@@ -573,6 +815,8 @@ def extract_text_pages(data: bytes) -> list[str]:
     ]
     if not page_ids:
         raise ValueError("PDF has no pages")
+    parents = [b for _, b in sorted(pages_nodes)]
+    font_cache: dict[int, dict[int, str] | None] = {}
     out = []
     for pid in page_ids:
         cm = _CONTENTS_RE.search(objs[pid])
@@ -584,8 +828,9 @@ def extract_text_pages(data: bytes) -> list[str]:
             if cm.group(1) is not None
             else [int(cm.group(2))]
         )
+        fonts = _page_fonts(objs[pid], objs, parents, font_cache)
         content = b"\n".join(_stream_bytes(objs[r]) for r in refs if r in objs)
-        out.append(_text_from_content(content))
+        out.append(_text_from_content(content, fonts))
     return out
 
 

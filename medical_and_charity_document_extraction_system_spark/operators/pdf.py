@@ -76,14 +76,19 @@ def is_scanned(page_texts: list[str], sample_pages: int = 3, char_threshold: flo
     return avg < char_threshold
 
 
-def docs_to_pdfs(df, cols=("source",), id_col="doc_id", text_col="text"):
+def docs_to_pdfs(df, cols=("source",), id_col="doc_id", text_col="text",
+                 font="type1"):
     """(document row) -> one single-page REAL ``%PDF`` per document
     (functions/minipdf.build_pdf) — the feeder that turns any text
     table into real-PDF payloads for the merge/extraction paths
     (deterministic: same text -> same bytes). Even ids get the classic
     xref-table shape, odd ids the PDF 1.5 ObjStm + xref-stream shape,
     so every downstream consumer (merge, page explode) parses BOTH
-    writer generations under the oracle gate."""
+    writer generations under the oracle gate. ``font="type0"`` emits
+    the subsetted-CID composite-font generation (Identity-H +
+    /ToUnicode CMap) instead of simple Type1 — the other common
+    modern-writer shape (reference reads both via fitz,
+    pdf_service.py:174-229)."""
     import pandas as pd
 
     from ..functions.minipdf import build_pdf
@@ -96,7 +101,7 @@ def docs_to_pdfs(df, cols=("source",), id_col="doc_id", text_col="text"):
             ids = pdf[id_col].astype("int64")
             out[id_col] = ids
             out["pdf"] = [
-                build_pdf([t or ""], xref_stream=bool(int(i) % 2))
+                build_pdf([t or ""], xref_stream=bool(int(i) % 2), font=font)
                 for i, t in zip(ids, pdf[text_col])
             ]
             yield pd.DataFrame(out)

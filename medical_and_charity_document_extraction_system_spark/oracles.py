@@ -459,6 +459,20 @@ FROM (
 """
 
 
+def pdf_pages_type0_sql(n: int = 300) -> str:
+    """Type0-generation round-trip oracle: each doc became a one-page
+    subsetted-CID PDF whose shows are hex CIDs — extraction through
+    the embedded /ToUnicode CMap must reproduce the source text
+    byte-identically (page_number 1, char_count = length)."""
+    return f"""
+SELECT doc_id,
+       CAST(1 AS INT) AS page_number,
+       coalesce(text, '') AS page_text,
+       CAST(length(coalesce(text, '')) AS INT) AS char_count
+FROM documents WHERE doc_id < {n}
+"""
+
+
 def bpe_token_count_sql() -> str:
     return r"""
 SELECT doc_id,

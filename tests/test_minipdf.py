@@ -297,3 +297,98 @@ def test_scan_fallback_expands_objstm_without_xref():
     d = m.build_pdf(pages, xref_stream=True).replace(b"startxref", b"startxrEf")
     assert m._walk_xref_streams(d) is None
     assert m.extract_text_pages(d) == pages
+
+
+# ------------------------------------------------- Type0 / CMap (round 4)
+def test_type0_roundtrip_all_assemblies():
+    """Subsetted-CID Type0 generation (Identity-H + /ToUnicode CMap):
+    byte-identical extraction across classic/xref-stream assembly and
+    both compression settings."""
+    from medical_and_charity_document_extraction_system_spark.functions import minipdf as m
+
+    pages = ["Hello World\nSecond line", "Ünïcødé ★ page\ntwo", "", "a(b)\\c"]
+    for xs in (False, True):
+        for comp in (False, True):
+            d = m.build_pdf(pages, compress=comp, xref_stream=xs, font="type0")
+            assert m.extract_text_pages(d) == pages, (xs, comp)
+
+
+def test_type0_over_100_distinct_chars_splits_bfchar_blocks():
+    """>100 distinct chars forces multiple beginbfchar blocks (the
+    CMap-spec cap) — all must parse."""
+    from medical_and_charity_document_extraction_system_spark.functions import minipdf as m
+
+    text = "".join(chr(0x100 + i) for i in range(260))
+    d = m.build_pdf([text], font="type0")
+    assert m.extract_text_pages(d) == [text]
+
+
+def test_type0_without_tounicode_degrades():
+    """A Type0 font with no /ToUnicode cannot be decoded -> ValueError
+    (the scanned/error route, pdf_service.py:258 semantics)."""
+    import re
+
+    import pytest
+
+    from medical_and_charity_document_extraction_system_spark.functions import minipdf as m
+
+    d = m.build_pdf(["x"], compress=False, font="type0")
+    bad = re.sub(rb"/ToUnicode \d+ 0 R ", b"", d)
+    with pytest.raises(ValueError, match="ToUnicode"):
+        m.extract_text_pages(bad)
+
+
+def test_type0_non_identity_encoding_degrades():
+    import pytest
+
+    from medical_and_charity_document_extraction_system_spark.functions import minipdf as m
+
+    d = m.build_pdf(["x"], compress=False, font="type0")
+    bad = d.replace(b"/Encoding /Identity-H", b"/Encoding /UniJIS-UCS2-H")
+    with pytest.raises(ValueError, match="Identity"):
+        m.extract_text_pages(bad)
+
+
+def test_bfrange_both_entry_shapes():
+    """Hand-built ToUnicode exercising <lo> <hi> <dstStart> increments
+    AND the [<dst> ...] array shape."""
+    from medical_and_charity_document_extraction_system_spark.functions import minipdf as m
+
+    cmap_body = (
+        b"begincmap\n"
+        b"2 beginbfrange\n"
+        b"<0001> <0003> <0041>\n"          # 1->A 2->B 3->C
+        b"<0010> <0011> [<0058> <0059>]\n"  # 16->X 17->Y
+        b"endbfrange\n"
+        b"1 beginbfchar\n<0020> <005A>\nendbfchar\n"
+        b"endcmap\n"
+    )
+    obj = b"<< /Length %d >>\nstream\n" % len(cmap_body) + cmap_body + b"\nendstream"
+    cmap = m._parse_tounicode(obj)
+    assert cmap[1] == "A" and cmap[3] == "C"
+    assert cmap[0x10] == "X" and cmap[0x11] == "Y"
+    assert cmap[0x20] == "Z"
+    assert m._cid_decode(b"\x00\x01\x00\x10\x00\x20", cmap) == "AXZ"
+    assert m._cid_decode(b"\x00\x99", cmap) == "�"  # unmapped
+
+
+def test_type0_merge_with_type1_inputs():
+    """Page-level merge across font generations."""
+    from medical_and_charity_document_extraction_system_spark.functions import minipdf as m
+
+    merged = m.merge_pdfs([
+        m.build_pdf(["cid page"], font="type0"),
+        m.build_pdf(["simple page"]),
+    ])
+    assert m.extract_text_pages(merged) == ["cid page", "simple page"]
+
+
+def test_type1_bytes_unchanged_by_type0_support():
+    """The default generation's bytes are golden-pinned; the font
+    parameter must not perturb them."""
+    import hashlib
+
+    from medical_and_charity_document_extraction_system_spark.functions import minipdf as m
+
+    d = m.build_pdf(["abc\ndef"], compress=True)
+    assert hashlib.md5(d).hexdigest() == "dbcb5448328bb9608d3df7d7343edf38"
