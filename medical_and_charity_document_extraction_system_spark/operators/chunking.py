@@ -52,17 +52,31 @@ def remove_frequent_lines(
     boilerplate: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """Strip corpus-boilerplate lines from every document: lines
     exploded WITH their position, anti-joined against the boilerplate
-    set (broadcastable — it is tiny relative to the corpus), and
-    reassembled in order. Returns (id, clean_text, n_removed)."""
+    set, and reassembled in order. Returns (id, clean_text, n_removed).
+
+    The broadcast is GUARDED (the ``max_broadcast_rows`` pattern from
+    operators/similarity.embedding_near_dup_exact): at C4 scale the
+    "lines in >= min_docs distinct docs" set runs to millions of rows,
+    and a forced ``F.broadcast`` would OOM — so the set is counted
+    first (one cached agg, reused by both joins) and above the bound
+    the hint is dropped, leaving a shuffle hash join on the line key
+    (which AQE may still downgrade if runtime stats allow). The count
+    itself is bounded: it reduces the already-aggregated distinct-line
+    set, not the corpus."""
     pos = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("ln", "line"),
     )
-    kept = pos.join(F.broadcast(boilerplate.select("line")), "line", "left_anti")
-    removed = pos.join(F.broadcast(boilerplate.select("line")), "line", "left_semi")
+    lines = boilerplate.select("line")
+    lines.persist()
+    small = lines.count() <= max_broadcast_rows
+    side = F.broadcast(lines) if small else lines
+    kept = pos.join(side, "line", "left_anti")
+    removed = pos.join(side, "line", "left_semi")
     clean = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

@@ -230,10 +230,36 @@ def write_signature_store(
     joins against this store instead of re-running the Arrow signature
     stage over petabytes (the expensive stage, measured ~3s per 60k
     docs here; at corpus scale it dominates the whole job). Grow it
-    with ``mode="append"`` after each ingested batch."""
-    minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, bands).write.mode(
-        mode
-    ).parquet(path)
+    with ``mode="append"`` after each ingested batch.
+
+    UPSERT SEMANTICS: a recrawl re-ingests urls it has seen, and a
+    blind append would store a second band-key row per re-signed id —
+    every later incremental run would then emit that id's pairs twice
+    (and id-vs-itself candidates). ``mode="upsert"`` therefore
+    anti-joins the batch against the store's existing ids and appends
+    only genuinely new docs (signatures are deterministic, so the
+    already-stored row IS the re-signed row); ``read_signature_store``
+    additionally dedups by id on read as a belt-and-braces guard for
+    stores built with plain ``append``."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, bands)
+    if mode == "upsert":
+        spark = df.sparkSession
+        try:
+            existing = spark.read.parquet(path).select(id_col)
+        except Exception:  # first write: nothing to upsert against
+            sigs.write.mode("overwrite").parquet(path)
+            return
+        sigs.join(existing, id_col, "left_anti").write.mode("append").parquet(path)
+        return
+    sigs.write.mode(mode).parquet(path)
+
+
+def read_signature_store(spark, path: str, id_col: str = "doc_id") -> DataFrame:
+    """Load a signature store for incremental dedup, collapsing any
+    duplicate rows per id left by plain-``append`` writes of re-seen
+    batches (rows for one id are byte-identical — signing is
+    deterministic — so any survivor is correct)."""
+    return spark.read.parquet(path).dropDuplicates([id_col])
 
 
 def incremental_minhash_near_dup(
@@ -258,7 +284,14 @@ def incremental_minhash_near_dup(
     AND new ids — at scale that is the corpus table itself, not a
     second copy of the text). Invariant (pinned by test + oracle):
     pairs(batch1) ∪ incremental(batch2 | store(batch1)) ==
-    pairs(batch1 ∪ batch2)."""
+    pairs(batch1 ∪ batch2).
+
+    Re-ingestion safe (r4): ids already present in the store are
+    dropped from the batch FIRST (an id-only anti-join — a recrawl
+    re-fetches urls it has seen, and those docs' pairs were emitted
+    when they were first ingested; re-emitting them would double-count
+    downstream). A fully re-seen batch therefore emits zero pairs."""
+    new_df = new_df.join(stored_sigs.select(id_col), id_col, "left_anti")
     new_sigs = minhash_signatures(
         new_df, text_col, id_col, num_hashes, shingle_k, bands
     ).cache()

@@ -15,12 +15,14 @@ and ``spark.sql.files.maxPartitionBytes`` is irrelevant here). Records
 are parsed inside one Arrow stage; malformed records degrade to
 skipped, never task failures.
 
-The writer exists for tests/fixtures and round-trip proofs: each
-record is an independent gzip member (the Common Crawl convention —
-readers can seek to member boundaries), ``mtime=0`` so output is
-byte-deterministic. A petabyte-scale WARC *sink* would be a Hadoop
-OutputFormat; writing crawl archives is out of scope for an
-extraction engine.
+The writer produces real archives for tests/fixtures and round-trip
+proofs: each record is an independent gzip member (the Common Crawl
+convention — readers can seek to member boundaries), ``mtime=0`` so
+output is byte-deterministic, and EVERY partition writes its own
+file from the executor (the driver only collects paths + counts, so
+no corpus bytes ever funnel through it). A petabyte-scale WARC
+*sink* would wrap the same per-partition write in a Hadoop
+OutputFormat commit protocol.
 
 Non-response records (warcinfo, request, metadata) are skipped.
 ``text/plain`` payloads land in the ``text`` column, everything else
@@ -89,11 +91,17 @@ def build_warc_record(
 def pages_to_warc_files(
     pages: DataFrame, out_dir: str, n_files: int = 8
 ) -> list[str]:
-    """Pages rows -> ``n_files`` real ``.warc.gz`` files under
-    ``out_dir``. Records are built and gzipped per-member in a
-    distributed Arrow stage (one row per partition = one file's
-    bytes); the driver only concatenates member blobs to disk —
-    fixture-scale plumbing, see module docstring for the sink story."""
+    """Pages rows -> up to ``n_files`` real ``.warc.gz`` files under
+    ``out_dir``. Each partition builds, gzips AND WRITES its own
+    archive from the executor (temp file + ``os.replace`` so reruns
+    are atomic), yielding only (path, n_records) back — the driver
+    never holds archive bytes, so the write path scales with file
+    count, not corpus size. Byte-determinism contract: the
+    url-hash repartition fixes which file each record lands in, the
+    in-partition url sort fixes member order, and ``mtime=0`` fixes
+    the gzip bytes — two runs produce identical files. At petabyte
+    scale ``out_dir`` is a shared filesystem path (HDFS/S3 fuse); a
+    Hadoop OutputFormat sink remains the module-docstring story."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -109,28 +117,40 @@ def pages_to_warc_files(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
-        for pdf in batches:
-            # shuffle-fetch order is NOT deterministic: sort by url
-            # inside the partition so two runs concatenate members in
-            # identical order (the byte-determinism contract)
-            pdf = pdf.sort_values("url", kind="mergesort")
-            blobs = [
-                member(row) for row in pdf.itertuples(index=False)
-            ]
-            yield _pd.DataFrame({"blob": [b"".join(blobs)]})
+        from pyspark import TaskContext
 
-    parts = (
+        # one partition may arrive as several Arrow batches: gather
+        # them all before sorting, or member order would depend on
+        # batch boundaries
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = _pd.concat(parts, ignore_index=True)
+        if not len(pdf):
+            return
+        # shuffle-fetch order is NOT deterministic: sort by url inside
+        # the partition so two runs concatenate members in identical
+        # order (the byte-determinism contract)
+        pdf = pdf.sort_values("url", kind="mergesort")
+        # repartition(n, "url") maps urls to partition ids by hash —
+        # deterministic, so the file name is stable across runs
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        tmp = f"{path}.inprogress-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            for row in pdf.itertuples(index=False):
+                f.write(member(row))
+        os.replace(tmp, path)
+        yield _pd.DataFrame({"path": [path], "n_records": [len(pdf)]})
+
+    # the collect is bounded by FILE count (one tiny row per non-empty
+    # partition), never by corpus size
+    rows = (
         pages.repartition(n_files, "url")
-        .mapInPandas(run, "blob binary")
+        .mapInPandas(run, "path string, n_records long")
         .collect()
     )
-    paths = []
-    for i, r in enumerate(sorted(parts, key=lambda r: bytes(r.blob))):
-        p = os.path.join(out_dir, f"part-{i:05d}.warc.gz")
-        with open(p, "wb") as f:
-            f.write(bytes(r.blob))
-        paths.append(p)
-    return paths
+    return sorted(r.path for r in rows)
 
 
 # ------------------------------------------------------------------ read

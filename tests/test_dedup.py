@@ -216,3 +216,39 @@ def test_connected_components_mixed_shapes(spark):
     assert all(out[n] == 10 for n in range(10, 41))
     assert all(out[n] == 100 for n in range(100, 110))
     assert out[500] == out[501] == 500
+
+
+def test_signature_store_upsert_reingest_safe(spark, tmp_path):
+    """The recrawl double-feed hazard (r4): re-ingesting batch1 with
+    mode='upsert' must not duplicate band rows, and running the
+    incremental dedup with a fully re-seen batch must emit ZERO pairs
+    (their pairs were emitted at first ingestion). A store built with
+    plain append + read_signature_store gives the same guarantee."""
+    from medical_and_charity_document_extraction_system_spark.operators.dedup import (
+        incremental_minhash_near_dup,
+        read_signature_store,
+        write_signature_store,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch1 = docs.where("doc_id % 2 = 0")
+
+    store = str(tmp_path / "sigstore")
+    write_signature_store(batch1, store, mode="upsert")
+    n1 = spark.read.parquet(store).count()
+    # re-ingest the same batch: upsert adds nothing
+    write_signature_store(batch1, store, mode="upsert")
+    assert spark.read.parquet(store).count() == n1
+    stored = read_signature_store(spark, store)
+    assert stored.count() == n1
+
+    # fully re-seen batch -> no pairs, no self pairs, no duplicates
+    inc = incremental_minhash_near_dup(batch1, stored, docs, threshold=0.9).collect()
+    assert inc == []
+
+    # plain-append double-write: read-side dedup collapses it
+    store2 = str(tmp_path / "sigstore2")
+    write_signature_store(batch1, store2)
+    write_signature_store(batch1, store2, mode="append")
+    assert spark.read.parquet(store2).count() == 2 * n1
+    assert read_signature_store(spark, store2).count() == n1
