@@ -132,22 +132,28 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str = "doc_id",
+    hot_bucket_size: int = 100_000,
+    salt_buckets: int = 16,
+    total_rows: int | None = None,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become a candidate
     pair. Equi-join on (band, key) — a hash shuffle on small rows,
-    never all-pairs. Returns distinct (id_a, id_b), id_a < id_b."""
+    never all-pairs. Returns distinct (id_a, id_b), id_a < id_b.
+
+    Degenerate buckets (> ``hot_bucket_size`` members — a
+    mass-duplicated corpus can drop a third of all docs into one band
+    key) are salt-split across ``salt_buckets`` reducers instead of
+    hanging one task; results are identical either way
+    (plans/salting.skew_safe_bucket_self_join)."""
+    from ..plans.salting import skew_safe_bucket_self_join
+
     buckets = sig_df.select(
         F.col(id_col), F.posexplode("band_keys").alias("band", "key")
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.key") == F.col("b.key"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    pairs = skew_safe_bucket_self_join(
+        buckets, ["band", "key"], id_col, "id_a", "id_b",
+        hot_bucket_size=hot_bucket_size, salt_buckets=salt_buckets,
+        total_rows=total_rows,
     )
     return pairs.distinct()
 
@@ -188,7 +194,10 @@ def minhash_near_dup(
     # shuffle widths the recompute multiplies across task waves
     # (measured 31s -> 2s at local[32], shuffle=64)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, bands).cache()
-    cands = lsh_candidate_pairs(sigs, id_col).cache()
+    # cheap upper bound for the skew probe: a corpus smaller than one
+    # hot bucket cannot have one (df.count() here is a footer-fast
+    # pre-UDF count, NOT a signature job)
+    cands = lsh_candidate_pairs(sigs, id_col, total_rows=df.count()).cache()
     # shingle arrays are built ONLY for docs that appear in a candidate
     # pair (left_semi first) — at web scale the candidate set is a tiny
     # fraction of the corpus, so the expensive JVM shingling never runs

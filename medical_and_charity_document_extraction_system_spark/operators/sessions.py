@@ -10,6 +10,19 @@ Two classic batch analytics operators over the harness tables:
   This is the batch twin of the stateful streaming shape
   (applyInPandasWithState in streaming/stream.py).
 
+  KEY-SKEW BOUND (r4, documented deliberately): the
+  ``Window.partitionBy(user_id)`` serializes one user's FULL history
+  into a single task — inherent to any per-key ordered operator
+  (Flink keyed streams and DuckDB's PARTITION BY share it). The work
+  is linear in history length (lag + running sum, no quadratic term),
+  so the bound is one task processing the heaviest user: at 10^12
+  events even a pathological bot with 10^8 events is a ~GB-scale
+  sort-spill task, not an OOM (pinned by the planted heavy-user test,
+  tests/test_textops.py). Histories beyond that should be pre-split
+  by (user, coarse time bucket) with boundary-session merge — the
+  classic two-phase form — or handled by the watermarked streaming
+  twin, which never holds more than the open session per key.
+
 - ``bm25_scores``: Okapi BM25 for a fixed query-term list. The
   corpus statistics (N, avg doc length, per-term document frequency)
   are integers reduced in one tiny aggregate; idf values are computed

@@ -209,20 +209,15 @@ def embedding_near_dup_lsh(
     exploded = vn_tbl.select(
         F.col(id_col), F.posexplode("_buckets").alias("table", "key")
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.table") == F.col("b.table"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("vec_a"),
-            F.col(f"b.{id_col}").alias("vec_b"),
-        )
-        .distinct()
-    )
+    # hot-bucket guard (r4): near-identical embedding floods collapse
+    # into one (table, key); degenerate buckets are salt-split across
+    # reducers, pair set unchanged (plans/salting)
+    from ..plans.salting import skew_safe_bucket_self_join
+
+    cands = skew_safe_bucket_self_join(
+        exploded, ["table", "key"], id_col, "vec_a", "vec_b",
+        hot_bucket_size=100_000, salt_buckets=16, total_rows=df.count(),
+    ).distinct()
     pairs = cands.join(
         vn_tbl.select(F.col(id_col).alias("vec_a"), F.col("_vn").alias("va")), "vec_a"
     ).join(

@@ -252,3 +252,61 @@ def test_signature_store_upsert_reingest_safe(spark, tmp_path):
     write_signature_store(batch1, store2, mode="append")
     assert spark.read.parquet(store2).count() == 2 * n1
     assert read_signature_store(spark, store2).count() == n1
+
+
+def test_lsh_hot_bucket_salting_identical_pairs(spark):
+    """Planted degenerate bucket: 30% of docs share identical text, so
+    one band key holds them all. With hot_bucket_size forced low the
+    salted path must activate (salt explode visible in the plan) and
+    produce EXACTLY the same candidate pair set as the plain join."""
+    from medical_and_charity_document_extraction_system_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rows = []
+    for i in range(200):
+        if i < 60:  # the flood: identical text -> identical band keys
+            rows.append((i, "spam spam spam spam spam spam wonderful spam"))
+        else:
+            rows.append((i, f"unique document number {i} with words {i * 7} {i * 13}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df).cache()
+
+    plain = lsh_candidate_pairs(sigs, hot_bucket_size=10**9)
+    guarded = lsh_candidate_pairs(sigs, hot_bucket_size=50, salt_buckets=4)
+    gplan = guarded._jdf.queryExecution().optimizedPlan().toString()
+    assert "pmod" in gplan and "explode" in gplan.lower(), gplan
+
+    p = {(r.id_a, r.id_b) for r in plain.collect()}
+    g = {(r.id_a, r.id_b) for r in guarded.collect()}
+    assert g == p
+    # the flood is fully pair-connected: C(60,2) pairs present
+    flood = {(a, b) for a, b in p if a < 60 and b < 60}
+    assert len(flood) == 60 * 59 // 2
+    sigs.unpersist()
+
+
+def test_embedding_lsh_hot_bucket_guard_matches(spark):
+    """embedding_near_dup_lsh with the skew guard active (vs the
+    planted near-identical embedding flood) keeps its exact output."""
+    import numpy as np
+
+    from medical_and_charity_document_extraction_system_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.rand(8)
+    rows = []
+    for i in range(120):
+        if i < 40:  # flood: same direction, tiny deterministic jitter
+            v = base + 1e-6 * np.cos(np.arange(8) + i)
+        else:
+            v = rng.rand(8)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_near_dup_lsh(df, dim=8, threshold=0.999)
+    got = {(r.vec_a, r.vec_b) for r in out.collect()}
+    flood_pairs = {(a, b) for a, b in got if a < 40 and b < 40}
+    assert len(flood_pairs) == 40 * 39 // 2  # flood fully detected

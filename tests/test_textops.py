@@ -293,3 +293,50 @@ def test_remove_frequent_lines_broadcast_guard(spark):
     hplan = hinted._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" in hplan, hplan
     assert sorted(map(tuple, guarded.collect())) == sorted(map(tuple, hinted.collect()))
+
+
+def test_sessionize_heavy_user_within_budget(spark):
+    """Planted power user: ONE user holds 150k of 160k events (the
+    web-scale bot shape). The per-user window serializes that history
+    into one task — the documented bound (operators/sessions.py) — and
+    must stay linear: complete well inside a minute and produce the
+    arithmetically expected session count."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from medical_and_charity_document_extraction_system_spark.operators.sessions import (
+        sessionize,
+    )
+
+    heavy = spark.range(150_000).select(
+        F.lit("bot").alias("user_id"),
+        # every 97th event jumps past the 1800s gap -> new session
+        F.to_timestamp(
+            F.lit("2024-01-01 00:00:00")
+        ).cast("timestamp")
+        + F.make_dt_interval(
+            F.lit(0), F.lit(0), F.lit(0),
+            (F.col("id") * 10 + (F.col("id") / 97).cast("long") * 2000).cast("double"),
+        ),
+        F.col("id").alias("event_id"),
+        F.lit(1.0).alias("value"),
+    ).toDF("user_id", "ts", "event_id", "value")
+    light = spark.range(10_000).select(
+        F.concat(F.lit("u"), (F.col("id") % 1000).cast("string")).alias("user_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).cast("timestamp")
+            + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), (F.col("id") * 7).cast("double"))
+        ).alias("ts"),
+        F.col("id").alias("event_id"),
+        F.lit(1.0).alias("value"),
+    )
+    ev = heavy.unionByName(light)
+    t0 = time.time()
+    out = sessionize(ev).collect()
+    elapsed = time.time() - t0
+    assert elapsed < 60, f"heavy-user sessionize took {elapsed:.1f}s"
+    bot = [r for r in out if r.user_id == "bot"]
+    # gap fires when (id//97) increments: ids 0..149999 -> 1547 groups
+    assert len(bot) == 150_000 // 97 + 1
+    assert sum(r.n_events for r in bot) == 150_000
