@@ -622,6 +622,21 @@ def q_image_preprocess_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_preprocess_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The E/D/K/B chain over lossless-WebP payloads (functions/webp.py
+    — a from-scratch VP8L codec, new in r4; the LAST image suffix the
+    reference accepts that the engine couldn't read). VP8L is ARGB, so
+    like GIF the decoded array is (H, W, 3); the construction oracle
+    runs the same webp round trip driver-side."""
+    from medical_and_charity_document_extraction_system_spark.operators.multimodal import attach_page_images
+    from medical_and_charity_document_extraction_system_spark.operators.preprocess import preprocess_images
+
+    docs = _docs(spark, sf_dir).where("doc_id < 200")
+    return preprocess_images(attach_page_images(docs, codec="webp")).select(
+        "media_id", "width", "height", "skew_angle", "error"
+    )
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize stage (binary netpbm -> numpy nearest-
     neighbor -> binary) over synthetic page images. Oracle: output
@@ -1165,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_preprocess_gif": q_image_preprocess_gif,
         "image_preprocess_bmp": q_image_preprocess_bmp,
         "image_preprocess_tiff": q_image_preprocess_tiff,
+        "image_preprocess_webp": q_image_preprocess_webp,
         "pdf_pages_type0": q_pdf_pages_type0,
         "bm25_scores_tfmap": q_bm25_scores_tfmap,
         # --- round 3, replica-attested only (escaped r03's 50-window) ---
@@ -1314,6 +1330,8 @@ def oracle_sql() -> dict[str, str]:
         # same as image_preprocess_png)
         "image_preprocess_bmp": oracles.image_preprocess_sql(),
         "image_preprocess_tiff": oracles.image_preprocess_sql(),
+        # VP8L decodes to RGB like GIF: same driver-side round trip
+        "image_preprocess_webp": oracles.image_preprocess_sql(codec="webp"),
         "media_resize": oracles.media_resize_sql(),
         "audio_features": oracles.audio_features_sql(),
         "video_frame_sample": oracles.video_frame_sample_sql(),

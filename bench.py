@@ -56,6 +56,8 @@ CATALOG_QUERIES = [
     # PNG and baseline-JPEG codecs (real-corpus container cost)
     "image_preprocess_png",
     "image_preprocess_jpeg",
+    # round 4: the from-scratch VP8L (lossless WebP) container
+    "image_preprocess_webp",
 ]
 
 

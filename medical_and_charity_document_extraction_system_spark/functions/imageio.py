@@ -6,18 +6,20 @@ output in the SAME container they were fed — netpbm (P5/P6), PNG
 (functions/png.py), baseline JPEG (functions/jpeg.py), GIF
 (functions/gif.py, first frame), BMP (functions/bmp.py) and
 uncompressed TIFF (functions/tiff.py), all pure Python. This covers
-every image suffix the reference accepts
-(/root/reference/backend/app/utils/file_utils.py:271-273) except WebP
-(VP8 entropy coding needs a real codec library, absent here), which
-degrades to a clear error row; reference analog loads any
-cv2-readable format (file_utils.py:129-173).
+EVERY image suffix the reference accepts
+(/root/reference/backend/app/utils/file_utils.py:271-273) —
+jpg/jpeg/png/bmp/tiff/tif/webp — plus netpbm and GIF. Lossy WebP
+(VP8 intra coding, a full video codec) is the one remaining gated
+shape inside the .webp suffix and degrades to a clear error row;
+reference analog loads any cv2-readable format
+(file_utils.py:129-173).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from . import bmp, gif, jpeg, netpbm, png, tiff
+from . import bmp, gif, jpeg, netpbm, png, tiff, webp
 
 FORMAT_PNG = "png"
 FORMAT_NETPBM = "netpbm"
@@ -25,6 +27,7 @@ FORMAT_JPEG = "jpeg"
 FORMAT_GIF = "gif"
 FORMAT_BMP = "bmp"
 FORMAT_TIFF = "tiff"
+FORMAT_WEBP = "webp"
 
 _JPEG_MAGIC = b"\xff\xd8\xff"
 
@@ -47,6 +50,8 @@ def sniff_format(payload: bytes) -> str | None:
         return FORMAT_BMP
     if payload[:4] in (tiff.TIFF_MAGIC_LE, tiff.TIFF_MAGIC_BE):
         return FORMAT_TIFF
+    if payload[:4] == webp.RIFF_MAGIC and payload[8:12] == webp.WEBP_MAGIC:
+        return FORMAT_WEBP
     return None
 
 
@@ -66,6 +71,11 @@ def decode_auto(payload: bytes) -> tuple[np.ndarray, str]:
         return bmp.decode_bmp(payload), fmt
     if fmt == FORMAT_TIFF:
         return tiff.decode_tiff(payload), fmt
+    if fmt == FORMAT_WEBP:
+        img = webp.decode_webp(payload)
+        if img.ndim == 3 and img.shape[2] == 4:  # RGBA -> RGB
+            img = np.ascontiguousarray(img[:, :, :3])
+        return img, fmt
     if fmt == FORMAT_PNG:
         img = png.decode_png(payload)
         if img.dtype == np.uint16:
@@ -76,7 +86,7 @@ def decode_auto(payload: bytes) -> tuple[np.ndarray, str]:
             img = img[:, :, :3]
         return img, fmt
     raise ValueError(
-        "unrecognized image container (not PNG/JPEG/GIF/BMP/TIFF/netpbm)"
+        "unrecognized image container (not PNG/JPEG/GIF/BMP/TIFF/WebP/netpbm)"
     )
 
 
@@ -101,4 +111,6 @@ def encode_as(image: np.ndarray, fmt: str) -> bytes:
         return bmp.encode_bmp(image)
     if fmt == FORMAT_TIFF:
         return tiff.encode_tiff(image)
+    if fmt == FORMAT_WEBP:
+        return webp.encode_webp(image)
     raise ValueError(f"unknown image format {fmt!r}")

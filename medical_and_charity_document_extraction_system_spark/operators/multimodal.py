@@ -424,11 +424,12 @@ def extract_audio_features(
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Decode a binary image payload: PNG and baseline JPEG via the
-    pure-Python codecs (functions/png.py, functions/jpeg.py —
-    real-corpus coverage without PIL/cv2), netpbm via
-    functions/netpbm.py; other compressed formats (WebP/GIF/TIFF,
-    progressive JPEG) fall back to PIL when installed, else raise the
+    """Decode a binary image payload: PNG, baseline JPEG, GIF, BMP,
+    uncompressed TIFF and lossless WebP (VP8L) via the pure-Python
+    codecs in functions/, netpbm via functions/netpbm.py — every
+    suffix the reference accepts (file_utils.py:271-273). The
+    remaining gated shapes (progressive JPEG, lossy-VP8 WebP,
+    compressed TIFF) fall back to PIL when installed, else raise the
     documented gate."""
     from ..functions import imageio
 
@@ -447,7 +448,8 @@ def decode_image(payload: bytes) -> "np.ndarray":
 
         return np.asarray(Image.open(io.BytesIO(payload)))
     raise NotImplementedError(
-        "non-PNG/JPEG/netpbm decode requires PIL/cv2, "
+        "unrecognized image container (or a gated shape: progressive "
+        "JPEG, lossy-VP8 WebP, compressed TIFF) — requires PIL/cv2, "
         "not installed in this container"
     )
 

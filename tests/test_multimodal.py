@@ -171,8 +171,13 @@ def test_decode_image_handles_png_netpbm_jpeg_and_gates_rest():
     assert out.shape == arr.shape  # lossy but real decode
     with _pytest.raises(jpeg.JpegError):
         decode_image(b"\xff\xd8\xff\xe0fakejpeg")  # damaged JPEG
+    from medical_and_charity_document_extraction_system_spark.functions import webp as _webp
+
+    with _pytest.raises(_webp.WebpError):
+        decode_image(b"RIFF....WEBP")  # recognized container, no VP8L chunk
+    assert (decode_image(_webp.encode_webp(arr))[:, :, 0] == arr).all()
     with _pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"RIFF....WEBP")  # genuinely unsupported container
+        decode_image(b"II\x00\x00 not any container")  # truly unknown
 
 
 def test_wav_roundtrip_and_foreign_shapes():
