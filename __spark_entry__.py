@@ -909,6 +909,22 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filtering (Rae et al. 2021) over the
+    reconstructed extraction text: repetition (duplicate lines by
+    count AND by character mass, top-token share), word-shape and
+    formatting rules, plus the keep-conjunction — the standard
+    LLM-corpus cleanup pass, as a zero-shuffle projection
+    (functions/gopher.py, new r4). Oracle recomputes every signal
+    from scratch in DuckDB over the same construction CTE."""
+    from medical_and_charity_document_extraction_system_spark.functions.gopher import (
+        with_gopher_signals,
+    )
+
+    out = _extract(spark, sf_dir).select(_doc_id(), "text")
+    return with_gopher_signals(out)
+
+
 def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus cleanup: lines appearing in >= 10 distinct
     documents ("--- Page N ---" headers here; nav/footer boilerplate
@@ -1183,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_preprocess_webp": q_image_preprocess_webp,
         "pdf_pages_type0": q_pdf_pages_type0,
         "bm25_scores_tfmap": q_bm25_scores_tfmap,
+        "gopher_quality": q_gopher_quality,
         # --- round 3, replica-attested only (escaped r03's 50-window) ---
         "pii_redact": q_pii_redact,
         "snapshot_time_travel": q_snapshot_time_travel,
@@ -1304,6 +1321,7 @@ def oracle_sql() -> dict[str, str]:
         # the tf-map Arrow form must land on the identical scores
         "bm25_scores_tfmap": oracles.bm25_scores_sql(tuple(BM25_TERMS)),
         "boilerplate_removal": oracles.boilerplate_removal_sql(),
+        "gopher_quality": oracles.gopher_sql(),
         "crawl_diff": oracles.crawl_diff_sql(),
         "host_length_quantiles": oracles.host_length_quantiles_sql(),
         "sample_10pct": oracles.sample_10pct_sql(),

@@ -1,4 +1,4 @@
-"""Pure-Python baseline TIFF codec (uncompressed) — stdlib + numpy.
+"""Pure-Python baseline TIFF codec — stdlib + numpy.
 
 The reference accepts ``.tiff``/``.tif`` uploads through cv2
 (/root/reference/backend/app/utils/file_utils.py:271-273,129-173);
@@ -7,9 +7,11 @@ no cv2/PIL here, so this is written from the public TIFF 6.0 spec.
 Decoder: both byte orders (II/MM), first IFD, baseline tags
 (ImageWidth/ImageLength/BitsPerSample/Compression/Photometric/
 StripOffsets/SamplesPerPixel/RowsPerStrip/StripByteCounts/
-PlanarConfiguration), Compression=1 (none) only, 8-bit grayscale
-(photometric 0/1, MinIsBlack and MinIsWhite) and 8-bit RGB, chunky
-planar config, any strip layout.
+PlanarConfiguration/Predictor), Compression none, Deflate (8 and the
+old Adobe tag 32946) and PackBits (32773), with the horizontal
+predictor; 8-bit grayscale (photometric 0/1, MinIsBlack and
+MinIsWhite) and 8-bit RGB, chunky planar config, any strip layout.
+LZW/CCITT/JPEG-in-TIFF raise a typed error.
 
 Encoder: little-endian, uncompressed, single strip, deterministic
 bytes (same pixels, same bytes).
@@ -53,6 +55,27 @@ def _read_tag_values(data: bytes, bo: str, ttype: int, count: int, payload: byte
     return list(struct.unpack(bo + _TYPE_FMT[ttype] * count, raw))
 
 
+def _unpackbits(data: bytes) -> bytes:
+    """PackBits RLE (TIFF spec section 9): n in 0..127 copies n+1
+    literal bytes; n in -127..-1 repeats the next byte 1-n times;
+    -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise TiffError("truncated PackBits run")
+            out += data[i : i + 1] * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
 def _decode_impl(data: bytes) -> np.ndarray:
     data = bytes(data)
     if data[:4] == TIFF_MAGIC_LE:
@@ -94,8 +117,11 @@ def _decode_impl(data: bytes) -> np.ndarray:
     photometric = int(one(262, 1))
     spp = int(one(277, 1))
     planar = int(one(284, 1))
+    predictor = int(one(317, 1))
     bits = tags.get(258, [8])
-    if compression != 1:
+    if compression not in (1, 8, 32946, 32773):
+        # 1=none, 8/32946=Deflate (Adobe/old tag), 32773=PackBits;
+        # LZW/CCITT/JPEG-in-TIFF need codec machinery out of scope
         raise TiffError(f"compressed TIFF (method {compression}) unsupported")
     if planar != 1:
         raise TiffError("planar TIFF unsupported")
@@ -118,11 +144,25 @@ def _decode_impl(data: bytes) -> np.ndarray:
         chunk = data[off : off + cnt]
         if len(chunk) < cnt:
             raise TiffError("truncated strip data")
+        if compression in (8, 32946):
+            import zlib
+
+            try:
+                chunk = zlib.decompress(chunk)
+            except zlib.error as exc:
+                raise TiffError(f"bad Deflate strip: {exc}") from None
+        elif compression == 32773:
+            chunk = _unpackbits(chunk)
         body += chunk
     need = width * height * spp
     if len(body) < need:
         raise TiffError("strip data shorter than image")
     arr = np.frombuffer(bytes(body[:need]), np.uint8)
+    if predictor == 2:  # horizontal differencing (common with Deflate)
+        rows = arr.reshape(height, width, spp).astype(np.int64)
+        arr = (np.cumsum(rows, axis=1) & 0xFF).astype(np.uint8).ravel()
+    elif predictor != 1:
+        raise TiffError(f"unsupported TIFF predictor {predictor}")
     if spp == 1:
         img = arr.reshape(height, width)
         if photometric == 0:  # MinIsWhite

@@ -459,6 +459,69 @@ FROM (
 """
 
 
+def gopher_sql() -> str:
+    """Twin of functions/gopher.with_gopher_signals over the
+    reconstructed extraction text: every signal is integer counts
+    divided once (CAST AS DOUBLE on both sides), so doubles are
+    bit-identical across engines."""
+    return f"""
+WITH {base_cte()},
+t AS (SELECT doc_id, {_EXTRACT_TEXT_CASE} AS text FROM rec),
+s AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks,
+    string_split(text, chr(10)) AS lines
+  FROM t
+),
+c AS (
+  SELECT doc_id, toks, lines,
+    len(toks) AS n_words,
+    coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS sum_len,
+    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+    len(list_filter(toks, x -> x IN ('the','a','of','to','and','in'))) AS stop_hits,
+    len(lines) AS n_lines,
+    len(list_distinct(lines)) AS n_distinct_lines,
+    coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS line_chars,
+    coalesce(list_sum(list_transform(list_distinct(lines),
+        l -> (len(list_filter(lines, y -> y = l)) - 1) * length(l))), 0) AS dup_chars,
+    len(list_filter(lines, x -> starts_with(x, '- ') OR starts_with(x, '* ')
+        OR starts_with(x, '• '))) AS bullet_lines,
+    len(list_filter(lines, x -> ends_with(x, '...'))) AS ellipsis_lines,
+    CASE WHEN len(toks) > 0 THEN list_max(list_transform(list_distinct(toks),
+        w -> len(list_filter(toks, x -> x = w)))) END AS top_count
+  FROM s
+),
+v AS (
+  SELECT doc_id,
+    CAST(n_words AS BIGINT) AS n_words,
+    CASE WHEN n_words > 0
+         THEN CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) END AS mean_word_len,
+    CASE WHEN n_words > 0
+         THEN CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) END AS alpha_word_ratio,
+    CAST(stop_hits AS BIGINT) AS stopword_hits,
+    CASE WHEN n_words > 0
+         THEN CAST(top_count AS DOUBLE) / CAST(n_words AS DOUBLE) END AS top_word_frac,
+    CAST(n_lines AS BIGINT) AS n_lines,
+    CAST(n_lines - n_distinct_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS dup_line_frac,
+    CASE WHEN line_chars > 0
+         THEN CAST(dup_chars AS DOUBLE) / CAST(line_chars AS DOUBLE)
+         ELSE CAST(0 AS DOUBLE) END AS dup_line_char_frac,
+    CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS bullet_line_frac,
+    CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS ellipsis_line_frac
+  FROM c
+)
+SELECT *,
+  coalesce(
+    n_words >= 50 AND n_words <= 100000
+    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+    AND alpha_word_ratio >= 0.8 AND stopword_hits >= 2
+    AND dup_line_frac <= 0.3
+    AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3,
+    FALSE) AS gopher_keep
+FROM v
+"""
+
+
 def pdf_pages_type0_sql(n: int = 300) -> str:
     """Type0-generation round-trip oracle: each doc became a one-page
     subsetted-CID PDF whose shows are hex CIDs — extraction through

@@ -178,3 +178,70 @@ class TestImageioRouting:
         img = _gray(8, 12)
         for fmt in ("bmp", "tiff"):
             assert (decode_image(imageio.encode_as(img, fmt)) == img).all()
+
+
+class TestTiffCompressed:
+    """Deflate / PackBits strips + horizontal predictor (r4)."""
+
+    @staticmethod
+    def _build(px_bytes, w, h, spp, compression, predictor=1, counts=None):
+        import struct
+        import zlib
+
+        if compression in (8, 32946):
+            strips = [zlib.compress(px_bytes, 6)]
+        elif compression == 32773:
+            strips = [px_bytes]  # caller pre-packs
+        else:
+            strips = [px_bytes]
+        body = b"".join(strips)
+        entries = []
+
+        def ent(tag, ttype, count, value):
+            return struct.pack("<HHI", tag, ttype, count) + struct.pack("<I", value)
+
+        ifd_off = 8 + len(body)
+        entries = [
+            ent(256, 4, 1, w), ent(257, 4, 1, h), ent(258, 3, 1, 8),
+            ent(259, 3, 1, compression), ent(262, 3, 1, 1),
+            ent(273, 4, 1, 8), ent(277, 3, 1, spp), ent(278, 4, 1, h),
+            ent(279, 4, 1, len(body)), ent(284, 3, 1, 1),
+            ent(317, 3, 1, predictor),
+        ]
+        out = b"II*\x00" + struct.pack("<I", ifd_off) + body
+        out += struct.pack("<H", len(entries))
+        out += b"".join(entries) + struct.pack("<I", 0)
+        return out
+
+    def test_deflate_strip(self):
+        img = _gray(9, 11)
+        for comp in (8, 32946):
+            data = self._build(img.tobytes(), 11, 9, 1, comp)
+            assert (decode_tiff(data) == img).all()
+
+    def test_deflate_with_horizontal_predictor(self):
+        img = _gray(5, 7)
+        diff = img.astype(np.int16)
+        diff[:, 1:] = (img[:, 1:].astype(np.int16) - img[:, :-1]) & 0xFF
+        data = self._build(diff.astype(np.uint8).tobytes(), 7, 5, 1, 8, predictor=2)
+        assert (decode_tiff(data) == img).all()
+
+    def test_packbits_strip(self):
+        # 4x4 image: rows of runs -> pack by hand
+        img = np.array(
+            [[7] * 4, [1, 2, 3, 4], [9] * 4, [5, 5, 6, 6]], np.uint8
+        )
+        packed = bytes(
+            [0x100 - 3, 7,          # repeat 7 x4 (257-253=4)
+             3, 1, 2, 3, 4,         # 4 literals
+             0x100 - 3, 9,          # repeat 9 x4
+             0x100 - 1, 5, 0x100 - 1, 6]  # 5x2, 6x2
+        )
+        data = self._build(packed, 4, 4, 1, 32773)
+        assert (decode_tiff(data) == img).all()
+
+    def test_lzw_still_rejected(self):
+        img = _gray(3, 3)
+        data = self._build(img.tobytes(), 3, 3, 1, 5)  # 5 = LZW
+        with pytest.raises(TiffError, match="unsupported"):
+            decode_tiff(data)

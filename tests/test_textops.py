@@ -340,3 +340,50 @@ def test_sessionize_heavy_user_within_budget(spark):
     # gap fires when (id//97) increments: ids 0..149999 -> 1547 groups
     assert len(bot) == 150_000 // 97 + 1
     assert sum(r.n_events for r in bot) == 150_000
+
+
+# ---------------------------------------------------- gopher rules (r4)
+def test_gopher_signals_planted_cases(spark):
+    from medical_and_charity_document_extraction_system_spark.functions.gopher import (
+        with_gopher_signals,
+    )
+
+    good = " ".join(
+        ["the quick brown fox jumps over a lazy dog of means to and in"] * 5
+    )
+    rows = [
+        (0, good),                                  # passes every rule
+        (1, ""),                                    # empty -> keep False
+        (2, "x\nx\nx\ny"),                          # 3 dup lines of 4
+        (3, "- one\n- two\n- three"),               # all bullets
+        (4, "wait...\nmore...\nok"),                # 2/3 ellipsis lines
+        (5, "zz " * 60),                            # no stopwords, short words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in with_gopher_signals(df).collect()}
+    assert out[0].gopher_keep is True
+    assert out[0].stopword_hits >= 2 and out[0].alpha_word_ratio == 1.0
+    assert out[1].n_words == 0 and out[1].gopher_keep is False
+    assert out[1].mean_word_len is None
+    assert out[2].dup_line_frac == 2 / 4  # 4 lines, 2 distinct
+    assert out[2].dup_line_char_frac == 2 / 4  # 2 extra 'x' chars of 4
+    assert out[3].bullet_line_frac == 1.0 and out[3].gopher_keep is False
+    assert out[4].ellipsis_line_frac == 2 / 3
+    assert out[5].stopword_hits == 0 and out[5].gopher_keep is False
+    assert out[5].top_word_frac == 1.0  # one token repeated throughout
+    assert out[0].n_lines == 1 and out[2].n_lines == 4
+
+
+def test_gopher_filter_is_shuffle_free(spark):
+    """The quality pass must stay a pure projection: zero Exchange
+    nodes in the physical plan (the property that matters at 100 TB)."""
+    from medical_and_charity_document_extraction_system_spark.functions.gopher import (
+        with_gopher_signals,
+    )
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = (
+        with_gopher_signals(df).where("gopher_keep")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
