@@ -925,6 +925,47 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_gopher_signals(out)
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt politeness gate over the crawl frontier (RFC 9309):
+    per-host robots bodies (deterministic shapes — exact-agent group
+    with an Allow carve-out, wildcard+anchor ``/doc/*7$``, empty
+    Disallow) are parsed in a distributed Arrow stage
+    (operators/crawl.robots_rules), then every url resolves its
+    longest-match rule via a host equi-join + per-url window
+    (crawl.robots_filter). Oracle: the twin embeds the SAME parsed
+    rules as VALUES literals (the LSH-projection trick) and replays
+    the join + window in DuckDB with ``ESCAPE '\\'``."""
+    from medical_and_charity_document_extraction_system_spark.functions.robots import (
+        synthesize_robots,
+    )
+    from medical_and_charity_document_extraction_system_spark.operators.crawl import (
+        robots_filter,
+        robots_rules,
+    )
+
+    docs = _docs(spark, sf_dir)
+    h = (F.col("doc_id") * 131) % 100
+    hidx = (
+        F.when(h < 40, F.lit(0))
+        .when(h < 60, F.lit(1))
+        .when(h < 70, F.lit(2))
+        .otherwise((F.lit(3) + h % 17))
+    ).cast("long")
+    url = F.concat(
+        F.lit("https://host"),
+        hidx.cast("string"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    urls = docs.select("doc_id", url.alias("url"))
+    robots = spark.createDataFrame(
+        [(f"host{i}.example.com", synthesize_robots(i)) for i in range(20)],
+        "host string, robots_txt string",
+    )
+    out = robots_filter(urls, robots_rules(robots))
+    return out.select("doc_id", "url", "allowed", "rule")
+
+
 def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus cleanup: lines appearing in >= 10 distinct
     documents ("--- Page N ---" headers here; nav/footer boilerplate
@@ -1193,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round regardless."""
     return {
         # --- new in round 4 (never driver-attested) ---
+        "robots_filter": q_robots_filter,
         "image_preprocess_gif": q_image_preprocess_gif,
         "image_preprocess_bmp": q_image_preprocess_bmp,
         "image_preprocess_tiff": q_image_preprocess_tiff,
@@ -1322,6 +1364,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores_tfmap": oracles.bm25_scores_sql(tuple(BM25_TERMS)),
         "boilerplate_removal": oracles.boilerplate_removal_sql(),
         "gopher_quality": oracles.gopher_sql(),
+        "robots_filter": oracles.robots_filter_sql(),
         "crawl_diff": oracles.crawl_diff_sql(),
         "host_length_quantiles": oracles.host_length_quantiles_sql(),
         "sample_10pct": oracles.sample_10pct_sql(),

@@ -522,6 +522,58 @@ FROM v
 """
 
 
+def robots_filter_sql(n_hosts: int = 20) -> str:
+    """Twin of q_robots_filter: the rules table is the OUTPUT of the
+    real parser (functions/robots.parse_robots over the same
+    synthesized bodies), embedded as VALUES literals — the LSH
+    projection/centroid trick — and the longest-match resolution is
+    replayed as the identical join + window. DuckDB has NO default
+    LIKE escape, so the twin says ``ESCAPE '\\'`` explicitly (Spark's
+    LIKE default escape is already backslash)."""
+    from .functions.robots import parse_robots, pattern_to_like, synthesize_robots
+
+    rows = []
+    for i in range(n_hosts):
+        for pattern, allow in parse_robots(synthesize_robots(i)):
+            like = pattern_to_like(pattern).replace("'", "''")
+            rows.append(
+                f"('host{i}.example.com', '{pattern}', {str(allow).upper()}, "
+                f"'{like}', {len(pattern.encode('utf-8'))})"
+            )
+    values = ",\n  ".join(rows)
+    return rf"""
+WITH hid AS (
+  SELECT doc_id, (doc_id * 131) % 100 AS h FROM documents),
+urls AS (
+  SELECT doc_id,
+         CASE WHEN h < 40 THEN 0 WHEN h < 60 THEN 1 WHEN h < 70 THEN 2
+              ELSE 3 + h % 17 END AS hidx
+  FROM hid),
+u AS (
+  SELECT doc_id,
+         'https://host' || CAST(hidx AS VARCHAR) || '.example.com/doc/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         'host' || CAST(hidx AS VARCHAR) || '.example.com' AS host,
+         '/doc/' || CAST(doc_id AS VARCHAR) AS path
+  FROM urls),
+rules(host, pattern, allow, like_pat, pat_len) AS (VALUES
+  {values}),
+m AS (
+  SELECT u.doc_id, r.pattern, r.allow, r.pat_len
+  FROM u JOIN rules r ON u.host = r.host AND u.path LIKE r.like_pat ESCAPE '\'),
+best AS (
+  SELECT doc_id, pattern, allow FROM (
+    SELECT doc_id, pattern, allow,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY pat_len DESC, allow DESC, pattern) AS rn
+    FROM m) WHERE rn = 1)
+SELECT u.doc_id, u.url,
+       coalesce(b.allow, TRUE) AS allowed,
+       coalesce(b.pattern, '(default)') AS rule
+FROM u LEFT JOIN best b ON u.doc_id = b.doc_id
+"""
+
+
 def pdf_pages_type0_sql(n: int = 300) -> str:
     """Type0-generation round-trip oracle: each doc became a one-page
     subsetted-CID PDF whose shows are hex CIDs — extraction through
