@@ -925,6 +925,44 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_gopher_signals(out)
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style exact paragraph dedup (Wenzek et al. 2020) over the
+    reconstructed extraction text: a non-blank line survives only at
+    its corpus-global first (doc_id, pos) occurrence — catches the
+    'Patient:/Donor:' template lines and page headers shared across
+    documents. Oracle replays the md5-keyed first-occurrence window in
+    DuckDB (oracles.paragraph_dedup_sql)."""
+    from medical_and_charity_document_extraction_system_spark.operators.textdedup import (
+        paragraph_dedup,
+    )
+
+    out = _extract(spark, sf_dir).select(_doc_id(), "text")
+    return paragraph_dedup(out)
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring (k-token window) dedup a la Lee et al. 2022
+    over documents with a planted shared-license suffix on every third
+    doc: window hashes seen in >= 2 distinct docs mark their token
+    positions duplicated everywhere except the global-min occurrence,
+    so the license survives only in doc 0. Oracle re-derives windows,
+    frequencies, coverage, and reassembly from scratch in DuckDB."""
+    from medical_and_charity_document_extraction_system_spark.operators.textdedup import (
+        span_dedup,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" " + oracles.SPAN_DEDUP_LICENSE)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return span_dedup(docs, k=12)
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt politeness gate over the crawl frontier (RFC 9309):
     per-host robots bodies (deterministic shapes — exact-agent group
@@ -1234,6 +1272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round regardless."""
     return {
         # --- new in round 4 (never driver-attested) ---
+        "paragraph_dedup": q_paragraph_dedup,
+        "span_dedup": q_span_dedup,
         "robots_filter": q_robots_filter,
         "image_preprocess_gif": q_image_preprocess_gif,
         "image_preprocess_bmp": q_image_preprocess_bmp,
@@ -1363,6 +1403,8 @@ def oracle_sql() -> dict[str, str]:
         # the tf-map Arrow form must land on the identical scores
         "bm25_scores_tfmap": oracles.bm25_scores_sql(tuple(BM25_TERMS)),
         "boilerplate_removal": oracles.boilerplate_removal_sql(),
+        "paragraph_dedup": oracles.paragraph_dedup_sql(),
+        "span_dedup": oracles.span_dedup_sql(),
         "gopher_quality": oracles.gopher_sql(),
         "robots_filter": oracles.robots_filter_sql(),
         "crawl_diff": oracles.crawl_diff_sql(),

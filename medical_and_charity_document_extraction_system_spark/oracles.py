@@ -1481,3 +1481,108 @@ FROM (
 )
 WHERE rk <= {k}
 """
+
+
+# --------------------------------------------------- sub-document dedup (r4)
+SPAN_DEDUP_LICENSE = (
+    "this work is licensed under the creative commons attribution "
+    "share alike license see the terms page for more details"
+)
+
+
+def paragraph_dedup_sql() -> str:
+    """Twin of operators/textdedup.paragraph_dedup over the
+    reconstructed extraction text: a non-blank line survives only at
+    its corpus-global first (doc_id, pos) occurrence; blank lines
+    always survive; survivors reassemble in position order.
+    row_number() over (md5(line) ORDER BY doc_id, pos) = 1 is exactly
+    Spark's min(struct(doc_id, pos)) per line hash."""
+    return f"""
+WITH {base_cte()},
+doc_text AS (
+  SELECT doc_id, {_EXTRACT_TEXT_CASE} AS t FROM rec
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS line,
+         generate_subscripts(string_split(t, chr(10)), 1) - 1 AS pos
+  FROM doc_text
+),
+r AS (
+  SELECT doc_id, line, pos,
+         CASE WHEN trim(line) = '' THEN 1
+              ELSE row_number() OVER (PARTITION BY md5(line)
+                                      ORDER BY doc_id, pos)
+         END AS rn
+  FROM lines
+),
+cl AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS nk
+  FROM r WHERE rn = 1 GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n FROM lines GROUP BY doc_id)
+SELECT tot.doc_id,
+       coalesce(cl.clean_text, '') AS clean_text,
+       CAST(tot.n - coalesce(cl.nk, 0) AS BIGINT) AS n_removed
+FROM tot LEFT JOIN cl USING (doc_id)
+"""
+
+
+def span_dedup_sql(k: int = 12) -> str:
+    """Twin of operators/textdedup.span_dedup over documents with the
+    planted shared-license suffix (doc_id %% 3 = 0): every k-token
+    window hash seen in >= 2 distinct docs marks its positions
+    duplicated in all but the global-min (doc_id, wpos) occurrence.
+    list_slice(toks, wpos+1, wpos+k) (1-based inclusive) ==
+    F.slice(toks, wpos+1, k)."""
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+                      THEN ' {SPAN_DEDUP_LICENSE}' ELSE '' END AS text
+  FROM documents
+),
+t AS (SELECT doc_id, {_TOKS} AS toks FROM d),
+w AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks) - {k} + 1)) AS wpos
+  FROM t WHERE len(toks) >= {k}
+),
+h AS (
+  SELECT doc_id, wpos,
+         md5(array_to_string(list_slice(toks, wpos + 1, wpos + {k}), ' ')) AS whash
+  FROM w
+),
+f AS (SELECT whash, count(DISTINCT doc_id) AS nd FROM h GROUP BY whash),
+r AS (
+  SELECT h.doc_id, h.wpos, f.nd,
+         row_number() OVER (PARTITION BY h.whash
+                            ORDER BY h.doc_id, h.wpos) AS rn
+  FROM h JOIN f USING (whash)
+),
+dup AS (SELECT doc_id, wpos FROM r WHERE nd >= 2 AND rn > 1),
+cov AS (
+  SELECT DISTINCT doc_id, tp
+  FROM (SELECT doc_id, unnest(range(wpos, wpos + {k})) AS tp FROM dup)
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) - 1 AS tp
+  FROM t
+),
+kept AS (
+  SELECT tok.doc_id, tok.tp, tok.tok FROM tok
+  WHERE NOT EXISTS (SELECT 1 FROM cov
+                    WHERE cov.doc_id = tok.doc_id AND cov.tp = tok.tp)
+),
+tot AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+cl AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS clean_text,
+         count(*) AS nk
+  FROM kept GROUP BY doc_id
+)
+SELECT tot.doc_id,
+       coalesce(cl.clean_text, '') AS clean_text,
+       CAST(tot.n - coalesce(cl.nk, 0) AS BIGINT) AS n_removed
+FROM tot LEFT JOIN cl USING (doc_id)
+"""
