@@ -963,6 +963,84 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(docs, k=12)
 
 
+def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding cleanup (ftfy-style): every seventh document's text —
+    with a planted accented suffix — is double-encoded into
+    UTF-8-read-as-Latin-1 artifacts, then repaired by the ONE-rule-
+    table replace chain (functions/mojibake.py). had_mojibake flags
+    docs the repair actually changed. Oracle compiles the SAME derived
+    rule table to nested DuckDB replace() chains."""
+    from medical_and_charity_document_extraction_system_spark.functions.mojibake import (
+        MOJIBAKE_PLANT,
+        corrupt_mojibake,
+        repair_mojibake,
+    )
+
+    docs = _docs(spark, sf_dir)
+    planted = F.concat(F.col("text"), F.lit(MOJIBAKE_PLANT))
+    corrupted = F.when(
+        F.col("doc_id") % 7 == 0, corrupt_mojibake(planted)
+    ).otherwise(planted)
+    c = docs.select("doc_id", corrupted.alias("ct"))
+    repaired = repair_mojibake(F.col("ct"))
+    return c.select(
+        "doc_id",
+        (F.col("ct") != repaired).alias("had_mojibake"),
+        repaired.alias("clean_text"),
+    )
+
+
+def q_outlink_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction over the raw html bytes: one JVM
+    regexp_extract_all pulls every href anchor, resolved absolute
+    against the page origin (operators/webgraph.extract_outlinks).
+    Oracle: the html template plants exactly nine root-relative
+    anchors per html page, so the expected rows are constructed
+    (origin x nine paths), never re-parsed."""
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        extract_outlinks,
+    )
+
+    pages = synthesize_pages(spark, sf_dir)
+    out = extract_outlinks(pages)
+    return out.select(_doc_id(), "outlink")
+
+
+def _hidx_of(mod):
+    """The tiered Zipf host mapping (sources/pages.host_index) as a
+    Column over a precomputed 0..99 modulus."""
+    return (
+        F.when(mod < 40, F.lit(0))
+        .when(mod < 60, F.lit(1))
+        .when(mod < 70, F.lit(2))
+        .otherwise(F.lit(3) + mod % 17)
+    ).cast("long")
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank for crawl prioritization: a deterministic
+    host edge list (each doc links its Zipf host to two derived
+    hosts), ranked by 4 rounds of INTEGER fixed-point PageRank
+    (operators/webgraph.pagerank_fixed) — bigint units, DIV floor
+    division, no floats, so any aggregation order lands on identical
+    units. Oracle unrolls the same rounds as chained CTEs."""
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        pagerank_fixed,
+    )
+
+    docs = _docs(spark, sf_dir)
+    host = lambda mod: F.concat(F.lit("host"), _hidx_of(mod).cast("string"))  # noqa: E731
+    m = docs.select(
+        host((F.col("doc_id") * 131) % 100).alias("src"),
+        host((F.col("doc_id") * 577) % 100).alias("dst1"),
+        host((F.col("doc_id") * 271) % 100).alias("dst2"),
+    )
+    edges = m.select("src", F.col("dst1").alias("dst")).unionAll(
+        m.select("src", F.col("dst2").alias("dst"))
+    )
+    return pagerank_fixed(edges, iterations=4)
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt politeness gate over the crawl frontier (RFC 9309):
     per-host robots bodies (deterministic shapes — exact-agent group
@@ -1274,6 +1352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4 (never driver-attested) ---
         "paragraph_dedup": q_paragraph_dedup,
         "span_dedup": q_span_dedup,
+        "outlink_graph": q_outlink_graph,
+        "host_pagerank": q_host_pagerank,
+        "mojibake_repair": q_mojibake_repair,
         "robots_filter": q_robots_filter,
         "image_preprocess_gif": q_image_preprocess_gif,
         "image_preprocess_bmp": q_image_preprocess_bmp,
@@ -1405,6 +1486,9 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_removal": oracles.boilerplate_removal_sql(),
         "paragraph_dedup": oracles.paragraph_dedup_sql(),
         "span_dedup": oracles.span_dedup_sql(),
+        "outlink_graph": oracles.outlink_graph_sql(),
+        "host_pagerank": oracles.host_pagerank_sql(),
+        "mojibake_repair": oracles.mojibake_repair_sql(),
         "gopher_quality": oracles.gopher_sql(),
         "robots_filter": oracles.robots_filter_sql(),
         "crawl_diff": oracles.crawl_diff_sql(),

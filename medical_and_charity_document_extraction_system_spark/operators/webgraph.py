@@ -1,0 +1,122 @@
+"""Web-graph operators: outlink extraction and fixed-point PageRank.
+
+The crawl-side complement of robots_filter (operators/crawl.py): a
+frontier needs to know (a) which urls a page links to and (b) which
+hosts are worth recrawling first. The reference system has no crawl
+layer (documents arrive as uploads); these operators are part of the
+web-scale ingestion surface this engine adds (SURVEY.md section 6).
+
+``extract_outlinks`` pulls every ``href="..."`` anchor out of the raw
+html bytes with one JVM ``regexp_extract_all`` (no Python in the data
+path) and resolves relative links against the page url per RFC 3986's
+common cases: absolute http(s) links pass through, root-relative
+links join the origin, other relative links join the page's base
+directory.
+
+``pagerank_fixed`` is PageRank in INTEGER fixed-point: ranks are
+bigint "units" (10^6 per node initially), each iteration moves
+``units DIV out_degree`` along every edge and renews each node at
+``(1-d)*10^6 + (d_num * inflow) DIV d_den`` with d = 85/100. Every
+operation is integer add / multiply / floor-divide, so the result is
+EXACTLY reproducible regardless of aggregation order — no libm, no
+float fold-order dependence — and the DuckDB twin (K chained CTEs,
+oracles.host_pagerank_sql) lands on identical bigints. Dangling-node
+mass is dropped (the classic "PageRank without dangling
+redistribution" variant); self-edges are allowed and contribute to
+their own node. Unit overflow bound: 85 * total_units must fit in
+int64, i.e. n_nodes * 10^6 < 10^17 — fine up to 10^11 nodes
+(the host graph of the full web is ~10^8).
+
+Scale shape (10^12 pages): outlink extraction is a zero-shuffle
+projection. PageRank shuffles the edge list once per iteration
+(join on src, agg on dst) — the standard distributed PageRank plan;
+pre-partitioning edges and ranks on the node key (plans/bucketing.py)
+makes the per-iteration join co-located, leaving only the inflow agg
+shuffle. Iterations are a fixed unrolled K (the oracle needs a finite
+SQL twin); for convergence-driven runs compose with the same
+localCheckpoint-every-round pattern as operators/dedup.
+connected_components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HREF_RE = r'href="([^"]*)"'
+
+
+def extract_outlinks(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """One row per anchor: (url, outlink) with outlink resolved to an
+    absolute url. Rows with NULL html (non-html payloads) yield no
+    links. Pure JVM: decode + regexp_extract_all + explode."""
+    page = F.col(url_col)
+    origin = F.regexp_extract(page, r"^(https?://[^/]+)", 1)
+    # page base dir: strip everything after the last '/'
+    base_dir = F.regexp_replace(page, r"[^/]*$", "")
+    link = F.col("_raw_link")
+    resolved = (
+        F.when(link.rlike(r"^https?://"), link)
+        .when(link.startswith("/"), F.concat(origin, link))
+        .otherwise(F.concat(base_dir, link))
+    )
+    return (
+        df.where(F.col(html_col).isNotNull())
+        .select(
+            page.alias("url"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(html_col).cast("string"), F.lit(_HREF_RE), F.lit(1)
+                )
+            ).alias("_raw_link"),
+        )
+        .select("url", resolved.alias("outlink"))
+    )
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iterations: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    unit: int = 1_000_000,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> DataFrame:
+    """Integer fixed-point PageRank over a DISTINCT edge list.
+    Returns (node, rank_units) after ``iterations`` rounds. All
+    arithmetic is int64 — bit-reproducible under any partitioning."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    # base (1-d) share per node: exact when d_den divides unit
+    base = unit - (d_num * unit) // d_den
+    ranks = nodes.select("node", F.lit(unit).cast("long").alias("units"))
+    for _ in range(iterations):
+        inflow = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(deg, "src")
+            .select("dst", F.expr("units DIV od").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = nodes.join(
+            inflow, nodes["node"] == inflow["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.expr(f"({d_num} * coalesce(inflow, 0L)) DIV {d_den}")
+            ).alias("units"),
+        )
+    return ranks.select("node", F.col("units").alias("rank_units"))

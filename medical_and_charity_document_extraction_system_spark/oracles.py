@@ -1586,3 +1586,112 @@ SELECT tot.doc_id,
        CAST(tot.n - coalesce(cl.nk, 0) AS BIGINT) AS n_removed
 FROM tot LEFT JOIN cl USING (doc_id)
 """
+
+
+# ------------------------------------------------------- web graph (r4)
+def outlink_graph_sql() -> str:
+    """Twin of q_outlink_graph: the html template
+    (sources/pages.py:_HTML_TEMPLATE) plants exactly nine
+    root-relative anchors in every html-bucket page (m >= 16), so the
+    expected (doc_id, outlink) rows are constructed — origin x the
+    nine paths — never re-parsed."""
+    paths = [
+        "/", "/about", "/contact", "/terms",
+        "/tag/popular", "/tag/recent", "/tag/archive",
+        "/privacy", "/imprint",
+    ]
+    plist = ", ".join(f"'{p}'" for p in paths)
+    return f"""
+WITH {base_cte()},
+h AS (SELECT doc_id, url FROM rec WHERE m >= 16),
+p AS (SELECT unnest([{plist}]) AS path)
+SELECT h.doc_id,
+       regexp_extract(h.url, '^(https?://[^/]+)', 1) || p.path AS outlink
+FROM h CROSS JOIN p
+"""
+
+
+def _hidx_case(h: str) -> str:
+    return (
+        f"CASE WHEN {h} < 40 THEN 0 WHEN {h} < 60 THEN 1 "
+        f"WHEN {h} < 70 THEN 2 ELSE 3 + {h} % 17 END"
+    )
+
+
+def host_pagerank_sql(
+    iterations: int = 4,
+    unit: int = 1_000_000,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> str:
+    """Twin of q_host_pagerank: the same deterministic host edge list
+    and the same integer fixed-point update, unrolled as one CTE per
+    iteration. Integer //-division and bigint sums are
+    order-independent, so the twin lands on identical units without
+    any float-fold care."""
+    base = unit - (d_num * unit) // d_den
+    iters = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        iters.append(f"""
+i{i} AS (
+  SELECT e.dst AS node, sum({prev}.units // deg.od) AS inflow
+  FROM e JOIN {prev} ON e.src = {prev}.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node,
+         CAST({base} + ({d_num} * coalesce(i{i}.inflow, 0)) // {d_den} AS BIGINT) AS units
+  FROM nodes n LEFT JOIN i{i} USING (node)
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH dd AS (
+  SELECT doc_id, (doc_id * 131) % 100 AS h0,
+         (doc_id * 577) % 100 AS h1, (doc_id * 271) % 100 AS h2
+  FROM documents
+),
+m AS (
+  SELECT 'host' || CAST({_hidx_case('h0')} AS VARCHAR) AS src,
+         'host' || CAST({_hidx_case('h1')} AS VARCHAR) AS dst1,
+         'host' || CAST({_hidx_case('h2')} AS VARCHAR) AS dst2
+  FROM dd
+),
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst1 AS dst FROM m UNION ALL SELECT src, dst2 FROM m
+  )
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+r0 AS (SELECT node, CAST({unit} AS BIGINT) AS units FROM nodes),{",".join(iters)}
+SELECT node, units AS rank_units FROM {prev}
+"""
+
+
+def mojibake_repair_sql() -> str:
+    """Twin of q_mojibake_repair: the same accent-suffix plant, the
+    same doc_id %% 7 corruption, and the same ONE-rule-table repair
+    chain (functions/mojibake.MOJIBAKE_RULES) compiled to nested
+    DuckDB replace() over chr() literals."""
+    from .functions.mojibake import (
+        MOJIBAKE_PLANT,
+        _sql_str,
+        corrupt_sql_expr,
+        repair_sql_expr,
+    )
+
+    return f"""
+WITH p AS (
+  SELECT doc_id, text || {_sql_str(MOJIBAKE_PLANT)} AS t FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN {corrupt_sql_expr('t')} ELSE t END AS ct
+  FROM p
+)
+SELECT doc_id,
+       ct <> {repair_sql_expr('ct')} AS had_mojibake,
+       {repair_sql_expr('ct')} AS clean_text
+FROM c
+"""

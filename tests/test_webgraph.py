@@ -1,0 +1,81 @@
+"""Web-graph semantics: outlink extraction/resolution and integer
+fixed-point PageRank (operators/webgraph.py)."""
+
+from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+    extract_outlinks,
+    pagerank_fixed,
+)
+
+
+def _links(spark, html, url="https://h.example.com/a/b/page.html"):
+    df = spark.createDataFrame([(url, html.encode())], "url string, html binary")
+    return [r["outlink"] for r in extract_outlinks(df).collect()]
+
+
+def test_outlink_resolution_cases(spark):
+    html = (
+        '<a href="https://other.com/x">abs</a>'
+        '<a href="/root/path">rootrel</a>'
+        '<a href="sibling.html">rel</a>'
+        '<a href="http://plain.org/">plain</a>'
+    )
+    assert _links(spark, html) == [
+        "https://other.com/x",
+        "https://h.example.com/root/path",
+        "https://h.example.com/a/b/sibling.html",
+        "http://plain.org/",
+    ]
+
+
+def test_outlink_null_html_yields_no_rows(spark):
+    df = spark.createDataFrame(
+        [("https://h/x", None), ("https://h/y", b'<a href="/z">z</a>')],
+        "url string, html binary",
+    )
+    out = extract_outlinks(df).collect()
+    assert [(r["url"], r["outlink"]) for r in out] == [("https://h/y", "https://h/z")]
+
+
+def _ranks(spark, edges, iterations):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {
+        r["node"]: r["rank_units"]
+        for r in pagerank_fixed(df, iterations=iterations).collect()
+    }
+
+
+def test_pagerank_one_round_hand_computed(spark):
+    # a->b, a->c, b->c, c->a; unit=1e6, d=85/100, base=150000
+    r = _ranks(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")], 1)
+    assert r == {"a": 1_000_000, "b": 575_000, "c": 1_425_000}
+
+
+def test_pagerank_dangling_mass_dropped(spark):
+    # b has no outlinks: its mass is dropped, not redistributed
+    r = _ranks(spark, [("a", "b")], 1)
+    assert r == {"a": 150_000, "b": 1_000_000}
+
+
+def test_pagerank_multi_edge_collapses_to_distinct(spark):
+    # duplicated edge rows must not double the contribution
+    r1 = _ranks(spark, [("a", "b"), ("a", "b")], 1)
+    r2 = _ranks(spark, [("a", "b")], 1)
+    assert r1 == r2
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    edges = [(f"n{i % 7}", f"n{(i * 3) % 7}") for i in range(40)]
+    df1 = spark.createDataFrame(edges, "src string, dst string")
+    df4 = df1.repartition(4)
+    a = {r["node"]: r["rank_units"] for r in pagerank_fixed(df1, 3).collect()}
+    b = {r["node"]: r["rank_units"] for r in pagerank_fixed(df4, 3).collect()}
+    assert a == b
+
+
+def test_outlink_plan_is_jvm_side(spark):
+    df = spark.createDataFrame(
+        [("https://h/x", b'<a href="/y">y</a>')], "url string, html binary"
+    )
+    plan = extract_outlinks(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
