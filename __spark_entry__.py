@@ -963,6 +963,80 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(docs, k=12)
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha = 1/2) source mixing: per-source quotas
+    proportional to sqrt(source_count), filled by each source's
+    lowest-md5 docs (operators/mixing.temperature_mix). sqrt is the
+    one IEEE correctly-rounded float op, so floor(sqrt(c)*1000) is
+    engine-exact; quotas are integer cross-multiplication. Oracle
+    recomputes weights, quotas, and ranks from scratch."""
+    from medical_and_charity_document_extraction_system_spark.operators.mixing import (
+        temperature_mix,
+    )
+
+    return temperature_mix(_docs(spark, sf_dir), target_total=200)
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard manifest: md5-bucket shard
+    assignment plus per-shard doc count, token mass, an order-
+    independent integer checksum, and min/max member hashes
+    (operators/mixing.shard_manifest) — the integrity record a
+    downstream trainer verifies before reading shard files."""
+    from medical_and_charity_document_extraction_system_spark.operators.mixing import (
+        shard_manifest,
+    )
+
+    return shard_manifest(_docs(spark, sf_dir), n_shards=8)
+
+
+def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full shard-sink round trip: documents exported as deterministic
+    jsonl.gz shards from the EXECUTORS (sources/shards.py), read back
+    through the gzip-text source with the shard id parsed from the
+    file NAME, and re-aggregated into the manifest. Matching the
+    shard_manifest oracle proves the writer placed every doc in its
+    md5-assigned shard file and the json round trip was lossless."""
+    from medical_and_charity_document_extraction_system_spark.operators.mixing import (
+        shard_manifest as _mk_manifest,
+    )
+    from medical_and_charity_document_extraction_system_spark.sources.shards import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    base = _stage_dir("shards_")
+    write_training_shards(
+        _docs(spark, sf_dir).select("doc_id", "text"), f"{base}/shards", 8
+    )
+    back = read_training_shards(spark, f"{base}/shards")
+    # manifest recomputed from the round-tripped rows, grouped by the
+    # FILE-derived shard id: placement + content must both be right
+    from medical_and_charity_document_extraction_system_spark.functions.textstats import (
+        token_count,
+    )
+    from medical_and_charity_document_extraction_system_spark.operators.sampling import (
+        _hash_mod,
+    )
+
+    return (
+        back.select(
+            "shard",
+            _hash_mod(F.col("doc_id"), 10000).alias("bucket"),
+            F.md5(F.col("doc_id").cast("string")).alias("oh"),
+            token_count(F.col("text")).alias("ntok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("n_tokens"),
+            F.sum("bucket").alias("checksum"),
+            F.min("oh").alias("first_hash"),
+            F.max("oh").alias("last_hash"),
+        )
+    )
+
+
 def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding cleanup (ftfy-style): every seventh document's text —
     with a planted accented suffix — is double-encoded into
@@ -1355,6 +1429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_graph": q_outlink_graph,
         "host_pagerank": q_host_pagerank,
         "mojibake_repair": q_mojibake_repair,
+        "temperature_mix": q_temperature_mix,
+        "shard_manifest": q_shard_manifest,
+        "shard_export": q_shard_export,
         "robots_filter": q_robots_filter,
         "image_preprocess_gif": q_image_preprocess_gif,
         "image_preprocess_bmp": q_image_preprocess_bmp,
@@ -1489,6 +1566,10 @@ def oracle_sql() -> dict[str, str]:
         "outlink_graph": oracles.outlink_graph_sql(),
         "host_pagerank": oracles.host_pagerank_sql(),
         "mojibake_repair": oracles.mojibake_repair_sql(),
+        "temperature_mix": oracles.temperature_mix_sql(),
+        "shard_manifest": oracles.shard_manifest_sql(),
+        # the file round trip must land on the same manifest
+        "shard_export": oracles.shard_manifest_sql(),
         "gopher_quality": oracles.gopher_sql(),
         "robots_filter": oracles.robots_filter_sql(),
         "crawl_diff": oracles.crawl_diff_sql(),

@@ -1695,3 +1695,50 @@ SELECT doc_id,
        {repair_sql_expr('ct')} AS clean_text
 FROM c
 """
+
+
+# --------------------------------------------------- mixing / shards (r4)
+def temperature_mix_sql(
+    target_total: int = 200, weight_scale: int = 1000
+) -> str:
+    """Twin of operators/mixing.temperature_mix: per-source quotas
+    from floor(sqrt(count) * scale) integer weights (sqrt is IEEE
+    correctly-rounded — safe across engines, unlike ln), selection by
+    md5-rank within source."""
+    return f"""
+WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+w AS (SELECT source, CAST(floor(sqrt(c) * {weight_scale}) AS BIGINT) AS w FROM c),
+t AS (SELECT source, w, sum(w) OVER () AS tw FROM w),
+q AS (SELECT source, ({target_total} * w) // tw AS quota FROM t),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+  FROM documents
+)
+SELECT r.doc_id, r.source, CAST(r.rank AS BIGINT) AS rank
+FROM r JOIN q USING (source)
+WHERE r.rank <= q.quota
+"""
+
+
+def shard_manifest_sql(n_shards: int = 8) -> str:
+    """Twin of operators/mixing.shard_manifest: md5-bucket shard
+    assignment, integer checksum (order-independent bigint sum),
+    min/max member hash, token mass via the parity tokenizer."""
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         {_BUCKET} AS bucket,
+         md5(CAST(doc_id AS VARCHAR)) AS oh,
+         CAST(len({_TOKS}) AS BIGINT) AS ntok
+  FROM documents
+)
+SELECT bucket % {n_shards} AS shard,
+       count(*) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       CAST(sum(bucket) AS BIGINT) AS checksum,
+       min(oh) AS first_hash,
+       max(oh) AS last_hash
+FROM b GROUP BY 1
+"""
