@@ -963,6 +963,20 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(docs, k=12)
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full inverted-index build: one row per (term, doc) posting
+    with tf, ordered 0-based positions, and the term's document
+    frequency (operators/index.inverted_index, min_df=2). The
+    retrieval artifact BM25 consumes — one explode, one (term, doc)
+    hash-agg, one term-window count. Oracle replays the identical
+    construction in DuckDB."""
+    from medical_and_charity_document_extraction_system_spark.operators.index import (
+        inverted_index,
+    )
+
+    return inverted_index(_docs(spark, sf_dir), min_df=2)
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature (alpha = 1/2) source mixing: per-source quotas
     proportional to sqrt(source_count), filled by each source's
@@ -1432,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "shard_manifest": q_shard_manifest,
         "shard_export": q_shard_export,
+        "inverted_index": q_inverted_index,
         "robots_filter": q_robots_filter,
         "image_preprocess_gif": q_image_preprocess_gif,
         "image_preprocess_bmp": q_image_preprocess_bmp,
@@ -1570,6 +1585,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_manifest": oracles.shard_manifest_sql(),
         # the file round trip must land on the same manifest
         "shard_export": oracles.shard_manifest_sql(),
+        "inverted_index": oracles.inverted_index_sql(),
         "gopher_quality": oracles.gopher_sql(),
         "robots_filter": oracles.robots_filter_sql(),
         "crawl_diff": oracles.crawl_diff_sql(),

@@ -1,0 +1,54 @@
+"""Inverted-index construction: term -> postings with positions.
+
+The retrieval-side artifact of the corpus (BM25 scoring in
+operators/sessions.py consumes these statistics query-side; this
+operator materializes the full index a search service would serve):
+one row per (term, document) with term frequency and the ordered
+position list, plus the term's document frequency.
+
+Plan shape: one posexplode over the shared parity tokenizer, one
+(term, doc) hash-agg — map-side combine carries (term, doc, count,
+positions) partials, so the shuffle is proportional to the DISTINCT
+(term, doc) pairs, not the token count — then a window count over
+the term key for df. At 10^12 docs this is the classic index build:
+both shuffles key on the term (uniformly hashed), and the output is
+naturally range-partitionable by term for serving. Positions are
+emitted as a comma-joined string so the row stays flat (and the
+DuckDB twin is an exact string_agg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textstats import tokens
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Returns (term, df, id, tf, positions) — one row per posting,
+    positions 0-based in token space, ordered. ``min_df`` drops
+    hapax/rare terms (index-size control at corpus scale)."""
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("tp", "term")
+    )
+    postings = tok.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("tp")), lambda p: p.cast("string")
+            ),
+            ",",
+        ).alias("positions"),
+    )
+    out = postings.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long")
+    )
+    if min_df > 1:
+        out = out.where(F.col("df") >= min_df)
+    return out.select("term", "df", id_col, "tf", "positions")

@@ -1742,3 +1742,27 @@ SELECT bucket % {n_shards} AS shard,
        max(oh) AS last_hash
 FROM b GROUP BY 1
 """
+
+
+def inverted_index_sql(min_df: int = 2) -> str:
+    """Twin of operators/index.inverted_index over documents: same
+    parity tokenizer, same (term, doc) agg, same windowed df."""
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS tp
+  FROM t
+),
+p AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+         string_agg(CAST(tp AS VARCHAR), ',' ORDER BY tp) AS positions
+  FROM tok GROUP BY term, doc_id
+),
+w AS (
+  SELECT term, CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+         doc_id, tf, positions
+  FROM p
+)
+SELECT term, df, doc_id, tf, positions FROM w WHERE df >= {min_df}
+"""
