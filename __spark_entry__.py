@@ -963,6 +963,36 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(docs, k=12)
 
 
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data pipeline, end to end: extraction
+    text -> Gopher quality keep-filter -> exact document dedup ->
+    first-occurrence paragraph dedup -> deterministic shard manifest.
+    One query chaining four operators the catalog also proves
+    individually; the oracle composes the SAME SQL fragments, so a
+    mismatch isolates to stage wiring, not stage semantics."""
+    from medical_and_charity_document_extraction_system_spark.functions.gopher import (
+        with_gopher_signals,
+    )
+    from medical_and_charity_document_extraction_system_spark.operators.dedup import (
+        exact_dedup,
+    )
+    from medical_and_charity_document_extraction_system_spark.operators.mixing import (
+        shard_manifest,
+    )
+    from medical_and_charity_document_extraction_system_spark.operators.textdedup import (
+        paragraph_dedup,
+    )
+
+    ext = _extract(spark, sf_dir).select(_doc_id(), "text")
+    keep_ids = with_gopher_signals(ext).where("gopher_keep").select("doc_id")
+    kept = ext.join(keep_ids, "doc_id", "left_semi")
+    ded = exact_dedup(kept)
+    clean = paragraph_dedup(ded)
+    return shard_manifest(
+        clean.select("doc_id", F.col("clean_text").alias("text")), n_shards=8
+    )
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full inverted-index build: one row per (term, doc) posting
     with tf, ordered 0-based positions, and the term's document
@@ -1447,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "shard_export": q_shard_export,
         "inverted_index": q_inverted_index,
+        "training_pipeline": q_training_pipeline,
         "robots_filter": q_robots_filter,
         "image_preprocess_gif": q_image_preprocess_gif,
         "image_preprocess_bmp": q_image_preprocess_bmp,
@@ -1586,6 +1617,7 @@ def oracle_sql() -> dict[str, str]:
         # the file round trip must land on the same manifest
         "shard_export": oracles.shard_manifest_sql(),
         "inverted_index": oracles.inverted_index_sql(),
+        "training_pipeline": oracles.training_pipeline_sql(),
         "gopher_quality": oracles.gopher_sql(),
         "robots_filter": oracles.robots_filter_sql(),
         "crawl_diff": oracles.crawl_diff_sql(),

@@ -459,15 +459,17 @@ FROM (
 """
 
 
-def gopher_sql() -> str:
-    """Twin of functions/gopher.with_gopher_signals over the
-    reconstructed extraction text: every signal is integer counts
-    divided once (CAST AS DOUBLE on both sides), so doubles are
-    bit-identical across engines."""
-    return f"""
-WITH {base_cte()},
-t AS (SELECT doc_id, {_EXTRACT_TEXT_CASE} AS text FROM rec),
-s AS (
+_GOPHER_KEEP = """coalesce(
+    n_words >= 50 AND n_words <= 100000
+    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+    AND alpha_word_ratio >= 0.8 AND stopword_hits >= 2
+    AND dup_line_frac <= 0.3
+    AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3,
+    FALSE)"""
+
+# the signal CTE chain over a CTE named ``t`` providing (doc_id,
+# text); shared by gopher_sql and the composite training_pipeline_sql
+_GOPHER_BODY = """s AS (
   SELECT doc_id,
     list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks,
     string_split(text, chr(10)) AS lines
@@ -509,15 +511,20 @@ v AS (
     CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS bullet_line_frac,
     CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS ellipsis_line_frac
   FROM c
-)
+)"""
+
+
+def gopher_sql() -> str:
+    """Twin of functions/gopher.with_gopher_signals over the
+    reconstructed extraction text: every signal is integer counts
+    divided once (CAST AS DOUBLE on both sides), so doubles are
+    bit-identical across engines."""
+    return f"""
+WITH {base_cte()},
+t AS (SELECT doc_id, {_EXTRACT_TEXT_CASE} AS text FROM rec),
+{_GOPHER_BODY}
 SELECT *,
-  coalesce(
-    n_words >= 50 AND n_words <= 100000
-    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-    AND alpha_word_ratio >= 0.8 AND stopword_hits >= 2
-    AND dup_line_frac <= 0.3
-    AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3,
-    FALSE) AS gopher_keep
+  {_GOPHER_KEEP} AS gopher_keep
 FROM v
 """
 
@@ -1490,23 +1497,15 @@ SPAN_DEDUP_LICENSE = (
 )
 
 
-def paragraph_dedup_sql() -> str:
-    """Twin of operators/textdedup.paragraph_dedup over the
-    reconstructed extraction text: a non-blank line survives only at
-    its corpus-global first (doc_id, pos) occurrence; blank lines
-    always survive; survivors reassemble in position order.
-    row_number() over (md5(line) ORDER BY doc_id, pos) = 1 is exactly
-    Spark's min(struct(doc_id, pos)) per line hash."""
-    return f"""
-WITH {base_cte()},
-doc_text AS (
-  SELECT doc_id, {_EXTRACT_TEXT_CASE} AS t FROM rec
-),
-lines AS (
+def _paragraph_ctes(src: str) -> str:
+    """The first-occurrence line-dedup CTE chain (lines/r/cl/tot)
+    over CTE ``src`` providing (doc_id, t). Shared by
+    paragraph_dedup_sql and training_pipeline_sql."""
+    return f"""lines AS (
   SELECT doc_id,
          unnest(string_split(t, chr(10))) AS line,
          generate_subscripts(string_split(t, chr(10)), 1) - 1 AS pos
-  FROM doc_text
+  FROM {src}
 ),
 r AS (
   SELECT doc_id, line, pos,
@@ -1521,7 +1520,22 @@ cl AS (
          count(*) AS nk
   FROM r WHERE rn = 1 GROUP BY doc_id
 ),
-tot AS (SELECT doc_id, count(*) AS n FROM lines GROUP BY doc_id)
+tot AS (SELECT doc_id, count(*) AS n FROM lines GROUP BY doc_id)"""
+
+
+def paragraph_dedup_sql() -> str:
+    """Twin of operators/textdedup.paragraph_dedup over the
+    reconstructed extraction text: a non-blank line survives only at
+    its corpus-global first (doc_id, pos) occurrence; blank lines
+    always survive; survivors reassemble in position order.
+    row_number() over (md5(line) ORDER BY doc_id, pos) = 1 is exactly
+    Spark's min(struct(doc_id, pos)) per line hash."""
+    return f"""
+WITH {base_cte()},
+doc_text AS (
+  SELECT doc_id, {_EXTRACT_TEXT_CASE} AS t FROM rec
+),
+{_paragraph_ctes("doc_text")}
 SELECT tot.doc_id,
        coalesce(cl.clean_text, '') AS clean_text,
        CAST(tot.n - coalesce(cl.nk, 0) AS BIGINT) AS n_removed
@@ -1765,4 +1779,45 @@ w AS (
   FROM p
 )
 SELECT term, df, doc_id, tf, positions FROM w WHERE df >= {min_df}
+"""
+
+
+def training_pipeline_sql(n_shards: int = 8) -> str:
+    """Twin of q_training_pipeline — the COMPOSED corpus pipeline:
+    reconstructed extraction text -> Gopher keep-filter -> exact
+    doc dedup (min-id keeper per md5) -> first-occurrence paragraph
+    dedup -> per-shard manifest. Every stage reuses the SAME fragment
+    its standalone oracle uses (_GOPHER_BODY/_GOPHER_KEEP,
+    _paragraph_ctes, the manifest aggregate), so the composite cannot
+    drift from the parts."""
+    return f"""
+WITH {base_cte()},
+t AS (SELECT doc_id, {_EXTRACT_TEXT_CASE} AS text FROM rec),
+{_GOPHER_BODY},
+gk AS (SELECT doc_id FROM v WHERE {_GOPHER_KEEP}),
+kept AS (SELECT t.doc_id, t.text FROM t JOIN gk USING (doc_id)),
+firsts AS (SELECT md5(text) AS f, min(doc_id) AS keeper FROM kept GROUP BY 1),
+ded AS (
+  SELECT kept.doc_id, kept.text AS t
+  FROM kept JOIN firsts
+    ON md5(kept.text) = firsts.f AND kept.doc_id = firsts.keeper
+),
+{_paragraph_ctes("ded")},
+clean AS (
+  SELECT tot.doc_id, coalesce(cl.clean_text, '') AS text
+  FROM tot LEFT JOIN cl USING (doc_id)
+),
+b AS (
+  SELECT doc_id, {_BUCKET} AS bucket,
+         md5(CAST(doc_id AS VARCHAR)) AS oh,
+         CAST(len({_TOKS}) AS BIGINT) AS ntok
+  FROM clean
+)
+SELECT bucket % {n_shards} AS shard,
+       count(*) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       CAST(sum(bucket) AS BIGINT) AS checksum,
+       min(oh) AS first_hash,
+       max(oh) AS last_hash
+FROM b GROUP BY 1
 """

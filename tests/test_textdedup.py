@@ -118,3 +118,38 @@ def test_textdedup_plans_stay_jvm_side(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_training_pipeline_stages_all_bite(spark):
+    """The composed catalog query is only meaningful if every stage
+    removes something on the test corpus: quality filter drops docs,
+    exact dedup drops docs, paragraph dedup drops lines."""
+    import __spark_entry__ as e
+    from medical_and_charity_document_extraction_system_spark.functions.gopher import (
+        with_gopher_signals,
+    )
+    from medical_and_charity_document_extraction_system_spark.operators.dedup import (
+        exact_dedup,
+    )
+    from medical_and_charity_document_extraction_system_spark.operators.textdedup import (
+        paragraph_dedup,
+    )
+
+    ext = e._extract(spark, "/root/testdata/sf0.001").selectExpr(
+        "cast(regexp_extract(url, '/doc/(\\\\d+)$', 1) as long) as doc_id", "text"
+    )
+    n0 = ext.count()
+    kept = ext.join(
+        with_gopher_signals(ext).where("gopher_keep").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    n1 = kept.count()
+    assert 0 < n1 < n0  # quality filter bites
+    ded = exact_dedup(kept)
+    n2 = ded.count()
+    assert n2 <= n1
+    removed = paragraph_dedup(ded).agg(F.sum("n_removed")).collect()[0][0]
+    assert removed > 0  # paragraph dedup bites
+    man = e.queries()["training_pipeline"](spark, "/root/testdata/sf0.001")
+    assert man.agg(F.sum("n_docs")).collect()[0][0] == n2
