@@ -58,6 +58,11 @@ CATALOG_QUERIES = [
     "image_preprocess_jpeg",
     # round 4: the from-scratch VP8L (lossless WebP) container
     "image_preprocess_webp",
+    # round 4: sub-document dedup (window-hash explode), index build,
+    # and the composed extract->filter->dedup->manifest pipeline
+    "span_dedup",
+    "inverted_index",
+    "training_pipeline",
 ]
 
 

@@ -93,16 +93,22 @@ def pagerank_fixed(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
+    # materialize the edge list once: every iteration references it,
+    # and without the cut each round re-runs the whole upstream edge
+    # derivation (same lineage-cut rationale as
+    # operators/dedup.connected_components)
+    e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od")).localCheckpoint(eager=True)
     # base (1-d) share per node: exact when d_den divides unit
     base = unit - (d_num * unit) // d_den
     ranks = nodes.select("node", F.lit(unit).cast("long").alias("units"))
-    for _ in range(iterations):
+    for it in range(iterations):
         inflow = (
             e.join(ranks, e["src"] == ranks["node"])
             .join(deg, "src")
@@ -119,4 +125,8 @@ def pagerank_fixed(
                 + F.expr(f"({d_num} * coalesce(inflow, 0L)) DIV {d_den}")
             ).alias("units"),
         )
+        # cut the per-round join lineage periodically so deep runs
+        # don't accumulate an O(iterations)-tall plan
+        if (it + 1) % 5 == 0 and (it + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("units").alias("rank_units"))
