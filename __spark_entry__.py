@@ -888,6 +888,31 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level upsert into the snapshot table (Iceberg MERGE INTO
+    shape, plans/snapstore.SnapshotTable.merge): every tenth doc's
+    text is revised, one new doc per fiftieth is inserted; only data
+    files containing a matched key are rewritten (file-granular
+    copy-on-write), and the post-merge read must equal the oracle's
+    CASE/UNION construction."""
+    from medical_and_charity_document_extraction_system_spark.plans.snapstore import (
+        SnapshotTable,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    t = SnapshotTable(spark, f"{_stage_dir('snapmerge_')}/tbl")
+    t.commit(docs.repartition(4, "doc_id"), "append")
+    revised = docs.where("doc_id % 10 = 0").select(
+        "doc_id", F.concat("text", F.lit(" [rev2]")).alias("text")
+    )
+    inserted = docs.where("doc_id % 50 = 0").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias("text"),
+    )
+    t.merge(revised.unionByName(inserted), "doc_id")
+    return t.read().select("doc_id", F.md5("text").alias("fp"))
+
+
 def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Iceberg-shaped sink exercised end-to-end
     (plans/snapstore.py): even-id docs committed as snapshot 1, odd
@@ -1478,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_export": q_shard_export,
         "inverted_index": q_inverted_index,
         "training_pipeline": q_training_pipeline,
+        "snapshot_merge": q_snapshot_merge,
         "robots_filter": q_robots_filter,
         "image_preprocess_gif": q_image_preprocess_gif,
         "image_preprocess_bmp": q_image_preprocess_bmp,
@@ -1618,6 +1644,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_export": oracles.shard_manifest_sql(),
         "inverted_index": oracles.inverted_index_sql(),
         "training_pipeline": oracles.training_pipeline_sql(),
+        "snapshot_merge": oracles.snapshot_merge_sql(),
         "gopher_quality": oracles.gopher_sql(),
         "robots_filter": oracles.robots_filter_sql(),
         "crawl_diff": oracles.crawl_diff_sql(),

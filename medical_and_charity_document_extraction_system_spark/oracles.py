@@ -1821,3 +1821,18 @@ SELECT bucket % {n_shards} AS shard,
        max(oh) AS last_hash
 FROM b GROUP BY 1
 """
+
+
+def snapshot_merge_sql() -> str:
+    """Twin of q_snapshot_merge: after upserting every tenth doc
+    (text || ' [rev2]') and inserting a new doc per fiftieth, the
+    current table must read back exactly this union."""
+    return """
+SELECT doc_id,
+       md5(CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]' ELSE text END) AS fp
+FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id,
+       md5('new doc ' || CAST(doc_id AS VARCHAR)) AS fp
+FROM documents WHERE doc_id % 50 = 0
+"""

@@ -19,6 +19,9 @@ the same design Iceberg uses (spec at iceberg.apache.org/spec/):
   a parent pointer — old snapshots stay readable (time travel);
 - **rollback**: a new snapshot that re-exposes an old snapshot's file
   set (never deletes anything);
+- **merge**: row-level upsert with file-granular copy-on-write —
+  only data files containing a matched key are rewritten, the rest
+  carry over by reference (the MERGE INTO cost model);
 - **expire_snapshots**: retention (the S7 semantics, reference
   file_utils.cleanup_files:75-126) — drops old snapshots from the log
   and physically deletes data files no surviving snapshot references.
@@ -74,6 +77,32 @@ class SnapshotTable:
             return json.load(f)
 
     # --------------------------------------------------------- commit
+    def _write_files(self, df: DataFrame, sid: int) -> tuple[list[str], int]:
+        """Stage ``df`` as immutable data files for snapshot ``sid``.
+        Returns (file names, row count — footer-level, no scan)."""
+        staging = os.path.join(self.path, f"_staging-{sid}")
+        df.write.mode("overwrite").parquet(staging)
+        new_files = []
+        i = 0
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            dst = f"snap{sid:06d}-{i:05d}.parquet"
+            os.replace(
+                os.path.join(staging, name), os.path.join(self.data_dir, dst)
+            )
+            new_files.append(dst)
+            i += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        rows = (
+            self.spark.read.parquet(
+                *[os.path.join(self.data_dir, f) for f in new_files]
+            ).count()
+            if new_files
+            else 0
+        )
+        return new_files, rows
+
     def commit(
         self, df: DataFrame, operation: str = "append", tag: str | None = None
     ) -> int:
@@ -94,28 +123,7 @@ class SnapshotTable:
                 if s.get("tag") == tag:
                     return s["snapshot_id"]
         sid = snaps[-1]["snapshot_id"] + 1 if snaps else 1
-        staging = os.path.join(self.path, f"_staging-{sid}")
-        df.write.mode("overwrite").parquet(staging)
-        new_files = []
-        i = 0
-        for name in sorted(os.listdir(staging)):
-            if not name.endswith(".parquet"):
-                continue
-            dst = f"snap{sid:06d}-{i:05d}.parquet"
-            os.replace(
-                os.path.join(staging, name), os.path.join(self.data_dir, dst)
-            )
-            new_files.append(dst)
-            i += 1
-        shutil.rmtree(staging, ignore_errors=True)
-        # row count from footers only (metadata-level count, no scan)
-        rows = (
-            self.spark.read.parquet(
-                *[os.path.join(self.data_dir, f) for f in new_files]
-            ).count()
-            if new_files
-            else 0
-        )
+        new_files, rows = self._write_files(df, sid)
         files = list(new_files)
         total = rows
         parent = snaps[-1]["snapshot_id"] if snaps else None
@@ -135,6 +143,76 @@ class SnapshotTable:
         with open(os.path.join(self.meta_dir, f"manifest-{sid}.json"), "w") as f:
             json.dump(manifest, f, indent=1)
         entry = {"snapshot_id": sid, "operation": operation, "parent": parent}
+        if tag is not None:
+            entry["tag"] = tag
+        self._write_log(snaps + [entry])
+        return sid
+
+    def merge(
+        self, updates: DataFrame, key_col: str, tag: str | None = None
+    ) -> int:
+        """Row-level upsert (Iceberg MERGE INTO, copy-on-write): rows
+        in ``updates`` REPLACE current rows with the same key; unseen
+        keys are inserted. File-granular CoW: only data files that
+        contain a matched key are rewritten (their unmatched rows are
+        carried into the replacement files); every other file is
+        referenced unchanged by the new snapshot — at 10^12 rows the
+        rewrite cost is proportional to the touched files, not the
+        table, which is exactly why Iceberg does it this way. Old
+        snapshots keep reading the pre-merge files (time travel
+        unaffected). ``tag`` gives the same replay-idempotency as
+        commit. Returns the new snapshot id."""
+        from pyspark.sql import functions as F
+
+        snaps = self.snapshots()
+        if tag is not None:
+            for s in snaps:
+                if s.get("tag") == tag:
+                    return s["snapshot_id"]
+        if not snaps:
+            return self.commit(updates, "append", tag=tag)
+        parent = snaps[-1]["snapshot_id"]
+        pm = self._manifest(parent)
+        files = pm["files"]
+        paths = [os.path.join(self.data_dir, f) for f in files]
+        keys = updates.select(key_col).distinct()
+        # which files hold a matched key: one metadata-light semi-join;
+        # the collect is bounded by FILE count, never row count
+        cur = self.spark.read.parquet(*paths).select(
+            key_col, F.input_file_name().alias("_f")
+        )
+        hit_paths = sorted(
+            r["_f"]
+            for r in cur.join(keys, key_col, "left_semi")
+            .select("_f")
+            .distinct()
+            .collect()
+        )
+        hit_names = {os.path.basename(p) for p in hit_paths}
+        carried = [f for f in files if f not in hit_names]
+        sid = parent + 1
+        if hit_paths:
+            survivors = self.spark.read.parquet(*hit_paths).join(
+                keys, key_col, "left_anti"
+            )
+            new_data = survivors.unionByName(updates)
+            hit_rows = self.spark.read.parquet(*hit_paths).count()
+        else:
+            new_data = updates
+            hit_rows = 0
+        new_files, rows = self._write_files(new_data, sid)
+        manifest = {
+            "snapshot_id": sid,
+            "operation": "merge",
+            "parent": parent,
+            "files": carried + new_files,
+            "added_files": new_files,
+            "added_rows": rows,
+            "total_rows": pm["total_rows"] - hit_rows + rows,
+        }
+        with open(os.path.join(self.meta_dir, f"manifest-{sid}.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+        entry = {"snapshot_id": sid, "operation": "merge", "parent": parent}
         if tag is not None:
             entry["tag"] = tag
         self._write_log(snaps + [entry])

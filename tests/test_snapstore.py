@@ -139,3 +139,66 @@ def test_tagged_commit_is_idempotent(spark, docs, tmp_path):
     assert len(t.snapshots()) == 1
     s2 = t.commit(docs.where("doc_id >= 450"), "append", tag="epoch-1")
     assert s2 == 2 and t.read().count() == 100
+
+
+def test_merge_upserts_and_inserts(spark, docs, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    base = docs.select("doc_id", "text")
+    t.commit(base.repartition(4, "doc_id"), "append")
+    from pyspark.sql import functions as F
+
+    updates = base.where("doc_id < 5").select(
+        "doc_id", F.lit("REVISED").alias("text")
+    ).unionByName(
+        spark.createDataFrame([(99999, "BRAND NEW")], "doc_id long, text string")
+    )
+    sid = t.merge(updates, "doc_id")
+    cur = {r.doc_id: r.text for r in t.read().collect()}
+    assert all(cur[i] == "REVISED" for i in range(5))
+    assert cur[99999] == "BRAND NEW"
+    n = base.count()
+    assert len(cur) == n + 1
+    assert t._manifest(sid)["total_rows"] == n + 1
+    # untouched rows unchanged
+    orig = {r.doc_id: r.text for r in base.collect()}
+    assert all(cur[i] == orig[i] for i in orig if i >= 5)
+
+
+def test_merge_preserves_time_travel(spark, docs, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    base = docs.select("doc_id", "text")
+    s1 = t.commit(base, "append")
+    from pyspark.sql import functions as F
+
+    t.merge(base.where("doc_id = 0").select("doc_id", F.lit("X").alias("text")), "doc_id")
+    old = {r.doc_id: r.text for r in t.read(s1).collect()}
+    assert old[0] != "X"  # pre-merge snapshot untouched
+
+
+def test_merge_is_file_granular_cow(spark, docs, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    base = docs.select("doc_id", "text")
+    t.commit(base.repartition(8, "doc_id"), "append")
+    m1 = t._manifest(1)
+    assert len(m1["files"]) == 8
+    from pyspark.sql import functions as F
+
+    # one key touched -> exactly one file rewritten, seven carried
+    sid = t.merge(
+        base.where("doc_id = 7").select("doc_id", F.lit("Y").alias("text")),
+        "doc_id",
+    )
+    m2 = t._manifest(sid)
+    carried = set(m1["files"]) & set(m2["files"])
+    assert len(carried) == 7
+    assert len(m2["added_files"]) >= 1
+
+
+def test_merge_tag_idempotent_and_empty_table(spark, docs, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    base = docs.select("doc_id", "text").where("doc_id < 20")
+    s1 = t.merge(base, "doc_id", tag="epoch-1")  # empty table: append
+    assert t.read().count() == 20
+    s2 = t.merge(base, "doc_id", tag="epoch-1")  # replayed epoch
+    assert s1 == s2
+    assert t.read().count() == 20
