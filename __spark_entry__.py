@@ -888,6 +888,28 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-count: exact countDistinct next to the
+    deterministic md5-HLL sketch estimate (operators/sketches.py —
+    integer registers, exact integer harmonic sum, ONE final float
+    division). At crawl scale the sketch shuffles 256 ints per key
+    where the exact form shuffles every distinct value; here both run
+    so the estimate's quality is visible in the output. Oracle
+    recomputes all registers from md5 scratch."""
+    from medical_and_charity_document_extraction_system_spark.operators.sketches import (
+        hll_cardinality,
+    )
+
+    docs = _docs(spark, sf_dir)
+    exact = docs.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_exact")
+    )
+    sk = hll_cardinality(docs, ["source"], "doc_id")
+    return exact.join(sk, "source").select(
+        "source", "n_exact", "n_buckets", "n_empty", "hll_estimate"
+    )
+
+
 def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level upsert into the snapshot table (Iceberg MERGE INTO
     shape, plans/snapstore.SnapshotTable.merge): every tenth doc's
@@ -1504,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "training_pipeline": q_training_pipeline,
         "snapshot_merge": q_snapshot_merge,
+        "hll_cardinality": q_hll_cardinality,
         "robots_filter": q_robots_filter,
         "image_preprocess_gif": q_image_preprocess_gif,
         "image_preprocess_bmp": q_image_preprocess_bmp,
@@ -1645,6 +1668,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": oracles.inverted_index_sql(),
         "training_pipeline": oracles.training_pipeline_sql(),
         "snapshot_merge": oracles.snapshot_merge_sql(),
+        "hll_cardinality": oracles.hll_host_cardinality_sql(),
         "gopher_quality": oracles.gopher_sql(),
         "robots_filter": oracles.robots_filter_sql(),
         "crawl_diff": oracles.crawl_diff_sql(),

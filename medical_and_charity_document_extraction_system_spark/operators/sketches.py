@@ -1,0 +1,104 @@
+"""Cardinality sketches: a deterministic, engine-portable HyperLogLog.
+
+Distinct-counting at crawl scale (distinct urls per host, distinct
+hosts per TLD, ...) can't afford exact countDistinct's shuffle of
+every value; HyperLogLog (Flajolet et al. 2007) is the standard
+sketch. This implementation follows the repo's determinism rules:
+
+- the hash is md5-derived (same rationale as simhash, CLAUDE.md): the
+  DuckDB oracle recomputes every register from scratch — no xxhash64,
+  no RNG;
+- register math is INTEGER through the harmonic sum: bucket = low 8
+  bits of a 60-bit md5 prefix, w = the remaining 52-bit word
+  (``h >> 8``), rho = 53 - bitlength(w) via ``length(bin(w))`` —
+  both Spark and DuckDB print binary without leading zeros, so
+  bitlength is exact in both;
+- the harmonic sum 'sum of 2^-M_j' is kept EXACT by scaling: each
+  register contributes the bigint ``1 << (53 - M_j)`` (max 2^52;
+  256 registers keep the total under 2^61), absent/empty registers
+  contribute ``1 << 53``. Integer sums are order-independent, so no
+  float fold-order hazard exists anywhere;
+- the single float step is the final division: (alpha_m * m^2 * 2^53,
+  one Python-computed literal, exact power-of-two scaling) divided by
+  the scaled sum cast to double (round-to-nearest of an exact int —
+  identical in every engine).
+
+The raw HLL estimate is emitted without the small-range
+linear-counting correction (that needs ln, which is NOT correctly
+rounded and breaks cross-engine bit-exactness — the same reason bm25
+injects idf literals); ``n_empty`` is emitted so a consumer that
+tolerates last-ulp drift can apply m*ln(m/V) itself.
+
+Plan shape at 10^12 rows: one (key, bucket) hash-agg with map-side
+max-combine — the shuffle carries at most m=256 rows per key — then
+a per-key rollup of <= 256 rows. This is the whole point of the
+sketch: the exact countDistinct twin shuffles every distinct VALUE;
+HLL shuffles 256 small ints per key no matter how many values exist.
+Register tables from disjoint corpora union by (key, bucket, max) —
+sketch merge is the same agg, which is what makes it streamable and
+incrementally maintainable (same pattern as the MinHash signature
+store).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+P = 8
+M = 1 << P  # 256 registers
+# alpha_m * m^2 * 2^53 for m=256 (Flajolet et al.), one literal shared
+# with the SQL twin; the 2^53 factor is the exact harmonic-sum scaling
+ALPHA_NUM = (0.7213 / (1.0 + 1.079 / M)) * M * M * float(1 << 53)
+
+
+def _h60(value: Column) -> Column:
+    """60-bit positive integer from the md5 hex prefix (15 nibbles —
+    stays clear of the int64 sign bit)."""
+    return F.conv(F.substring(F.md5(value.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def hll_register_cols(value: Column) -> tuple[Column, Column]:
+    """(bucket, rho) for one value: bucket = low 8 bits, rho =
+    leading zeros of the remaining 52-bit word + 1 = 53 -
+    bitlength(w); w = 0 (probability 2^-52) saturates at 53."""
+    h = _h60(value)
+    bucket = h % M
+    w = F.shiftright(h, P)  # h is positive: arithmetic == logical
+    rho = F.when(w > 0, F.lit(53) - F.length(F.bin(w))).otherwise(F.lit(53))
+    return bucket, rho.cast("int")
+
+
+def hll_cardinality(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-key HLL distinct estimate of ``value_col``. Returns
+    (*key_cols, n_buckets, n_empty, hll_estimate): the raw HLL
+    formula alpha*m^2 / sum(2^-M_j), absent registers contributing
+    2^0, evaluated with an exact integer harmonic sum."""
+    bucket, rho = hll_register_cols(F.col(value_col))
+    regs = (
+        df.select(*key_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*key_cols, "bucket")
+        .agg(F.max("rho").alias("mreg"))
+    )
+    # scaled 2^-M_j: bigint 1 << (53 - M_j); exact and order-free.
+    # (expr form: F.shiftleft's bit count must be a Python int)
+    scaled = F.expr("shiftleft(CAST(1 AS BIGINT), 53 - mreg)")
+    per_key = regs.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(scaled).alias("_s"),
+    )
+    total = F.col("_s") + (F.lit(M) - F.col("n_buckets")) * F.lit(1 << 53).cast(
+        "bigint"
+    )
+    return per_key.select(
+        *key_cols,
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        (F.lit(M) - F.col("n_buckets")).cast("long").alias("n_empty"),
+        (F.lit(ALPHA_NUM) / total.cast("double")).alias("hll_estimate"),
+    )

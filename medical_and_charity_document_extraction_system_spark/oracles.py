@@ -1836,3 +1836,39 @@ SELECT doc_id + 100000 AS doc_id,
        md5('new doc ' || CAST(doc_id AS VARCHAR)) AS fp
 FROM documents WHERE doc_id % 50 = 0
 """
+
+
+def hll_host_cardinality_sql() -> str:
+    """Twin of q_hll_cardinality: every HLL register recomputed from
+    md5 scratch (bin() bitlength, integer-scaled harmonic sum); the
+    alpha*m^2*2^53 numerator travels as a quoted-repr DOUBLE."""
+    from .operators.sketches import ALPHA_NUM, M, P
+
+    shift53 = "(CAST(1 AS BIGINT) << 53)"
+    return f"""
+WITH h AS (
+  SELECT source, doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h60
+  FROM documents
+),
+b AS (SELECT source, h60 % {M} AS bucket, h60 >> {P} AS w FROM h),
+r AS (
+  SELECT source, bucket,
+         CASE WHEN w > 0 THEN 53 - length(bin(w)) ELSE 53 END AS rho
+  FROM b
+),
+m AS (SELECT source, bucket, max(rho) AS mreg FROM r GROUP BY source, bucket),
+s AS (
+  SELECT source, count(*) AS nb,
+         sum(CAST(1 AS BIGINT) << (53 - mreg)) AS ss
+  FROM m GROUP BY source
+),
+e AS (SELECT source, count(DISTINCT doc_id) AS n_exact FROM documents GROUP BY source)
+SELECT e.source,
+       CAST(e.n_exact AS BIGINT) AS n_exact,
+       CAST(s.nb AS BIGINT) AS n_buckets,
+       CAST({M} - s.nb AS BIGINT) AS n_empty,
+       CAST('{ALPHA_NUM!r}' AS DOUBLE)
+         / CAST(s.ss + ({M} - s.nb) * {shift53} AS DOUBLE) AS hll_estimate
+FROM e JOIN s USING (source)
+"""
