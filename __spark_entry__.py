@@ -888,6 +888,26 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) curve values over (host index, time bucket) —
+    the clustering key write_zordered sorts by so parquet min/max
+    stats prune scans on EITHER dimension (plans/zorder.py). The
+    bit-interleave is pure integer magic-mask twiddling, identical in
+    both engines; the layout property itself is pinned by pytest
+    footer-statistics checks."""
+    from medical_and_charity_document_extraction_system_spark.plans.zorder import zvalue
+
+    docs = _docs(spark, sf_dir)
+    x = _hidx_of((F.col("doc_id") * 131) % 100)
+    y = ((F.col("doc_id") * 137) % 1024).cast("bigint")
+    return docs.select(
+        "doc_id",
+        x.alias("x"),
+        y.alias("y"),
+        zvalue(x, y).alias("z"),
+    )
+
+
 def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distinct-count: exact countDistinct next to the
     deterministic md5-HLL sketch estimate (operators/sketches.py —
@@ -1527,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline": q_training_pipeline,
         "snapshot_merge": q_snapshot_merge,
         "hll_cardinality": q_hll_cardinality,
+        "zorder_curve": q_zorder_curve,
         "robots_filter": q_robots_filter,
         "image_preprocess_gif": q_image_preprocess_gif,
         "image_preprocess_bmp": q_image_preprocess_bmp,
@@ -1669,6 +1690,7 @@ def oracle_sql() -> dict[str, str]:
         "training_pipeline": oracles.training_pipeline_sql(),
         "snapshot_merge": oracles.snapshot_merge_sql(),
         "hll_cardinality": oracles.hll_host_cardinality_sql(),
+        "zorder_curve": oracles.zorder_curve_sql(),
         "gopher_quality": oracles.gopher_sql(),
         "robots_filter": oracles.robots_filter_sql(),
         "crawl_diff": oracles.crawl_diff_sql(),

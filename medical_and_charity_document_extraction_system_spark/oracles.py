@@ -1872,3 +1872,22 @@ SELECT e.source,
          / CAST(s.ss + ({M} - s.nb) * {shift53} AS DOUBLE) AS hll_estimate
 FROM e JOIN s USING (source)
 """
+
+
+def zorder_curve_sql() -> str:
+    """Twin of q_zorder_curve: the identical Morton bit-interleave
+    (plans/zorder.zorder_sql_expr shares the magic masks with the
+    Spark column form by construction)."""
+    from .plans.zorder import zorder_sql_expr
+
+    hidx = _hidx_case("(doc_id * 131) % 100")
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST({hidx} AS BIGINT) AS x,
+         CAST((doc_id * 137) % 1024 AS BIGINT) AS y
+  FROM documents
+)
+SELECT doc_id, x, y, CAST({zorder_sql_expr('x', 'y')} AS BIGINT) AS z
+FROM d
+"""

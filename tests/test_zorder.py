@@ -1,0 +1,82 @@
+"""Z-order clustering: curve correctness and the data-skipping layout
+property (plans/zorder.py)."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+
+from medical_and_charity_document_extraction_system_spark.plans.zorder import (
+    write_zordered,
+    zvalue,
+)
+
+
+def _py_morton(x: int, y: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zvalue_matches_reference_interleave(spark):
+    rows = [(x, y) for x in (0, 1, 5, 255, 65535) for y in (0, 2, 7, 1023)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {(r["x"], r["y"]): r["z"] for r in df.select("x", "y", zvalue(F.col("x"), F.col("y")).alias("z")).collect()}
+    for x, y in rows:
+        assert got[(x, y)] == _py_morton(x, y), (x, y)
+
+
+def test_zvalue_is_monotone_in_each_dim_at_fixed_other(spark):
+    df = spark.createDataFrame([(x, 7) for x in range(64)], "x long, y long")
+    zs = [r["z"] for r in df.select(zvalue(F.col("x"), F.col("y")).alias("z")).orderBy("x").collect()]
+    assert zs == sorted(zs)
+
+
+def _file_spans(path, col):
+    spans = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None:
+            spans.append(hi - lo)
+    return spans
+
+
+def test_zordered_layout_tightens_file_stats_on_both_dims(spark, tmp_path):
+    # x, y independent 0..255; unsorted layout scatters both
+    df = spark.range(4096).select(
+        ((F.col("id") * 37) % 256).alias("x"),
+        ((F.col("id") * 101) % 256).alias("y"),
+    )
+    plain = str(tmp_path / "plain")
+    zed = str(tmp_path / "zed")
+    df.repartition(8).write.mode("overwrite").parquet(plain)
+    write_zordered(df, zed, "x", "y", n_files=8)
+    for col in ("x", "y"):
+        plain_avg = sum(_file_spans(plain, col)) / 8
+        z_avg = sum(_file_spans(zed, col)) / 8
+        # every unsorted file spans ~the full 0..255 range; z-ordered
+        # files must cover well under half of it on BOTH dimensions
+        assert plain_avg > 200, (col, plain_avg)
+        assert z_avg < plain_avg / 2, (col, z_avg, plain_avg)
+
+
+def test_zordered_write_round_trips_rows(spark, tmp_path):
+    df = spark.range(1000).select(
+        (F.col("id") % 100).alias("x"), (F.col("id") % 64).alias("y"), "id"
+    )
+    out = str(tmp_path / "rt")
+    write_zordered(df, out, "x", "y", n_files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert {r["id"] for r in back.collect()} == set(range(1000))
