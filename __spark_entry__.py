@@ -888,6 +888,23 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (the engine-portable KenLM-filter
+    analog, operators/lm.py): the model trains on the corpus itself
+    (top-30 terms, add-one smoothing), log-probs are Python-computed
+    literals, and each doc's mean token log-prob comes from a fixed-
+    order fold — the bm25 float discipline. Oracle retrains the same
+    model in plain Python and replays the identical fold."""
+    from medical_and_charity_document_extraction_system_spark.operators.lm import (
+        train_unigram_lm,
+        unigram_lm_scores,
+    )
+
+    docs = _docs(spark, sf_dir)
+    vocab, logp_oov = train_unigram_lm(docs, vocab_size=30)
+    return unigram_lm_scores(docs, vocab, logp_oov)
+
+
 def q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (z-order) curve values over (host index, time bucket) —
     the clustering key write_zordered sorts by so parquet min/max
@@ -1548,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_merge": q_snapshot_merge,
         "hll_cardinality": q_hll_cardinality,
         "zorder_curve": q_zorder_curve,
+        "lm_quality": q_lm_quality,
         "robots_filter": q_robots_filter,
         "image_preprocess_gif": q_image_preprocess_gif,
         "image_preprocess_bmp": q_image_preprocess_bmp,
@@ -1691,6 +1709,8 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_merge": oracles.snapshot_merge_sql(),
         "hll_cardinality": oracles.hll_host_cardinality_sql(),
         "zorder_curve": oracles.zorder_curve_sql(),
+        # data-derived literals (IVF/LSH trick): defaults to sf0.01
+        "lm_quality": oracles.unigram_lm_sql(),
         "gopher_quality": oracles.gopher_sql(),
         "robots_filter": oracles.robots_filter_sql(),
         "crawl_diff": oracles.crawl_diff_sql(),

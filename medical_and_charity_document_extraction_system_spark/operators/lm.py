@@ -1,0 +1,121 @@
+"""Unigram language-model quality scoring (the KenLM-filter analog).
+
+CCNet-style pipelines keep documents whose LM perplexity under an
+in-domain model is low; without model binaries the deterministic,
+engine-portable equivalent is a corpus-trained UNIGRAM model: the
+top-V corpus terms get add-one-smoothed log-probabilities, every
+other token scores the shared OOV log-prob, and a document's score
+is its mean token log-probability (high = in-domain wording,
+low = gibberish / off-vocabulary text).
+
+Float discipline (the bm25 rule from CLAUDE.md, extended):
+- log() is NOT correctly rounded, so every log-prob is computed ONCE
+  driver-side with Python's math.log and injected into both engines
+  as the same literal — engine-side ln never runs;
+- the per-document score is a FIXED-ORDER fold: the vocab is sorted
+  (count desc, term) when trained, and the score expression is an
+  explicit left-associated chain cnt_0*lp_0 + cnt_1*lp_1 + ... +
+  oov*lp_oov built in that order in BOTH engines — no engine
+  aggregation order can perturb the sum;
+- counts are integers; each cnt*lp product and each running add is
+  one IEEE op applied in the same order, hence bit-identical.
+
+The O(V) interpreted ``size(filter(...))`` per term mirrors
+bm25_scores; for large vocabularies the Arrow tf-map form
+(bm25_scores_tfmap) is the template to follow.
+
+Scale shape: training is one explode + hash-agg + top-V limit (the
+collect is V rows, driver-safe); scoring is a zero-shuffle
+projection.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import tokens
+
+
+def train_unigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 30,
+) -> tuple[list[tuple[str, float]], float]:
+    """Top-``vocab_size`` corpus terms with add-one-smoothed log-probs
+    plus the OOV log-prob. Deterministic: ties broken by term text.
+    Returns ([(term, logp)...] in (count desc, term) order, logp_oov).
+    """
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total_terms = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    ).first()
+    top = (
+        counts.orderBy(F.col("c").desc(), F.col("t"))
+        .limit(vocab_size)
+        .collect()
+    )
+    n, v = total_terms.n, total_terms.v
+    denom = n + v + 1  # add-one over the full vocab + one OOV bucket
+    vocab = [(r.t, math.log((r.c + 1) / denom)) for r in top]
+    logp_oov = math.log(1.0 / denom)
+    return vocab, logp_oov
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    vocab: list[tuple[str, float]],
+    logp_oov: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mean token log-prob per document under the trained unigram LM.
+    Returns (id, n_tokens, avg_logprob); empty docs score NULL."""
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n"))
+    def _cnt(term: str) -> Column:
+        # factory, not a default-arg lambda: a 2-arg lambda would make
+        # F.filter pass the element INDEX as the second argument
+        return F.size(F.filter("_toks", lambda x: x == F.lit(term))).cast("long")
+
+    cnt_cols = [_cnt(t) for t, _ in vocab]
+    in_vocab = None
+    for c in cnt_cols:
+        in_vocab = c if in_vocab is None else in_vocab + c
+    oov = F.col("_n").cast("long") - in_vocab
+    # fixed-order left fold: (((c0*lp0 + c1*lp1) + ...) + oov*lp_oov)
+    score = None
+    for c, (_, lp) in zip(cnt_cols, vocab):
+        term = c.cast("double") * F.lit(lp)
+        score = term if score is None else score + term
+    score = score + oov.cast("double") * F.lit(logp_oov)
+    return base.select(
+        F.col(id_col),
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.when(F.col("_n") > 0, score / F.col("_n").cast("double")).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+def unigram_lm_sql_exprs(
+    vocab: list[tuple[str, float]], logp_oov: float, toks_expr: str
+) -> str:
+    """The identical fixed-order fold as one DuckDB expression over a
+    token-list expression (log-probs as quoted-repr literals)."""
+
+    def cnt(t: str) -> str:
+        esc = t.replace("'", "''")
+        return f"len(list_filter({toks_expr}, x -> x = '{esc}'))"
+
+    parts = [f"{cnt(t)} * CAST('{lp!r}' AS DOUBLE)" for t, lp in vocab]
+    in_vocab = " + ".join(cnt(t) for t, _ in vocab)
+    oov = f"(len({toks_expr}) - ({in_vocab}))"
+    score = "(" + " + ".join(parts) + f" + {oov} * CAST('{logp_oov!r}' AS DOUBLE))"
+    return score

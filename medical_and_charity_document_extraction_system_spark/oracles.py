@@ -1891,3 +1891,47 @@ WITH d AS (
 SELECT doc_id, x, y, CAST({zorder_sql_expr('x', 'y')} AS BIGINT) AS z
 FROM d
 """
+
+
+def unigram_lm_sql(
+    sf_dir: str = "/root/testdata/sf0.01", vocab_size: int = 30
+) -> str:
+    """Twin of q_lm_quality: the unigram model is a pure function of
+    the documents table, so the builder retrains it in plain Python
+    (parity tokenizer, Counter, math.log — the same floats the Spark
+    query derives) and emits every log-prob as a quoted-repr literal
+    in the SAME fixed-order fold (operators/lm.unigram_lm_sql_exprs).
+    Engine-side ln never runs; data-derived literals, the IVF/LSH
+    oracle trick."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from .functions.textstats import _ASCII_WS_RE
+    from .operators.lm import unigram_lm_sql_exprs
+
+    con = duckdb.connect()
+    texts = [
+        r[0]
+        for r in con.sql(
+            f"SELECT text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+    ]
+    c: Counter = Counter()
+    for t in texts:
+        c.update(w for w in _ASCII_WS_RE.split(t or "") if w)
+    n, v = sum(c.values()), len(c)
+    denom = n + v + 1
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    vocab = [(t, math.log((cnt + 1) / denom)) for t, cnt in top]
+    logp_oov = math.log(1.0 / denom)
+    score = unigram_lm_sql_exprs(vocab, logp_oov, "toks")
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CASE WHEN len(toks) > 0
+            THEN {score} / CAST(len(toks) AS DOUBLE) END AS avg_logprob
+FROM t
+"""
