@@ -1219,6 +1219,24 @@ def _hidx_of(mod):
     ).cast("long")
 
 
+def q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per link target — the relevance signal
+    search indexes attach to pages that never state their own name
+    (operators/webgraph.extract_anchors + one hash-agg). Oracle
+    constructs the (path, label) x host-count table from the known
+    template anchors."""
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        extract_anchors,
+    )
+
+    pages = synthesize_pages(spark, sf_dir)
+    return (
+        extract_anchors(pages)
+        .groupBy("outlink", "anchor_text")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level PageRank for crawl prioritization: a deterministic
     host edge list (each doc links its Zipf host to two derived
@@ -1556,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "outlink_graph": q_outlink_graph,
         "host_pagerank": q_host_pagerank,
+        "anchor_text_index": q_anchor_text_index,
         "mojibake_repair": q_mojibake_repair,
         "temperature_mix": q_temperature_mix,
         "shard_manifest": q_shard_manifest,
@@ -1699,6 +1718,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": oracles.span_dedup_sql(),
         "outlink_graph": oracles.outlink_graph_sql(),
         "host_pagerank": oracles.host_pagerank_sql(),
+        "anchor_text_index": oracles.anchor_text_index_sql(),
         "mojibake_repair": oracles.mojibake_repair_sql(),
         "temperature_mix": oracles.temperature_mix_sql(),
         "shard_manifest": oracles.shard_manifest_sql(),

@@ -78,6 +78,44 @@ def extract_outlinks(
     )
 
 
+_ANCHOR_RE = r'<a[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def extract_anchors(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """(url, outlink, anchor_text) per anchor — the link graph WITH
+    its labels (anchor text is the classic relevance signal search
+    indexes aggregate per target). Same zero-shuffle JVM shape as
+    extract_outlinks: two regexp_extract_all passes over the same
+    pattern (href group, body group) zipped positionally."""
+    page = F.col(url_col)
+    origin = F.regexp_extract(page, r"^(https?://[^/]+)", 1)
+    base_dir = F.regexp_replace(page, r"[^/]*$", "")
+    html_s = F.col(html_col).cast("string")
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(html_s, F.lit(_ANCHOR_RE), F.lit(1)).alias("link"),
+        F.regexp_extract_all(html_s, F.lit(_ANCHOR_RE), F.lit(2)).alias("txt"),
+    )
+    link = F.col("_p")["link"]
+    resolved = (
+        F.when(link.rlike(r"^https?://"), link)
+        .when(link.startswith("/"), F.concat(origin, link))
+        .otherwise(F.concat(base_dir, link))
+    )
+    return (
+        df.where(F.col(html_col).isNotNull())
+        .select(page.alias("url"), F.explode(pairs).alias("_p"))
+        .select(
+            "url",
+            resolved.alias("outlink"),
+            F.col("_p")["txt"].alias("anchor_text"),
+        )
+    )
+
+
 def pagerank_fixed(
     edges: DataFrame,
     iterations: int = 4,

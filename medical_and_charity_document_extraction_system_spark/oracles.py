@@ -1935,3 +1935,32 @@ SELECT doc_id,
             THEN {score} / CAST(len(toks) AS DOUBLE) END AS avg_logprob
 FROM t
 """
+
+
+def anchor_text_index_sql() -> str:
+    """Twin of q_anchor_text_index: the template's nine anchors carry
+    fixed labels, so the per-(outlink, anchor_text) doc counts over
+    html-bucket pages are constructed from the (path, label) pairs x
+    the per-host doc counts."""
+    pairs = [
+        ("/", "Home"),
+        ("/about", "About us"),
+        ("/contact", "Contact"),
+        ("/terms", "Terms of service"),
+        ("/tag/popular", "Popular articles this week"),
+        ("/tag/recent", "Recently updated pages"),
+        ("/tag/archive", "Archive of older content"),
+        ("/privacy", "Privacy policy"),
+        ("/imprint", "Imprint"),
+    ]
+    vals = ", ".join(f"('{p}', '{t}')" for p, t in pairs)
+    return f"""
+WITH {base_cte()},
+h AS (SELECT doc_id, url FROM rec WHERE m >= 16),
+a(path, label) AS (VALUES {vals})
+SELECT regexp_extract(h.url, '^(https?://[^/]+)', 1) || a.path AS outlink,
+       a.label AS anchor_text,
+       count(*) AS n_docs
+FROM h CROSS JOIN a
+GROUP BY 1, 2
+"""

@@ -79,3 +79,25 @@ def test_outlink_plan_is_jvm_side(spark):
     plan = extract_outlinks(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_extract_anchors_pairs_link_with_label(spark):
+    html = (
+        '<a href="/a">First</a> junk '
+        '<a class="x" href="https://o.com/b" rel="nofollow">Second link</a>'
+    ).encode()
+    df = spark.createDataFrame(
+        [("https://h.example.com/p/q.html", html)], "url string, html binary"
+    )
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        extract_anchors,
+    )
+
+    got = [
+        (r["outlink"], r["anchor_text"])
+        for r in extract_anchors(df).orderBy("anchor_text").collect()
+    ]
+    assert got == [
+        ("https://h.example.com/a", "First"),
+        ("https://o.com/b", "Second link"),
+    ]
