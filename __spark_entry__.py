@@ -888,6 +888,64 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming re-crawl upsert: originals stream into the snapshot
+    table, then a second (recrawl) stream MERGEs revisions + new docs
+    by key (streaming/stream.recrawl_merge_stream -> SnapshotTable.
+    merge). The final read must equal the snapshot_merge oracle —
+    the streamed upsert path loses and duplicates nothing."""
+    from medical_and_charity_document_extraction_system_spark.plans.snapstore import (
+        SnapshotTable,
+    )
+    from medical_and_charity_document_extraction_system_spark.streaming import (
+        recrawl_merge_stream,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = _stage_dir("stream_merge_")
+    in1, in2, tbl = f"{base}/in1", f"{base}/in2", f"{base}/tbl"
+    docs.write.mode("overwrite").parquet(in1)
+    revised = docs.where("doc_id % 10 = 0").select(
+        "doc_id", F.concat("text", F.lit(" [rev2]")).alias("text")
+    )
+    inserted = docs.where("doc_id % 50 = 0").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias("text"),
+    )
+    revised.unionByName(inserted).write.mode("overwrite").parquet(in2)
+    recrawl_merge_stream(spark, in1, tbl, f"{base}/ck1").awaitTermination()
+    recrawl_merge_stream(spark, in2, tbl, f"{base}/ck2").awaitTermination()
+    return SnapshotTable(spark, tbl).read().select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+
+
+def q_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sketch maintenance: HLL register tables built from
+    two disjoint corpus halves merge by groupBy-max into EXACTLY the
+    full-corpus sketch (max is associative/commutative), so the
+    estimate is bit-identical to the one-shot query and the same
+    oracle checks both. The streaming/recrawl form of distinct
+    counting: per-batch cost is 256 ints per key."""
+    from medical_and_charity_document_extraction_system_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+        merge_hll_registers,
+    )
+
+    docs = _docs(spark, sf_dir)
+    r1 = hll_registers(docs.where("doc_id % 2 = 0"), ["source"], "doc_id")
+    r2 = hll_registers(docs.where("doc_id % 2 = 1"), ["source"], "doc_id")
+    merged = merge_hll_registers(r1, r2)
+    sk = hll_estimate_from_registers(merged, ["source"])
+    exact = docs.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_exact")
+    )
+    return exact.join(sk, "source").select(
+        "source", "n_exact", "n_buckets", "n_empty", "hll_estimate"
+    )
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality scoring (the engine-portable KenLM-filter
     analog, operators/lm.py): the model trains on the corpus itself
@@ -1585,6 +1643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cardinality": q_hll_cardinality,
         "zorder_curve": q_zorder_curve,
         "lm_quality": q_lm_quality,
+        "stream_merge_sink": q_stream_merge_sink,
+        "hll_incremental": q_hll_incremental,
         "robots_filter": q_robots_filter,
         "image_preprocess_gif": q_image_preprocess_gif,
         "image_preprocess_bmp": q_image_preprocess_bmp,
@@ -1731,6 +1791,10 @@ def oracle_sql() -> dict[str, str]:
         "zorder_curve": oracles.zorder_curve_sql(),
         # data-derived literals (IVF/LSH trick): defaults to sf0.01
         "lm_quality": oracles.unigram_lm_sql(),
+        # the streamed upsert must land on the batch-merge construction
+        "stream_merge_sink": oracles.snapshot_merge_sql(),
+        # merged-batch registers must equal the one-shot sketch
+        "hll_incremental": oracles.hll_host_cardinality_sql(),
         "gopher_quality": oracles.gopher_sql(),
         "robots_filter": oracles.robots_filter_sql(),
         "crawl_diff": oracles.crawl_diff_sql(),

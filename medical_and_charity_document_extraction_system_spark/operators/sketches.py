@@ -80,12 +80,40 @@ def hll_cardinality(
     (*key_cols, n_buckets, n_empty, hll_estimate): the raw HLL
     formula alpha*m^2 / sum(2^-M_j), absent registers contributing
     2^0, evaluated with an exact integer harmonic sum."""
+    regs = hll_registers(df, key_cols, value_col)
+    return hll_estimate_from_registers(regs, key_cols)
+
+
+def hll_registers(
+    df: DataFrame, key_cols: list[str], value_col: str
+) -> DataFrame:
+    """The per-key register table (*key_cols, bucket, mreg). Register
+    tables MERGE by the same groupBy-max (max is associative and
+    commutative), so sketches of disjoint batches union into the
+    sketch of their union — the incremental/streaming form."""
     bucket, rho = hll_register_cols(F.col(value_col))
-    regs = (
+    return (
         df.select(*key_cols, bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(*key_cols, "bucket")
         .agg(F.max("rho").alias("mreg"))
     )
+
+
+def merge_hll_registers(*regs: DataFrame) -> DataFrame:
+    """Union register tables from independent batches into one —
+    groupBy max over the same (keys, bucket)."""
+    u = regs[0]
+    for r in regs[1:]:
+        u = u.unionByName(r)
+    keys = [c for c in u.columns if c not in ("bucket", "mreg")]
+    return u.groupBy(*keys, "bucket").agg(F.max("mreg").alias("mreg"))
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Finish a register table into (keys, n_buckets, n_empty,
+    hll_estimate) — shared by the one-shot and incremental forms."""
     # scaled 2^-M_j: bigint 1 << (53 - M_j); exact and order-free.
     # (expr form: F.shiftleft's bit count must be a Python int)
     scaled = F.expr("shiftleft(CAST(1 AS BIGINT), 53 - mreg)")

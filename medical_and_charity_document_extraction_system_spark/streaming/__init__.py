@@ -3,6 +3,7 @@ from .stream import (  # noqa: F401
     extraction_to_snapshot_stream,
     host_running_totals_stream,
     host_rate_stream,
+    recrawl_merge_stream,
     run_extraction_stream,
     user_sessions_stream,
 )

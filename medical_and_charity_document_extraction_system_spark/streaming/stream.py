@@ -283,3 +283,44 @@ def host_running_totals_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def recrawl_merge_stream(
+    spark: SparkSession,
+    input_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    key_col: str = "doc_id",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming re-crawl UPSERT: each micro-batch MERGEs into the
+    snapshot table by key (plans/snapstore.SnapshotTable.merge) —
+    revised documents replace their previous version file-granularly,
+    unseen keys insert, and every batch is a time-travelable
+    snapshot. Exactly-once via the same checkpoint-scoped epoch tag
+    as extraction_to_snapshot_stream. This is the daily-recrawl sink:
+    per-batch cost scales with the touched files, not the table."""
+    import hashlib as _hashlib
+
+    from ..plans.snapstore import SnapshotTable
+
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    table = SnapshotTable(spark, table_path)
+    stream_id = _hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()[:12]
+
+    def commit_batch(batch_df, epoch_id: int) -> None:
+        table.merge(batch_df, key_col, tag=f"{stream_id}-epoch-{epoch_id}")
+
+    writer = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -78,3 +78,24 @@ def test_sketch_plan_is_jvm_side(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_register_merge_equals_one_shot(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+        merge_hll_registers,
+    )
+
+    df = spark.createDataFrame(
+        [("k", v) for v in range(800)], "k string, v long"
+    )
+    whole = hll_cardinality(df, ["k"], "v").collect()[0]
+    r1 = hll_registers(df.where("v % 3 = 0"), ["k"], "v")
+    r2 = hll_registers(df.where("v % 3 != 0"), ["k"], "v")
+    inc = hll_estimate_from_registers(merge_hll_registers(r1, r2), ["k"]).collect()[0]
+    assert inc["hll_estimate"] == whole["hll_estimate"]  # bit-exact
+    # overlapping batches also merge correctly (max absorbs repeats)
+    r3 = hll_registers(df, ["k"], "v")
+    inc2 = hll_estimate_from_registers(merge_hll_registers(r1, r3), ["k"]).collect()[0]
+    assert inc2["hll_estimate"] == whole["hll_estimate"]
