@@ -65,10 +65,15 @@ def test_zordered_layout_tightens_file_stats_on_both_dims(spark, tmp_path):
     for col in ("x", "y"):
         plain_avg = sum(_file_spans(plain, col)) / 8
         z_avg = sum(_file_spans(zed, col)) / 8
-        # every unsorted file spans ~the full 0..255 range; z-ordered
-        # files must cover well under half of it on BOTH dimensions
+        # every unsorted file spans ~the full 0..255 range. A z-range
+        # of 1/8 of the curve covers one aligned 128x128 Morton tile
+        # (span 128) — but repartitionByRange SAMPLES its boundaries
+        # (seed varies per session), so a misaligned range can
+        # straddle two tiles (span up to 255). The guarantee is the
+        # MEAN span sits well below the unsorted ~255, not the
+        # aligned ideal; bound at 0.75 to stay above sampling jitter.
         assert plain_avg > 200, (col, plain_avg)
-        assert z_avg < plain_avg / 2, (col, z_avg, plain_avg)
+        assert z_avg < plain_avg * 0.75, (col, z_avg, plain_avg)
 
 
 def test_zordered_write_round_trips_rows(spark, tmp_path):
