@@ -1338,13 +1338,7 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    h = (F.col("doc_id") * 131) % 100
-    hidx = (
-        F.when(h < 40, F.lit(0))
-        .when(h < 60, F.lit(1))
-        .when(h < 70, F.lit(2))
-        .otherwise((F.lit(3) + h % 17))
-    ).cast("long")
+    hidx = _hidx_of((F.col("doc_id") * 131) % 100)
     url = F.concat(
         F.lit("https://host"),
         hidx.cast("string"),

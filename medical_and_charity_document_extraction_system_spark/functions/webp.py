@@ -266,17 +266,17 @@ def _write_prefix_code(bw: _BitWriter, lengths: list[int]) -> None:
         # (the decoder returns it without reading) — emit nothing
         only = next(iter(cl_codes))
         cl_codes[only] = (0, 0)
-    # max_symbol shortcut: use it to stop after `used` symbols
-    if used < len(lengths) or True:
-        # length_nbits large enough for used+? spec: max_symbol = 2 + read(n)
-        need = max(used - 2, 0)
-        nbits = max(2, need.bit_length())
-        nbits = nbits + (nbits & 1)  # must be 2 + 2*read(3): even, 2..16
-        if nbits > 16:
-            raise WebpError("alphabet too large for max_symbol field")
-        bw.write(1, 1)
-        bw.write((nbits - 2) // 2, 3)
-        bw.write(need, nbits)
+    # max_symbol shortcut: the encoder ALWAYS emits it, stopping the
+    # decoder after `used` symbols (harmless when used == len).
+    # spec: max_symbol = 2 + read(n)
+    need = max(used - 2, 0)
+    nbits = max(2, need.bit_length())
+    nbits = nbits + (nbits & 1)  # must be 2 + 2*read(3): even, 2..16
+    if nbits > 16:
+        raise WebpError("alphabet too large for max_symbol field")
+    bw.write(1, 1)
+    bw.write((nbits - 2) // 2, 3)
+    bw.write(need, nbits)
     for s in range(used):
         code, ln = cl_codes[lengths[s]]
         for i in range(ln - 1, -1, -1):  # MSB-first
@@ -495,8 +495,12 @@ def _inverse_predictor(px: np.ndarray, size_bits: int, tiles: np.ndarray) -> np.
         return np.clip(l.astype(np.int32) + t.astype(np.int32) - tl.astype(np.int32), 0, 255)
 
     def clamp_add_sub_half(ave, tl):
+        # spec: Clamp(a + (a - b) / 2) with C division, which
+        # TRUNCATES toward zero; numpy's // floors, off by one for
+        # negative deltas (d=-3: C gives -1, floor gives -2)
         d = ave.astype(np.int32) - tl.astype(np.int32)
-        return np.clip(ave.astype(np.int32) + d // 2, 0, 255)
+        half = np.where(d >= 0, d // 2, -((-d) // 2))
+        return np.clip(ave.astype(np.int32) + half, 0, 255)
 
     for y in range(h):
         for x in range(w):

@@ -71,8 +71,12 @@ def remove_frequent_lines(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("ln", "line"),
     )
-    lines = boilerplate.select("line")
-    lines.persist()
+    # materialize once (the count guard + both joins reuse it) via an
+    # eager localCheckpoint, NOT persist(): a cache entry would pin
+    # CacheManager storage for the session lifetime with no unpersist
+    # point (the returned plan is lazy), while checkpoint blocks free
+    # with the RDD (review finding r4)
+    lines = boilerplate.select("line").localCheckpoint(eager=True)
     small = lines.count() <= max_broadcast_rows
     side = F.broadcast(lines) if small else lines
     kept = pos.join(side, "line", "left_anti")

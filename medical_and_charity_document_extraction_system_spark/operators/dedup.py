@@ -241,34 +241,72 @@ def write_signature_store(
     docs here; at corpus scale it dominates the whole job). Grow it
     with ``mode="append"`` after each ingested batch.
 
-    UPSERT SEMANTICS: a recrawl re-ingests urls it has seen, and a
-    blind append would store a second band-key row per re-signed id —
-    every later incremental run would then emit that id's pairs twice
-    (and id-vs-itself candidates). ``mode="upsert"`` therefore
-    anti-joins the batch against the store's existing ids and appends
-    only genuinely new docs (signatures are deterministic, so the
-    already-stored row IS the re-signed row); ``read_signature_store``
-    additionally dedups by id on read as a belt-and-braces guard for
-    stores built with plain ``append``."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, bands)
+    UPSERT SEMANTICS (revision-aware, r4): a recrawl re-ingests urls
+    it has seen — sometimes with REVISED text. Rows carry the text's
+    md5 and a ``generation`` number; ``mode="upsert"`` anti-joins the
+    batch against the store on (id, text_md5), so unchanged docs add
+    nothing while revised docs append a NEW row at generation
+    max+1. ``read_signature_store`` serves only each id's latest
+    generation, so a revised doc's stale signature stops matching the
+    moment its re-signed row lands — parquet stays append-only (no
+    rewrite), exactly the log-structured upsert a daily recrawl
+    needs. First-write detection is an explicit existence check, NOT
+    exception-driven: a transient read failure must never trigger the
+    overwrite branch and destroy the store."""
+    import os
+
+    def _sign(frame: DataFrame) -> DataFrame:
+        sigs = minhash_signatures(
+            frame, text_col, id_col, num_hashes, shingle_k, bands
+        )
+        fp = frame.select(
+            F.col(id_col),
+            F.md5(F.encode(F.col(text_col), "UTF-8")).alias("text_md5"),
+        )
+        return sigs.join(fp, id_col)
+
     if mode == "upsert":
         spark = df.sparkSession
-        try:
-            existing = spark.read.parquet(path).select(id_col)
-        except Exception:  # first write: nothing to upsert against
-            sigs.write.mode("overwrite").parquet(path)
+        exists = os.path.isdir(path) and any(
+            n.endswith(".parquet") for n in os.listdir(path)
+        )
+        if not exists:
+            _sign(df).withColumn(
+                "generation", F.lit(0).cast("long")
+            ).write.mode("overwrite").parquet(path)
             return
-        sigs.join(existing, id_col, "left_anti").write.mode("append").parquet(path)
+        store = spark.read.parquet(path)
+        if "text_md5" in store.columns:
+            seen = store.select(id_col, "text_md5")
+            fresh = _sign(df).join(seen, [id_col, "text_md5"], "left_anti")
+        else:  # legacy store without content hashes: id-only semantics
+            fresh = _sign(df).join(store.select(id_col), id_col, "left_anti")
+        next_gen = (
+            store.agg(F.max("generation")).first()[0] + 1
+            if "generation" in store.columns
+            else 1
+        )
+        fresh.withColumn("generation", F.lit(next_gen).cast("long")).write.mode(
+            "append"
+        ).parquet(path)
         return
-    sigs.write.mode(mode).parquet(path)
+    _sign(df).withColumn("generation", F.lit(0).cast("long")).write.mode(
+        mode
+    ).parquet(path)
 
 
 def read_signature_store(spark, path: str, id_col: str = "doc_id") -> DataFrame:
-    """Load a signature store for incremental dedup, collapsing any
-    duplicate rows per id left by plain-``append`` writes of re-seen
-    batches (rows for one id are byte-identical — signing is
-    deterministic — so any survivor is correct)."""
-    return spark.read.parquet(path).dropDuplicates([id_col])
+    """Load a signature store for incremental dedup, serving each
+    id's LATEST generation (revision-aware upserts append, never
+    rewrite — the read side resolves). Same-generation duplicates
+    from blind ``append`` double-writes are byte-identical (signing
+    is deterministic), so any survivor is correct. Legacy stores
+    without a generation column read as generation 0."""
+    store = spark.read.parquet(path)
+    if "generation" not in store.columns:
+        return store.dropDuplicates([id_col])
+    latest = store.groupBy(id_col).agg(F.max("generation").alias("generation"))
+    return store.join(latest, [id_col, "generation"]).dropDuplicates([id_col])
 
 
 def incremental_minhash_near_dup(
@@ -295,12 +333,29 @@ def incremental_minhash_near_dup(
     pairs(batch1) ∪ incremental(batch2 | store(batch1)) ==
     pairs(batch1 ∪ batch2).
 
-    Re-ingestion safe (r4): ids already present in the store are
-    dropped from the batch FIRST (an id-only anti-join — a recrawl
-    re-fetches urls it has seen, and those docs' pairs were emitted
-    when they were first ingested; re-emitting them would double-count
-    downstream). A fully re-seen batch therefore emits zero pairs."""
-    new_df = new_df.join(stored_sigs.select(id_col), id_col, "left_anti")
+    Re-ingestion safe AND revision-aware (r4): batch docs whose
+    (id, text_md5) already sit in the store are dropped FIRST — their
+    pairs were emitted at first ingestion, and re-emitting would
+    double-count downstream. A re-seen id with REVISED text keeps
+    flowing: it is re-signed and its pairs against the corpus are
+    emitted fresh (the store may still carry its stale row until the
+    caller upserts; a same-id stale-vs-new candidate is excluded by
+    the id_a < id_b pair filter, and any stale-signature candidate
+    pair is settled by the exact-Jaccard verification over the
+    CURRENT corpus text). A fully re-seen unrevised batch emits zero
+    pairs. Stores without text_md5 (legacy) fall back to id-only
+    dropping."""
+    if "text_md5" in stored_sigs.columns:
+        batch_fp = new_df.withColumn(
+            "text_md5", F.md5(F.encode(F.col(text_col), "UTF-8"))
+        )
+        new_df = batch_fp.join(
+            stored_sigs.select(id_col, "text_md5"),
+            [id_col, "text_md5"],
+            "left_anti",
+        ).drop("text_md5")
+    else:
+        new_df = new_df.join(stored_sigs.select(id_col), id_col, "left_anti")
     new_sigs = minhash_signatures(
         new_df, text_col, id_col, num_hashes, shingle_k, bands
     ).cache()

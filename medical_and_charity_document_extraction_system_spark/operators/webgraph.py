@@ -46,6 +46,22 @@ from pyspark.sql import functions as F
 _HREF_RE = r'href="([^"]*)"'
 
 
+def _resolve_link(page, link):
+    """RFC 3986 common-case resolution against the page url. The
+    base dir comes from the PATH alone — on a path-less url
+    ('https://h.example.com') the host must not be mistaken for the
+    final path segment (review finding r4): its base dir is '/'."""
+    origin = F.regexp_extract(page, r"^(https?://[^/]+)", 1)
+    path = F.regexp_extract(page, r"^https?://[^/]+(/.*)?$", 1)
+    base_dir = F.regexp_replace(path, r"[^/]*$", "")
+    base_dir = F.when(base_dir == "", F.lit("/")).otherwise(base_dir)
+    return (
+        F.when(link.rlike(r"^https?://"), link)
+        .when(link.startswith("/"), F.concat(origin, link))
+        .otherwise(F.concat(origin, base_dir, link))
+    )
+
+
 def extract_outlinks(
     df: DataFrame,
     html_col: str = "html",
@@ -55,15 +71,7 @@ def extract_outlinks(
     absolute url. Rows with NULL html (non-html payloads) yield no
     links. Pure JVM: decode + regexp_extract_all + explode."""
     page = F.col(url_col)
-    origin = F.regexp_extract(page, r"^(https?://[^/]+)", 1)
-    # page base dir: strip everything after the last '/'
-    base_dir = F.regexp_replace(page, r"[^/]*$", "")
-    link = F.col("_raw_link")
-    resolved = (
-        F.when(link.rlike(r"^https?://"), link)
-        .when(link.startswith("/"), F.concat(origin, link))
-        .otherwise(F.concat(base_dir, link))
-    )
+    resolved = _resolve_link(page, F.col("_raw_link"))
     return (
         df.where(F.col(html_col).isNotNull())
         .select(
@@ -92,19 +100,12 @@ def extract_anchors(
     extract_outlinks: two regexp_extract_all passes over the same
     pattern (href group, body group) zipped positionally."""
     page = F.col(url_col)
-    origin = F.regexp_extract(page, r"^(https?://[^/]+)", 1)
-    base_dir = F.regexp_replace(page, r"[^/]*$", "")
     html_s = F.col(html_col).cast("string")
     pairs = F.arrays_zip(
         F.regexp_extract_all(html_s, F.lit(_ANCHOR_RE), F.lit(1)).alias("link"),
         F.regexp_extract_all(html_s, F.lit(_ANCHOR_RE), F.lit(2)).alias("txt"),
     )
-    link = F.col("_p")["link"]
-    resolved = (
-        F.when(link.rlike(r"^https?://"), link)
-        .when(link.startswith("/"), F.concat(origin, link))
-        .otherwise(F.concat(base_dir, link))
-    )
+    resolved = _resolve_link(page, F.col("_p")["link"])
     return (
         df.where(F.col(html_col).isNotNull())
         .select(page.alias("url"), F.explode(pairs).alias("_p"))

@@ -192,11 +192,11 @@ class SnapshotTable:
         carried = [f for f in files if f not in hit_names]
         sid = parent + 1
         if hit_paths:
-            survivors = self.spark.read.parquet(*hit_paths).join(
-                keys, key_col, "left_anti"
-            )
+            hit_df = self.spark.read.parquet(*hit_paths)
+            survivors = hit_df.join(keys, key_col, "left_anti")
             new_data = survivors.unionByName(updates)
-            hit_rows = self.spark.read.parquet(*hit_paths).count()
+            # footer-level count over the one shared read
+            hit_rows = hit_df.count()
         else:
             new_data = updates
             hit_rows = 0

@@ -310,3 +310,53 @@ def test_embedding_lsh_hot_bucket_guard_matches(spark):
     got = {(r.vec_a, r.vec_b) for r in out.collect()}
     flood_pairs = {(a, b) for a, b in got if a < 40 and b < 40}
     assert len(flood_pairs) == 40 * 39 // 2  # flood fully detected
+
+
+def test_signature_store_upsert_revision_aware(spark, tmp_path):
+    """A recrawl that REVISES a document must re-enter dedup: the
+    upsert appends a new-generation signature row (store stays
+    append-only), read serves only the latest generation, and the
+    incremental run emits the revised doc's fresh pairs instead of
+    silently keeping the stale signature (r4 review finding)."""
+    from pyspark.sql import functions as F
+
+    from medical_and_charity_document_extraction_system_spark.operators.dedup import (
+        incremental_minhash_near_dup,
+        read_signature_store,
+        write_signature_store,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch1 = docs.where("doc_id < 100").select("doc_id", "text")
+    store = str(tmp_path / "revstore")
+    write_signature_store(batch1, store, mode="upsert")
+    stored = read_signature_store(spark, store)
+    n1 = stored.count()
+
+    # recrawl: doc 0 revised to duplicate doc 1's text exactly
+    d1_text = docs.where("doc_id = 1").select("text").first()[0]
+    revised = spark.createDataFrame([(0, d1_text)], "doc_id long, text string")
+
+    # the revised doc is NOT dropped: its pair with doc 1 is emitted
+    corpus = batch1.where("doc_id != 0").unionByName(revised)
+    pairs = incremental_minhash_near_dup(
+        revised, stored, corpus, threshold=0.9
+    ).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
+
+    # upsert appends a new generation; read serves the NEW signature
+    write_signature_store(revised, store, mode="upsert")
+    latest = read_signature_store(spark, store)
+    assert latest.count() == n1  # still one row per id
+    row0 = latest.where("doc_id = 0").first()
+    row1 = latest.where("doc_id = 1").first()
+    assert row0.generation == 1
+    assert row0.signature == row1.signature  # re-signed to the new text
+
+    # re-ingesting the revised doc again is now a no-op
+    write_signature_store(revised, store, mode="upsert")
+    assert read_signature_store(spark, store).count() == n1
+    again = incremental_minhash_near_dup(
+        revised, read_signature_store(spark, store), corpus, threshold=0.9
+    ).collect()
+    assert again == []

@@ -101,3 +101,15 @@ def test_extract_anchors_pairs_link_with_label(spark):
         ("https://h.example.com/a", "First"),
         ("https://o.com/b", "Second link"),
     ]
+
+
+def test_bare_host_url_resolves_relative_links(spark):
+    """A path-less page url must not lose its host when resolving a
+    relative link (regression: base_dir of 'https://h.example.com'
+    once became 'https://')."""
+    df = spark.createDataFrame(
+        [("https://h.example.com", b'<a href="about.html">A</a><a href="/x">X</a>')],
+        "url string, html binary",
+    )
+    got = sorted(r["outlink"] for r in extract_outlinks(df).collect())
+    assert got == ["https://h.example.com/about.html", "https://h.example.com/x"]

@@ -283,3 +283,51 @@ class TestImageioRouting:
         dec, fmt = imageio.decode_auto(payload)
         assert fmt == "webp" and dec.shape == (16, 16, 3)
         assert (dec[:, :, 0] == img).all()
+
+
+def test_predictor13_truncates_toward_zero_like_c():
+    """VP8L ClampAddSubtractHalf is Clamp(a + (a - b) / 2) with C
+    integer division (truncation toward zero); a floor-division
+    implementation is off by one whenever ave < TL (negative delta).
+    Regression for the d // 2 bug."""
+    import numpy as np
+
+    from medical_and_charity_document_extraction_system_spark.functions.webp import (
+        _inverse_predictor,
+    )
+
+    # 2x2, one tile, mode 13 everywhere (only pixel (1,1) uses it:
+    # row 0 predicts from L, column 0 from T)
+    tiles = np.zeros((1, 1, 4), np.uint8)
+    tiles[0, 0, 2] = 13
+    px = np.zeros((2, 2, 4), np.uint8)
+    # reconstruct: (0,0)=residual+[255,0,0,0]; choose residuals so at
+    # (1,1): ave=avg2(L,T) < TL in some channel with ODD delta
+    px[0, 0] = [0, 10, 10, 10]      # -> TL = [255,10,10,10]
+    px[0, 1] = [0, 3, 3, 3]         # -> T  = TL + r = [255,13,13,13]
+    px[1, 0] = [0, 0, 0, 0]         # -> L  = TL + r = [255,10,10,10]
+    px[1, 1] = [0, 0, 0, 0]         # residual 0 -> out = pred
+    out = _inverse_predictor(px, 1, tiles)
+    # channel 1..3: L=10, T=13 -> ave=11; d=11-10=1 -> +0 -> 11 (same
+    # under floor and trunc). Alpha: L=T=255 -> ave=255, TL=255, d=0.
+    # Now force a NEGATIVE odd delta: ave=11, TL=13 needs TL bigger.
+    tiles2 = tiles.copy()
+    px2 = np.zeros((2, 2, 4), np.uint8)
+    px2[0, 0] = [0, 13, 13, 13]     # TL = [255,13,13,13]
+    px2[0, 1] = [0, 255, 255, 255]  # T = TL - 1 = [255,12,12,12] (mod 256)
+    px2[1, 0] = [0, 253, 253, 253]  # L = TL - 3 = [255,10,10,10]
+    px2[1, 1] = [0, 0, 0, 0]
+    out2 = _inverse_predictor(px2, 1, tiles2)
+    # ave = (10+12)//2 = 11, TL = 13, d = -2 -> -1 either way: 10.
+    # Make d odd instead: redo with TL = 14.
+    px3 = px2.copy()
+    px3[0, 0] = [0, 14, 14, 14]     # TL = 14
+    px3[0, 1] = [0, 254, 254, 254]  # T = 12
+    px3[1, 0] = [0, 252, 252, 252]  # L = 10
+    out3 = _inverse_predictor(px3, 1, tiles2)
+    # ave = 11, d = 11 - 14 = -3: C trunc -> 11 + (-1) = 10;
+    # floor division would give 11 + (-2) = 9.
+    assert list(out3[1, 1][1:]) == [10, 10, 10], out3[1, 1]
+    # sanity on the non-negative-delta cases
+    assert list(out[1, 1][1:]) == [11, 11, 11]
+    assert list(out2[1, 1][1:]) == [10, 10, 10]
