@@ -1223,6 +1223,59 @@ def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed crawl loop: candidate urls (REAL extracted
+    outlinks + a pending-discovery feed + the crawled set) ->
+    anti-join against already-crawled urls -> robots longest-match
+    gate (operators/crawl.robots_filter) -> host-PageRank priority
+    (operators/webgraph.pagerank_fixed). One query tying the whole
+    crawl layer together; the oracle composes the same fragments the
+    standalone oracles use."""
+    from medical_and_charity_document_extraction_system_spark.functions.robots import (
+        synthesize_robots,
+    )
+    from medical_and_charity_document_extraction_system_spark.operators.crawl import (
+        robots_filter,
+        robots_rules,
+    )
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        extract_outlinks,
+        pagerank_fixed,
+    )
+
+    pages = synthesize_pages(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    hidx = _hidx_of((F.col("doc_id") * 131) % 100)
+    pending = docs.select(
+        F.concat(
+            F.lit("https://host"),
+            hidx.cast("string"),
+            F.lit(".example.com/doc/new"),
+            (F.col("doc_id") % 10).cast("string"),
+        ).alias("url")
+    )
+    cand = (
+        extract_outlinks(pages)
+        .select(F.col("outlink").alias("url"))
+        .unionByName(pages.select("url"))
+        .unionByName(pending)
+        .distinct()
+    )
+    new = cand.join(pages.select("url"), "url", "left_anti")
+    robots = spark.createDataFrame(
+        [(f"host{i}.example.com", synthesize_robots(i)) for i in range(20)],
+        "host string, robots_txt string",
+    )
+    ok = robots_filter(new, robots_rules(robots)).where("allowed")
+    ranks = pagerank_fixed(_host_edges(docs), iterations=4).withColumn(
+        "host", F.concat(F.col("node"), F.lit(".example.com"))
+    )
+    urls = ok.select(
+        "url", F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host")
+    )
+    return urls.join(ranks, "host").select("url", "host", "rank_units")
+
+
 def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding cleanup (ftfy-style): every seventh document's text —
     with a planted accented suffix — is double-encoded into
@@ -1295,6 +1348,21 @@ def q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _host_edges(docs: DataFrame) -> DataFrame:
+    """The deterministic host edge list (each doc links its Zipf host
+    to two derived hosts) — shared by q_host_pagerank and
+    q_crawl_frontier, twinned by oracles.host_pagerank_sql."""
+    host = lambda mod: F.concat(F.lit("host"), _hidx_of(mod).cast("string"))  # noqa: E731
+    m = docs.select(
+        host((F.col("doc_id") * 131) % 100).alias("src"),
+        host((F.col("doc_id") * 577) % 100).alias("dst1"),
+        host((F.col("doc_id") * 271) % 100).alias("dst2"),
+    )
+    return m.select("src", F.col("dst1").alias("dst")).unionAll(
+        m.select("src", F.col("dst2").alias("dst"))
+    )
+
+
 def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level PageRank for crawl prioritization: a deterministic
     host edge list (each doc links its Zipf host to two derived
@@ -1307,16 +1375,7 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    host = lambda mod: F.concat(F.lit("host"), _hidx_of(mod).cast("string"))  # noqa: E731
-    m = docs.select(
-        host((F.col("doc_id") * 131) % 100).alias("src"),
-        host((F.col("doc_id") * 577) % 100).alias("dst1"),
-        host((F.col("doc_id") * 271) % 100).alias("dst2"),
-    )
-    edges = m.select("src", F.col("dst1").alias("dst")).unionAll(
-        m.select("src", F.col("dst2").alias("dst"))
-    )
-    return pagerank_fixed(edges, iterations=4)
+    return pagerank_fixed(_host_edges(docs), iterations=4)
 
 
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1627,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_graph": q_outlink_graph,
         "host_pagerank": q_host_pagerank,
         "anchor_text_index": q_anchor_text_index,
+        "crawl_frontier": q_crawl_frontier,
         "mojibake_repair": q_mojibake_repair,
         "temperature_mix": q_temperature_mix,
         "shard_manifest": q_shard_manifest,
@@ -1773,6 +1833,7 @@ def oracle_sql() -> dict[str, str]:
         "outlink_graph": oracles.outlink_graph_sql(),
         "host_pagerank": oracles.host_pagerank_sql(),
         "anchor_text_index": oracles.anchor_text_index_sql(),
+        "crawl_frontier": oracles.crawl_frontier_sql(),
         "mojibake_repair": oracles.mojibake_repair_sql(),
         "temperature_mix": oracles.temperature_mix_sql(),
         "shard_manifest": oracles.shard_manifest_sql(),

@@ -529,14 +529,10 @@ FROM v
 """
 
 
-def robots_filter_sql(n_hosts: int = 20) -> str:
-    """Twin of q_robots_filter: the rules table is the OUTPUT of the
-    real parser (functions/robots.parse_robots over the same
-    synthesized bodies), embedded as VALUES literals — the LSH
-    projection/centroid trick — and the longest-match resolution is
-    replayed as the identical join + window. DuckDB has NO default
-    LIKE escape, so the twin says ``ESCAPE '\\'`` explicitly (Spark's
-    LIKE default escape is already backslash)."""
+def _robots_rules_values(n_hosts: int = 20) -> str:
+    """VALUES literals for the parsed robots rules of host0..N — the
+    OUTPUT of the real parser over the same synthesized bodies
+    (shared by robots_filter_sql and crawl_frontier_sql)."""
     from .functions.robots import parse_robots, pattern_to_like, synthesize_robots
 
     rows = []
@@ -547,7 +543,18 @@ def robots_filter_sql(n_hosts: int = 20) -> str:
                 f"('host{i}.example.com', '{pattern}', {str(allow).upper()}, "
                 f"'{like}', {len(pattern.encode('utf-8'))})"
             )
-    values = ",\n  ".join(rows)
+    return ",\n  ".join(rows)
+
+
+def robots_filter_sql(n_hosts: int = 20) -> str:
+    """Twin of q_robots_filter: the rules table is the OUTPUT of the
+    real parser (functions/robots.parse_robots over the same
+    synthesized bodies), embedded as VALUES literals — the LSH
+    projection/centroid trick — and the longest-match resolution is
+    replayed as the identical join + window. DuckDB has NO default
+    LIKE escape, so the twin says ``ESCAPE '\\'`` explicitly (Spark's
+    LIKE default escape is already backslash)."""
+    values = _robots_rules_values(n_hosts)
     return rf"""
 WITH hid AS (
   SELECT doc_id, (doc_id * 131) % 100 AS h FROM documents),
@@ -1963,4 +1970,64 @@ SELECT regexp_extract(h.url, '^(https?://[^/]+)', 1) || a.path AS outlink,
        count(*) AS n_docs
 FROM h CROSS JOIN a
 GROUP BY 1, 2
+"""
+
+
+def crawl_frontier_sql(n_hosts: int = 20) -> str:
+    """Twin of q_crawl_frontier — the composed crawl loop: candidate
+    urls (the nine template outlinks per html page, plus every
+    already-crawled url) -> anti-join against the crawled set ->
+    robots longest-match gate (same VALUES rules as
+    robots_filter_sql) -> host-PageRank priority (the full
+    host_pagerank_sql twin nested as a derived table). Every
+    fragment is the one its standalone oracle uses."""
+    paths = [
+        "/", "/about", "/contact", "/terms",
+        "/tag/popular", "/tag/recent", "/tag/archive",
+        "/privacy", "/imprint",
+    ]
+    plist = ", ".join(f"'{p}'" for p in paths)
+    return f"""
+WITH {base_cte()},
+h AS (SELECT doc_id, url FROM rec WHERE m >= 16),
+cand AS (
+  SELECT DISTINCT regexp_extract(h.url, '^(https?://[^/]+)', 1) || p.path AS url
+  FROM h CROSS JOIN (SELECT unnest([{plist}]) AS path) p
+  UNION
+  SELECT DISTINCT url FROM rec
+  UNION
+  -- pending-discovery feed: /doc/new<k> paths, some of which the
+  -- wildcard '/doc/*7$'-shaped robots rules actually BLOCK
+  SELECT DISTINCT 'https://host' || CAST(hidx AS VARCHAR)
+         || '.example.com/doc/new' || CAST(doc_id % 10 AS VARCHAR)
+  FROM rec
+),
+crawled AS (SELECT DISTINCT url FROM rec),
+new AS (SELECT url FROM cand WHERE url NOT IN (SELECT url FROM crawled)),
+u AS (
+  SELECT url,
+         regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         CASE WHEN regexp_replace(url, '^https?://[^/]+', '') = ''
+              THEN '/' ELSE regexp_replace(url, '^https?://[^/]+', '')
+         END AS path
+  FROM new
+),
+rules(rhost, pattern, allow, like_pat, pat_len) AS (VALUES
+  {_robots_rules_values(n_hosts)}),
+m AS (
+  SELECT u.url, r.pattern, r.allow, r.pat_len
+  FROM u JOIN rules r ON u.host = r.rhost AND u.path LIKE r.like_pat ESCAPE '\\'),
+best AS (
+  SELECT url, allow FROM (
+    SELECT url, allow,
+           row_number() OVER (PARTITION BY url
+             ORDER BY pat_len DESC, allow DESC, pattern) AS rn
+    FROM m) WHERE rn = 1),
+ok AS (
+  SELECT u.url, u.host FROM u LEFT JOIN best b ON u.url = b.url
+  WHERE coalesce(b.allow, TRUE)
+),
+pr AS (SELECT * FROM ({host_pagerank_sql()}))
+SELECT ok.url, ok.host, pr.rank_units
+FROM ok JOIN pr ON pr.node || '.example.com' = ok.host
 """

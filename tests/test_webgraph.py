@@ -113,3 +113,24 @@ def test_bare_host_url_resolves_relative_links(spark):
     )
     got = sorted(r["outlink"] for r in extract_outlinks(df).collect())
     assert got == ["https://h.example.com/about.html", "https://h.example.com/x"]
+
+
+def test_crawl_frontier_composition(spark):
+    """The composed frontier: crawled urls are excluded, some pending
+    /doc/new urls are robots-blocked, and every surviving row carries
+    its host's PageRank priority."""
+    import __spark_entry__ as e
+
+    out = e.queries()["crawl_frontier"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    urls = [r["url"] for r in rows]
+    assert all("/doc/new" in u or not u.rsplit("/", 1)[1].isdigit() for u in urls)
+    # anti-join: no crawled /doc/<number> url survives
+    import re
+
+    assert not any(re.search(r"/doc/\d+$", u) for u in urls)
+    # robots gate bit: fewer pending urls than the 200 candidates
+    pend = [u for u in urls if "/doc/new" in u]
+    assert 0 < len(pend) < 200
+    # priority joined for every row
+    assert all(r["rank_units"] > 0 for r in rows)
