@@ -1223,6 +1223,43 @@ def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_site_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-level rollup by registrable domain (eTLD+1): hosts with
+    multi-label public suffixes (co.uk, com.au, github.io, ...)
+    collapse to their registrable domain via the ONE-rule-table
+    longest-match chain (functions/domains.py), compiled identically
+    for Spark, DuckDB, and Python. The grouping key for site dedup /
+    per-site crawl budgets."""
+    from medical_and_charity_document_extraction_system_spark.functions.domains import (
+        registrable_domain,
+    )
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 6 == 0, F.concat(F.lit("www"), (d % 3).cast("string"),
+                                    F.lit(".site"), (d % 7).cast("string"),
+                                    F.lit(".co.uk")))
+        .when(d % 6 == 1, F.concat(F.lit("blog.ex"), (d % 7).cast("string"),
+                                   F.lit(".com.au")))
+        .when(d % 6 == 2, F.concat(F.lit("user"), (d % 7).cast("string"),
+                                   F.lit(".github.io")))
+        .when(d % 6 == 3, F.concat(F.lit("a.b.ex"), (d % 7).cast("string"),
+                                   F.lit(".example.com")))
+        .when(d % 6 == 4, F.concat(F.lit("ex"), (d % 7).cast("string"),
+                                   F.lit(".org")))
+        .otherwise(F.lit("localhost"))
+    )
+    h = docs.select("doc_id", host.alias("host"))
+    return (
+        h.groupBy(registrable_domain(F.col("host")).alias("site"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+    )
+
+
 def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed crawl loop: candidate urls (REAL extracted
     outlinks + a pending-discovery feed + the crawled set) ->
@@ -1687,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "anchor_text_index": q_anchor_text_index,
         "crawl_frontier": q_crawl_frontier,
+        "site_domains": q_site_domains,
         "mojibake_repair": q_mojibake_repair,
         "temperature_mix": q_temperature_mix,
         "shard_manifest": q_shard_manifest,
@@ -1834,6 +1872,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": oracles.host_pagerank_sql(),
         "anchor_text_index": oracles.anchor_text_index_sql(),
         "crawl_frontier": oracles.crawl_frontier_sql(),
+        "site_domains": oracles.site_domains_sql(),
         "mojibake_repair": oracles.mojibake_repair_sql(),
         "temperature_mix": oracles.temperature_mix_sql(),
         "shard_manifest": oracles.shard_manifest_sql(),

@@ -2031,3 +2031,30 @@ pr AS (SELECT * FROM ({host_pagerank_sql()}))
 SELECT ok.url, ok.host, pr.rank_units
 FROM ok JOIN pr ON pr.node || '.example.com' = ok.host
 """
+
+
+def site_domains_sql() -> str:
+    """Twin of q_site_domains: the same deterministic multi-suffix
+    host construction and the same longest-match eTLD+1 CASE chain
+    (functions/domains.registrable_domain_sql)."""
+    from .functions.domains import registrable_domain_sql
+
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 6 AS INT)
+      WHEN 0 THEN 'www' || CAST(doc_id % 3 AS VARCHAR) || '.site'
+              || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
+      WHEN 1 THEN 'blog.ex' || CAST(doc_id % 7 AS VARCHAR) || '.com.au'
+      WHEN 2 THEN 'user' || CAST(doc_id % 7 AS VARCHAR) || '.github.io'
+      WHEN 3 THEN 'a.b.ex' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+      WHEN 4 THEN 'ex' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+      ELSE 'localhost'
+    END AS host
+  FROM documents
+)
+SELECT {registrable_domain_sql('host')} AS site,
+       count(*) AS n_docs,
+       count(DISTINCT host) AS n_hosts
+FROM h GROUP BY 1
+"""
