@@ -39,13 +39,18 @@ def _last_labels(host: Column, n: int) -> Column:
 
 
 def registrable_domain(host: Column) -> Column:
-    """eTLD+1: for a host matching a known multi-label suffix, the
-    suffix plus one label; otherwise the last two labels; a bare
-    single-label host passes through unchanged."""
+    """eTLD+1: for a host strictly below a known multi-label suffix,
+    the suffix plus one label; otherwise the last two labels; a bare
+    single-label host, or a host exactly equal to a suffix, passes
+    through unchanged (no registrable label exists above it)."""
     expr = None
     for suf in MULTI_SUFFIXES:
         labels = suf.count(".") + 2  # suffix labels + 1 registrable
-        cond = host.endswith("." + suf) | (host == suf)
+        # strictly BELOW the suffix: a host EQUAL to a suffix has no
+        # registrable label above it and falls through to the
+        # pass-through fallback (review finding: the equality branch
+        # asked _last_labels for more labels than exist -> '')
+        cond = host.endswith("." + suf)
         take = _last_labels(host, labels)
         expr = F.when(cond, take) if expr is None else expr.when(cond, take)
     two = _last_labels(host, 2)
@@ -63,9 +68,7 @@ def registrable_domain_sql(host: str) -> str:
     whens = []
     for suf in MULTI_SUFFIXES:
         labels = suf.count(".") + 2
-        whens.append(
-            f"WHEN ({host} LIKE '%.{suf}' OR {host} = '{suf}') THEN {last(labels)}"
-        )
+        whens.append(f"WHEN {host} LIKE '%.{suf}' THEN {last(labels)}")
     body = " ".join(whens)
     return (
         f"CASE {body} ELSE (CASE WHEN {last(2)} = '' THEN {host} "
@@ -77,7 +80,7 @@ def registrable_domain_py(host: str) -> str:
     import re
 
     for suf in MULTI_SUFFIXES:
-        if host == suf or host.endswith("." + suf):
+        if host.endswith("." + suf):
             n = suf.count(".") + 2
             m = re.search(r"([^.]+" + r"\.[^.]+" * (n - 1) + r")$", host)
             return m.group(1) if m else host

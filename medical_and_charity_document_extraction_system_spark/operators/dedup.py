@@ -253,7 +253,6 @@ def write_signature_store(
     needs. First-write detection is an explicit existence check, NOT
     exception-driven: a transient read failure must never trigger the
     overwrite branch and destroy the store."""
-    import os
 
     def _sign(frame: DataFrame) -> DataFrame:
         sigs = minhash_signatures(
@@ -267,28 +266,41 @@ def write_signature_store(
 
     if mode == "upsert":
         spark = df.sparkSession
-        exists = os.path.isdir(path) and any(
-            n.endswith(".parquet") for n in os.listdir(path)
-        )
-        if not exists:
+        # FS-generic existence check through the Hadoop FileSystem API
+        # (os.path only sees the driver's local disk; an hdfs://
+        # / s3a:// store would look absent and be OVERWRITTEN).
+        # Explicit check, never a catch-all: a transient read error
+        # must not trigger the first-write branch.
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
             _sign(df).withColumn(
                 "generation", F.lit(0).cast("long")
             ).write.mode("overwrite").parquet(path)
             return
         store = spark.read.parquet(path)
         if "text_md5" in store.columns:
-            seen = store.select(id_col, "text_md5")
+            # anti-join against the LATEST generation only: a doc
+            # reverted to an EARLIER text must be re-signed too, or
+            # the read side would keep serving the newer-generation
+            # stale signature forever (review finding r4)
+            seen = read_signature_store(spark, path, id_col).select(
+                id_col, "text_md5"
+            )
             fresh = _sign(df).join(seen, [id_col, "text_md5"], "left_anti")
-        else:  # legacy store without content hashes: id-only semantics
-            fresh = _sign(df).join(store.select(id_col), id_col, "left_anti")
-        next_gen = (
-            store.agg(F.max("generation")).first()[0] + 1
-            if "generation" in store.columns
-            else 1
-        )
-        fresh.withColumn("generation", F.lit(next_gen).cast("long")).write.mode(
-            "append"
-        ).parquet(path)
+            m = store.agg(F.max("generation")).first()[0]
+            next_gen = (m + 1) if m is not None else 0  # empty store
+            fresh.withColumn(
+                "generation", F.lit(next_gen).cast("long")
+            ).write.mode("append").parquet(path)
+        else:
+            # legacy store (no content hashes / generations): appending
+            # new columns would create a mixed-schema directory that a
+            # plain read resolves arbitrarily — stay on the legacy
+            # schema and id-only semantics; revision-aware upserts
+            # need a store created by this version
+            legacy = _sign(df).join(store.select(id_col), id_col, "left_anti")
+            legacy.select(*store.columns).write.mode("append").parquet(path)
         return
     _sign(df).withColumn("generation", F.lit(0).cast("long")).write.mode(
         mode

@@ -61,7 +61,9 @@ def train_unigram_lm(
         .limit(vocab_size)
         .collect()
     )
-    n, v = total_terms.n, total_terms.v
+    # a token-free corpus trains the degenerate all-OOV model
+    # (sum over zero rows is NULL, not 0)
+    n, v = total_terms.n or 0, total_terms.v
     denom = n + v + 1  # add-one over the full vocab + one OOV bucket
     vocab = [(r.t, math.log((r.c + 1) / denom)) for r in top]
     logp_oov = math.log(1.0 / denom)
@@ -84,16 +86,24 @@ def unigram_lm_scores(
         # F.filter pass the element INDEX as the second argument
         return F.size(F.filter("_toks", lambda x: x == F.lit(term))).cast("long")
 
-    cnt_cols = [_cnt(t) for t, _ in vocab]
-    in_vocab = None
+    # materialize each per-term count ONCE (the interpreted HOF scan
+    # is the dominant per-row cost; referencing the raw expression in
+    # both the fold and the in-vocab sum would run it twice per term)
+    base = base.select(
+        F.col(id_col),
+        F.col("_n"),
+        *[_cnt(t).alias(f"_c{i}") for i, (t, _) in enumerate(vocab)],
+    )
+    cnt_cols = [F.col(f"_c{i}") for i in range(len(vocab))]
+    in_vocab: Column = F.lit(0).cast("long")
     for c in cnt_cols:
-        in_vocab = c if in_vocab is None else in_vocab + c
+        in_vocab = in_vocab + c
     oov = F.col("_n").cast("long") - in_vocab
-    # fixed-order left fold: (((c0*lp0 + c1*lp1) + ...) + oov*lp_oov)
-    score = None
+    # fixed-order left fold: (((c0*lp0 + c1*lp1) + ...) + oov*lp_oov);
+    # an EMPTY vocab degrades to the all-OOV fold, not a crash
+    score: Column = F.lit(0.0)
     for c, (_, lp) in zip(cnt_cols, vocab):
-        term = c.cast("double") * F.lit(lp)
-        score = term if score is None else score + term
+        score = score + c.cast("double") * F.lit(lp)
     score = score + oov.cast("double") * F.lit(logp_oov)
     return base.select(
         F.col(id_col),
@@ -104,18 +114,36 @@ def unigram_lm_scores(
     )
 
 
-def unigram_lm_sql_exprs(
-    vocab: list[tuple[str, float]], logp_oov: float, toks_expr: str
-) -> str:
-    """The identical fixed-order fold as one DuckDB expression over a
-    token-list expression (log-probs as quoted-repr literals)."""
+def unigram_lm_count_exprs(
+    vocab: list[tuple[str, float]], toks_expr: str
+) -> list[str]:
+    """One DuckDB count expression per vocab term — projected ONCE in
+    a CTE so each token-array scan runs once (mirrors the Spark
+    side's single-evaluation projection)."""
 
     def cnt(t: str) -> str:
         esc = t.replace("'", "''")
         return f"len(list_filter({toks_expr}, x -> x = '{esc}'))"
 
-    parts = [f"{cnt(t)} * CAST('{lp!r}' AS DOUBLE)" for t, lp in vocab]
-    in_vocab = " + ".join(cnt(t) for t, _ in vocab)
-    oov = f"(len({toks_expr}) - ({in_vocab}))"
-    score = "(" + " + ".join(parts) + f" + {oov} * CAST('{logp_oov!r}' AS DOUBLE))"
-    return score
+    return [cnt(t) for t, _ in vocab]
+
+
+def unigram_lm_fold_expr(
+    vocab: list[tuple[str, float]],
+    logp_oov: float,
+    n_expr: str,
+    cnt_cols: list[str],
+) -> str:
+    """The identical fixed-order fold over pre-projected count
+    columns (log-probs as quoted-repr literals; leading 0.0 matches
+    the Spark fold's seed — IEEE-identical since 0.0 + x == x)."""
+    terms = [
+        f"{c} * CAST('{lp!r}' AS DOUBLE)"
+        for c, (_, lp) in zip(cnt_cols, vocab)
+    ]
+    in_vocab = " + ".join(cnt_cols) if cnt_cols else "0"
+    oov = f"({n_expr} - ({in_vocab}))"
+    parts = ["CAST('0.0' AS DOUBLE)"] + terms + [
+        f"{oov} * CAST('{logp_oov!r}' AS DOUBLE)"
+    ]
+    return "(" + " + ".join(parts) + ")"

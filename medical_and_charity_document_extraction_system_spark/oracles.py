@@ -1916,7 +1916,7 @@ def unigram_lm_sql(
     import duckdb
 
     from .functions.textstats import _ASCII_WS_RE
-    from .operators.lm import unigram_lm_sql_exprs
+    from .operators.lm import unigram_lm_count_exprs, unigram_lm_fold_expr
 
     con = duckdb.connect()
     texts = [
@@ -1933,14 +1933,24 @@ def unigram_lm_sql(
     top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
     vocab = [(t, math.log((cnt + 1) / denom)) for t, cnt in top]
     logp_oov = math.log(1.0 / denom)
-    score = unigram_lm_sql_exprs(vocab, logp_oov, "toks")
+    cnt_names = [f"c{i}" for i in range(len(vocab))]
+    cnt_proj = ",\n         ".join(
+        f"{e} AS {nme}"
+        for e, nme in zip(unigram_lm_count_exprs(vocab, "toks"), cnt_names)
+    )
+    score = unigram_lm_fold_expr(vocab, logp_oov, "n", cnt_names)
     return f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+cn AS (
+  SELECT doc_id, len(toks) AS n,
+         {cnt_proj}
+  FROM t
+)
 SELECT doc_id,
-       CAST(len(toks) AS BIGINT) AS n_tokens,
-       CASE WHEN len(toks) > 0
-            THEN {score} / CAST(len(toks) AS DOUBLE) END AS avg_logprob
-FROM t
+       CAST(n AS BIGINT) AS n_tokens,
+       CASE WHEN n > 0
+            THEN {score} / CAST(n AS DOUBLE) END AS avg_logprob
+FROM cn
 """
 
 

@@ -72,16 +72,47 @@ def write_zordered(
     y_col: str,
     n_files: int = 8,
 ) -> None:
-    """Cluster ``df`` along the (x, y) Morton curve and write
-    ``n_files`` parquet files, each covering one contiguous z-range
-    (repartitionByRange + in-partition sort): file min/max stats on
-    BOTH x and y become tight, so filters on either prune."""
-    z = zvalue(F.col(x_col), F.col(y_col)).alias("_z")
+    """Cluster ``df`` along the (x, y) Morton curve into ``n_files``
+    z-range partitions, each written as its own ``_zpart=<k>``
+    directory: file min/max stats on BOTH x and y become tight, so
+    filters on either prune.
+
+    Partition boundaries are DETERMINISTIC — an exact coarse
+    z-histogram (<= 4096 buckets, a bounded hash-agg + collect) is
+    split into equal-mass cumulative chunks on the driver — rather
+    than ``repartitionByRange``, whose RangePartitioner SAMPLES
+    boundaries with a session-varying seed and would violate the
+    repo's rerun-identity invariant (two runs, two different file
+    layouts). Bonus: histogram boundaries land on coarse z-block
+    edges, so per-file spans stay near the aligned-tile ideal.
+    ``partitionBy`` keys the FILES by the z-part value, so the layout
+    does not depend on which task held which part."""
+    zdf = df.withColumn("_z", zvalue(F.col(x_col), F.col(y_col)))
+    zmax = zdf.agg(F.max("_z")).first()[0] or 0
+    shift = max(0, int(zmax).bit_length() - 12)
+    hist = sorted(
+        zdf.groupBy(F.shiftright("_z", shift).alias("zb"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect(),
+        key=lambda r: r["zb"],
+    )
+    total = sum(r["c"] for r in hist)
+    boundaries: list[int] = []  # inclusive zb upper bound of part k
+    acc, want = 0, total / n_files
+    for r in hist:
+        acc += r["c"]
+        if acc >= want and len(boundaries) < n_files - 1:
+            boundaries.append(r["zb"])
+            want = acc + (total - acc) / (n_files - len(boundaries))
+    part = F.lit(0)
+    for b in boundaries:
+        part = part + (F.shiftright("_z", shift) > b).cast("int")
     (
-        df.withColumn("_z", z)
-        .repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
+        zdf.withColumn("_zpart", part)
+        .repartition(n_files, "_zpart")
+        .sortWithinPartitions("_zpart", "_z")
         .drop("_z")
         .write.mode("overwrite")
+        .partitionBy("_zpart")
         .parquet(path)
     )

@@ -21,6 +21,10 @@ CASES = {
     "blog.site.com.au": "site.com.au",
     "my.blogspot.com": "my.blogspot.com",
     "localhost": "localhost",
+    # a host EQUAL to a suffix passes through in all three engines
+    # (regression: the Spark/DuckDB equality branch once returned '')
+    "co.uk": "co.uk",
+    "github.io": "github.io",
 }
 
 

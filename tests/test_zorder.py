@@ -37,7 +37,7 @@ def test_zvalue_is_monotone_in_each_dim_at_fixed_other(spark):
 
 def _file_spans(path, col):
     spans = []
-    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+    for f in sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)):
         md = pq.ParquetFile(f).metadata
         lo, hi = None, None
         for rg in range(md.num_row_groups):
@@ -65,15 +65,34 @@ def test_zordered_layout_tightens_file_stats_on_both_dims(spark, tmp_path):
     for col in ("x", "y"):
         plain_avg = sum(_file_spans(plain, col)) / 8
         z_avg = sum(_file_spans(zed, col)) / 8
-        # every unsorted file spans ~the full 0..255 range. A z-range
-        # of 1/8 of the curve covers one aligned 128x128 Morton tile
-        # (span 128) — but repartitionByRange SAMPLES its boundaries
-        # (seed varies per session), so a misaligned range can
-        # straddle two tiles (span up to 255). The guarantee is the
-        # MEAN span sits well below the unsorted ~255, not the
-        # aligned ideal; bound at 0.75 to stay above sampling jitter.
+        # every unsorted file spans ~the full 0..255 range; the
+        # deterministic histogram boundaries land on coarse z-block
+        # edges, so z-ordered files cover well under half of it on
+        # BOTH dimensions
         assert plain_avg > 200, (col, plain_avg)
-        assert z_avg < plain_avg * 0.75, (col, z_avg, plain_avg)
+        assert z_avg < plain_avg / 2, (col, z_avg, plain_avg)
+
+
+def test_zordered_layout_is_rerun_identical(spark, tmp_path):
+    """Boundaries come from an exact histogram, not sampled range
+    partitioning: two runs over the same data (different input
+    partitionings) must produce identical per-part row contents."""
+    df = spark.range(2048).select(
+        ((F.col("id") * 37) % 256).alias("x"),
+        ((F.col("id") * 101) % 256).alias("y"),
+    )
+    d1, d2 = str(tmp_path / "r1"), str(tmp_path / "r2")
+    write_zordered(df, d1, "x", "y", n_files=8)
+    write_zordered(df.repartition(5), d2, "x", "y", n_files=8)
+
+    def parts(d):
+        out = {}
+        for sub in sorted(glob.glob(os.path.join(d, "_zpart=*"))):
+            rows = spark.read.parquet(sub).collect()
+            out[os.path.basename(sub)] = sorted((r["x"], r["y"]) for r in rows)
+        return out
+
+    assert parts(d1) == parts(d2)
 
 
 def test_zordered_write_round_trips_rows(spark, tmp_path):
