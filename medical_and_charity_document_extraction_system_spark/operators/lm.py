@@ -79,8 +79,10 @@ def unigram_lm_scores(
 ) -> DataFrame:
     """Mean token log-prob per document under the trained unigram LM.
     Returns (id, n_tokens, avg_logprob); empty docs score NULL."""
-    toks = tokens(F.col(text_col))
-    base = df.select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n"))
+    # _toks alone in the first projection: _n comes from the second
+    # (size over the materialized column), so the interpreted
+    # tokenize HOF runs once per row, not once per referencing expr
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     def _cnt(term: str) -> Column:
         # factory, not a default-arg lambda: a 2-arg lambda would make
         # F.filter pass the element INDEX as the second argument
@@ -88,10 +90,12 @@ def unigram_lm_scores(
 
     # materialize each per-term count ONCE (the interpreted HOF scan
     # is the dominant per-row cost; referencing the raw expression in
-    # both the fold and the in-vocab sum would run it twice per term)
+    # both the fold and the in-vocab sum would run it twice per term —
+    # CollapseProject keeps non-cheap multi-referenced aliases
+    # materialized, which is what makes this two-stage shape stick)
     base = base.select(
         F.col(id_col),
-        F.col("_n"),
+        F.size("_toks").alias("_n"),
         *[_cnt(t).alias(f"_c{i}") for i, (t, _) in enumerate(vocab)],
     )
     cnt_cols = [F.col(f"_c{i}") for i in range(len(vocab))]
