@@ -9,9 +9,16 @@ position list, plus the term's document frequency.
 Plan shape: one posexplode over the shared parity tokenizer, one
 (term, doc) hash-agg — map-side combine carries (term, doc, count,
 positions) partials, so the shuffle is proportional to the DISTINCT
-(term, doc) pairs, not the token count — then a window count over
-the term key for df. At 10^12 docs this is the classic index build:
-both shuffles key on the term (uniformly hashed), and the output is
+(term, doc) pairs, not the token count — then df via a SECOND
+hash-agg (``groupBy("term").count()``, also map-side combinable)
+joined back on the term key. NOT a ``Window.partitionBy("term")``
+count: at web scale a stopword term's postings ("the" ≈ every doc)
+would all land in one window partition — a single-task hotspot AQE
+cannot split (its skew handling applies to joins, not windows). The
+agg+join form shuffles the same key but the skewed join is
+AQE-splittable, and after ``min_df`` filtering the df side is often
+broadcast-sized. At 10^12 docs this is the classic index build: both
+shuffles key on the term (uniformly hashed), and the output is
 naturally range-partitionable by term for serving. Positions are
 emitted as a comma-joined string so the row stays flat (and the
 DuckDB twin is an exact string_agg).
@@ -19,7 +26,7 @@ DuckDB twin is an exact string_agg).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.textstats import tokens
@@ -46,9 +53,10 @@ def inverted_index(
             ",",
         ).alias("positions"),
     )
-    out = postings.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long")
+    term_df = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
     )
     if min_df > 1:
-        out = out.where(F.col("df") >= min_df)
+        term_df = term_df.where(F.col("df") >= min_df)
+    out = postings.join(term_df, "term")
     return out.select("term", "df", id_col, "tf", "positions")

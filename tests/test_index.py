@@ -40,3 +40,20 @@ def test_index_plan_is_jvm_side(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     plan = inverted_index(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_index_df_has_no_window_node(spark):
+    # df must come from an agg+join, never Window.partitionBy("term"):
+    # a stopword term's postings would all land in ONE window partition
+    # at corpus scale — a single-task hotspot AQE cannot split.
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    qe = inverted_index(df)._jdf.queryExecution()
+    assert "Window" not in qe.optimizedPlan().toString()
+    plan = qe.executedPlan().toString()
+    assert "Join" in plan
+    # Catalyst prunes the df side to a plain distinct+count: the
+    # expensive collect_list agg appears on the postings branch only
+    # (one final + one partial), never on the df branch. The second
+    # tokenize pass is linear and parallel, unlike the window hotspot
+    # it replaces.
+    assert plan.count("collect_list") == 2
