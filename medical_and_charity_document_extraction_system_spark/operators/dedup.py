@@ -302,9 +302,20 @@ def write_signature_store(
             legacy = _sign(df).join(store.select(id_col), id_col, "left_anti")
             legacy.select(*store.columns).write.mode("append").parquet(path)
         return
-    _sign(df).withColumn("generation", F.lit(0).cast("long")).write.mode(
-        mode
-    ).parquet(path)
+    signed = _sign(df).withColumn("generation", F.lit(0).cast("long"))
+    if mode == "append":
+        # appending new-schema rows (text_md5, generation) into a
+        # legacy store would create a mixed-schema parquet dir whose
+        # resolution is reader-dependent — stay on the store's schema,
+        # like the upsert legacy branch does
+        spark = df.sparkSession
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            store_cols = spark.read.parquet(path).columns
+            if "generation" not in store_cols:
+                signed = signed.select(*store_cols)
+    signed.write.mode(mode).parquet(path)
 
 
 def read_signature_store(spark, path: str, id_col: str = "doc_id") -> DataFrame:

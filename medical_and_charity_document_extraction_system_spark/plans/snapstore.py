@@ -175,19 +175,35 @@ class SnapshotTable:
         pm = self._manifest(parent)
         files = pm["files"]
         paths = [os.path.join(self.data_dir, f) for f in files]
+        # duplicate keys in `updates` would all survive the union and
+        # leave multiple current rows per key — a silent upsert-invariant
+        # violation; fail loudly instead (Iceberg MERGE does the same:
+        # "multiple rows match" is an error, not last-writer-wins)
+        key_rows = updates.groupBy(key_col).count()
+        if key_rows.where(F.col("count") > 1).take(1):
+            raise ValueError(
+                f"merge updates contain duplicate values of {key_col!r}; "
+                "dedup the batch before merging"
+            )
         keys = updates.select(key_col).distinct()
-        # which files hold a matched key: one metadata-light semi-join;
-        # the collect is bounded by FILE count, never row count
-        cur = self.spark.read.parquet(*paths).select(
-            key_col, F.input_file_name().alias("_f")
-        )
-        hit_paths = sorted(
-            r["_f"]
-            for r in cur.join(keys, key_col, "left_semi")
-            .select("_f")
-            .distinct()
-            .collect()
-        )
+        if paths:
+            # which files hold a matched key: one metadata-light
+            # semi-join; the collect is bounded by FILE count, never
+            # row count
+            cur = self.spark.read.parquet(*paths).select(
+                key_col, F.input_file_name().alias("_f")
+            )
+            hit_paths = sorted(
+                r["_f"]
+                for r in cur.join(keys, key_col, "left_semi")
+                .select("_f")
+                .distinct()
+                .collect()
+            )
+        else:
+            # parent snapshot has no data files (empty-table commit):
+            # behave as an insert-only merge
+            hit_paths = []
         hit_names = {os.path.basename(p) for p in hit_paths}
         carried = [f for f in files if f not in hit_names]
         sid = parent + 1

@@ -179,6 +179,36 @@ def test_signature_store_append_grows(spark, tmp_path):
     assert n2 > n1
 
 
+def test_signature_store_append_into_legacy_store_keeps_schema(spark, tmp_path):
+    """Plain mode='append' into a pre-r4 legacy store (no text_md5 /
+    generation columns) must project to the store's schema instead of
+    creating a mixed-schema parquet dir whose resolution is
+    reader-dependent (ADVICE r4)."""
+    from medical_and_charity_document_extraction_system_spark.operators.dedup import (
+        read_signature_store,
+        write_signature_store,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    modern = str(tmp_path / "modern")
+    store = str(tmp_path / "legacy")
+    write_signature_store(docs.where("doc_id < 50"), modern)
+    legacy_cols = [
+        c
+        for c in spark.read.parquet(modern).columns
+        if c not in ("text_md5", "generation")
+    ]
+    spark.read.parquet(modern).select(*legacy_cols).write.parquet(store)
+
+    write_signature_store(
+        docs.where("doc_id >= 50 and doc_id < 80"), store, mode="append"
+    )
+    grown = spark.read.parquet(store)
+    assert grown.columns == legacy_cols  # no schema drift
+    assert grown.select("doc_id").distinct().count() == 80
+    assert read_signature_store(spark, store).count() == grown.count()
+
+
 def test_connected_components_long_chain_logarithmic(spark):
     """Planted 200-node chain (diameter 199): pointer jumping must
     close it within 10 rounds — plain min-propagation would need ~200

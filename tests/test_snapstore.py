@@ -202,3 +202,26 @@ def test_merge_tag_idempotent_and_empty_table(spark, docs, tmp_path):
     s2 = t.merge(base, "doc_id", tag="epoch-1")  # replayed epoch
     assert s1 == s2
     assert t.read().count() == 20
+
+
+def test_merge_into_zero_file_parent_is_insert_only(spark, docs, tmp_path):
+    # a parent snapshot with NO data files (empty-DataFrame commit) must
+    # behave like an insert-only merge, not crash on parquet(*[])
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    base = docs.select("doc_id", "text").where("doc_id < 20")
+    t.commit(base.limit(0), "append")
+    sid = t.merge(base, "doc_id")
+    assert t.read(sid).count() == 20
+    assert t._manifest(sid)["total_rows"] == 20
+
+
+def test_merge_rejects_duplicate_update_keys(spark, docs, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    base = docs.select("doc_id", "text").where("doc_id < 20")
+    t.commit(base, "append")
+    dup = base.where("doc_id < 2").unionByName(base.where("doc_id = 0"))
+    with pytest.raises(ValueError, match="duplicate"):
+        t.merge(dup, "doc_id")
+    # store unchanged: no partial snapshot published
+    assert t.current_snapshot_id() == 1
+    assert t.read().count() == 20
