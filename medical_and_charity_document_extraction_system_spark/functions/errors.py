@@ -47,7 +47,12 @@ class MissingPayloadError(FileError): ...
 
 
 # pdf family (reference exceptions.py:60-84)
-class PdfError(ExtractionError): ...
+class PdfError(ExtractionError, ValueError):
+    """Also a ValueError: the parse/degrade seams (operators/pdf.py,
+    minipdf.merge_pages skip_errors) catch ValueError — typed raises
+    from minipdf must keep flowing through them."""
+
+
 class PdfCorruptedError(PdfError): ...
 class PdfEncryptedError(PdfError): ...
 class PdfEmptyError(PdfError): ...

@@ -788,13 +788,25 @@ def _text_from_content(
 
 
 def extract_text_pages(data: bytes) -> list[str]:
-    """Page texts in /Kids order. Raises ValueError on encrypted,
+    """Page texts in /Kids order. Raises structured taxonomy errors
+    (functions/errors.py — all ValueError subclasses, so existing
+    catch-ValueError degrade seams keep working) on encrypted,
     page-less, or unsupported-filter PDFs (callers route those to the
-    error/scanned path, pdf_service.py:258)."""
+    error/scanned path, pdf_service.py:258; encrypted inputs are the
+    reference's explicit detect-and-degrade, pdf_service.py:44-49).
+    Error MESSAGES are load-bearing: the data-plane classifier
+    (errors._RULES) maps "encrypted"/"no pages" substrings of the
+    "pdf: ..." error record back to these codes."""
+    from .errors import PdfCorruptedError, PdfEmptyError, PdfEncryptedError
+
     if not data.startswith(b"%PDF"):
-        raise ValueError("not a %PDF payload")
+        raise PdfCorruptedError("not a %PDF payload")
     if b"/Encrypt" in data:
-        raise ValueError("encrypted PDF")
+        # conservative substring probe (an /Encrypt key can only
+        # legitimately appear in the trailer dict; compressed content
+        # streams can't alias it) — false positives degrade to the
+        # scanned/error route, never extract ciphertext as text
+        raise PdfEncryptedError("encrypted PDF")
     objs = _load_objects(data)
     pages_nodes = [
         (n, b) for n, b in objs.items()
@@ -814,7 +826,7 @@ def extract_text_pages(data: bytes) -> list[str]:
         if n in objs and re.search(rb"/Type\s*/Page\b", objs[n])
     ]
     if not page_ids:
-        raise ValueError("PDF has no pages")
+        raise PdfEmptyError("PDF has no pages")
     parents = [b for _, b in sorted(pages_nodes)]
     font_cache: dict[int, dict[int, str] | None] = {}
     out = []

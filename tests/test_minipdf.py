@@ -392,3 +392,101 @@ def test_type1_bytes_unchanged_by_type0_support():
 
     d = m.build_pdf(["abc\ndef"], compress=True)
     assert hashlib.md5(d).hexdigest() == "dbcb5448328bb9608d3df7d7343edf38"
+
+
+def _encrypted_pdf(pages=None, **kw):
+    """Fixture: a structurally valid PDF whose TRAILER carries an
+    /Encrypt reference — the shape the reference detects and skips
+    (pdf_service.py:44-49). The key is injected next to /Root, which
+    appears exactly once (classic trailer or XRef stream dict)."""
+    data = build_pdf(pages or ["top secret ciphertext"], **kw)
+    assert data.count(b"/Root") == 1
+    return data.replace(b"/Root", b"/Encrypt 999 0 R /Root", 1)
+
+
+@pytest.mark.parametrize("xref_stream", [False, True])
+def test_encrypted_trailer_raises_typed_taxonomy_error(xref_stream):
+    from medical_and_charity_document_extraction_system_spark.functions.errors import (
+        PdfEncryptedError,
+    )
+
+    data = _encrypted_pdf(xref_stream=xref_stream)
+    with pytest.raises(PdfEncryptedError, match="encrypted"):
+        extract_text_pages(data)
+    # degrade seams catch ValueError — the typed error must BE one
+    with pytest.raises(ValueError):
+        extract_text_pages(data)
+    # and operators/pdf.py's fitz-free branch propagates it
+    with pytest.raises(ValueError):
+        extract_pdf_pages(data)
+
+
+def test_empty_and_corrupt_raise_typed_taxonomy_errors():
+    from medical_and_charity_document_extraction_system_spark.functions.errors import (
+        PdfCorruptedError,
+        PdfEmptyError,
+    )
+
+    with pytest.raises(PdfCorruptedError):
+        extract_text_pages(b"not a pdf at all")
+    no_pages = b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
+    with pytest.raises(PdfEmptyError):
+        extract_text_pages(no_pages)
+    assert issubclass(PdfEmptyError, ValueError)
+
+
+def test_merge_skips_encrypted_members_and_counts():
+    """merge_pages / merge_pdfs_by_key degrade exactly like the
+    reference merge (pdf_service.py:44-49): encrypted members are
+    skipped and counted, the rest merge normally."""
+    from medical_and_charity_document_extraction_system_spark.functions.minipdf import (
+        merge_pages,
+    )
+
+    good1 = build_pdf(["page one"])
+    good2 = build_pdf(["page two"])
+    pages, skipped = merge_pages([good1, _encrypted_pdf(), good2], skip_errors=True)
+    assert pages == ["page one", "page two"]
+    assert skipped == 1
+
+
+def test_merge_pdfs_by_key_skips_encrypted(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.maintenance import (
+        merge_pdfs_by_key,
+    )
+
+    rows = [
+        ("s1", 0, bytearray(build_pdf(["alpha"]))),
+        ("s1", 1, bytearray(_encrypted_pdf())),
+        ("s1", 2, bytearray(build_pdf(["beta"]))),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, pdf binary")
+    out = merge_pdfs_by_key(df).collect()[0]
+    assert out["n_inputs"] == 3 and out["n_skipped"] == 1
+    assert extract_text_pages(bytes(out["merged_pdf"])) == ["alpha", "beta"]
+
+
+def test_pipeline_error_record_classifies_encrypted(spark):
+    """An encrypted real-PDF payload flows to an error RECORD whose
+    data-plane classification is (pdf, PdfEncryptedError) — per-row
+    degrade, never a task failure."""
+    from pyspark.sql import functions as F
+
+    from medical_and_charity_document_extraction_system_spark.functions.errors import (
+        classify_error_cols,
+    )
+    from medical_and_charity_document_extraction_system_spark.plans import run_extraction
+
+    df = spark.createDataFrame(
+        [("https://x.test/enc", bytearray(_encrypted_pdf()), None, "en")],
+        "url string, html binary, text string, lang string",
+    )
+    out = run_extraction(df)
+    fam, code = classify_error_cols(F.col("error"))
+    r = out.select(
+        "processing_method",
+        fam.alias("error_family"),
+        code.alias("error_code"),
+    ).collect()[0]
+    assert r["processing_method"] == "error"
+    assert (r["error_family"], r["error_code"]) == ("pdf", "PdfEncryptedError")
