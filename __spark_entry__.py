@@ -963,6 +963,28 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_lm_scores(docs, vocab, logp_oov)
 
 
+def q_lm_quality_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram LM quality scoring (operators/lm.py —
+    Brants et al. 2007): positions whose (prev, cur) pair is a top-30
+    corpus bigram score the raw bigram log-ratio; everything else
+    backs off to log(0.4) + the unigram model. Word-ORDER sensitivity
+    is the upgrade over q_lm_quality: shuffling a document's words
+    preserves its unigram score but drops its bigram score. Same
+    float discipline: every log is a Python-computed literal, the
+    score is a fixed-order fold, training collects are bounded by
+    vocab + bigram table size."""
+    from medical_and_charity_document_extraction_system_spark.operators.lm import (
+        bigram_lm_scores,
+        train_bigram_lm,
+    )
+
+    docs = _docs(spark, sf_dir)
+    vocab, logp_oov, bigrams, log_backoff = train_bigram_lm(
+        docs, vocab_size=30, bigram_size=30
+    )
+    return bigram_lm_scores(docs, vocab, logp_oov, bigrams, log_backoff)
+
+
 def q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (z-order) curve values over (host index, time bucket) —
     the clustering key write_zordered sorts by so parquet min/max
@@ -1717,6 +1739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the full-catalog replica output is recorded in BASELINE.md each
     round regardless."""
     return {
+        # --- new in round 5 (never driver-attested) ---
+        "lm_quality_bigram": q_lm_quality_bigram,
         # --- new in round 4 (never driver-attested) ---
         "paragraph_dedup": q_paragraph_dedup,
         "span_dedup": q_span_dedup,
@@ -1813,7 +1837,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """The driver calls this with no args (sf0.01, its gate dir).
+    ``sf_dir`` exists for the local gate replica
+    (scripts/check_oracles.py --sf-dir ...): four oracles embed
+    DATA-DERIVED literals (lm_quality vocab log-probs, ann_topk_ivf
+    centroids, bm25 idf/avgdl) and must re-derive them from the same
+    parquet the Spark query reads, or they only match at sf0.01."""
     return {
         "extraction_doc_records": oracles.extraction_doc_records_sql(),
         # batch/streaming/WARC parity: every ingestion shape must match
@@ -1862,9 +1892,9 @@ def oracle_sql() -> dict[str, str]:
         "session_windows": oracles.session_windows_sql(),
         "events_rollup": oracles.events_rollup_sql(),
         # corpus-stat literals default to the gate's sf0.01 tables
-        "bm25_scores": oracles.bm25_scores_sql(tuple(BM25_TERMS)),
+        "bm25_scores": oracles.bm25_scores_sql(tuple(BM25_TERMS), sf_dir),
         # the tf-map Arrow form must land on the identical scores
-        "bm25_scores_tfmap": oracles.bm25_scores_sql(tuple(BM25_TERMS)),
+        "bm25_scores_tfmap": oracles.bm25_scores_sql(tuple(BM25_TERMS), sf_dir),
         "boilerplate_removal": oracles.boilerplate_removal_sql(),
         "paragraph_dedup": oracles.paragraph_dedup_sql(),
         "span_dedup": oracles.span_dedup_sql(),
@@ -1883,8 +1913,9 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_merge": oracles.snapshot_merge_sql(),
         "hll_cardinality": oracles.hll_host_cardinality_sql(),
         "zorder_curve": oracles.zorder_curve_sql(),
-        # data-derived literals (IVF/LSH trick): defaults to sf0.01
-        "lm_quality": oracles.unigram_lm_sql(),
+        # data-derived literals (IVF/LSH trick), re-derived per sf_dir
+        "lm_quality": oracles.unigram_lm_sql(sf_dir),
+        "lm_quality_bigram": oracles.bigram_lm_sql(sf_dir),
         # the streamed upsert must land on the batch-merge construction
         "stream_merge_sink": oracles.snapshot_merge_sql(),
         # merged-batch registers must equal the one-shot sketch
@@ -1928,9 +1959,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_urls": oracles.stream_dedup_urls_sql(),
         # ann_topk_ivf (nprobe=4): the seeded-k-means centroids are a
         # pure function of the embeddings table, so the builder reruns
-        # the training on the driver and embeds them as SQL literals;
-        # DuckDB re-derives assignment, probe list and top-k from
-        # scratch (oracles.ann_topk_ivf_sql — the driver gate runs at
-        # sf0.01, which is the builder's default sample source).
-        "ann_topk_ivf": oracles.ann_topk_ivf_sql(),
+        # the training on the driver against THIS sf_dir and embeds
+        # them as SQL literals; DuckDB re-derives assignment, probe
+        # list and top-k from scratch (oracles.ann_topk_ivf_sql).
+        "ann_topk_ivf": oracles.ann_topk_ivf_sql(sf_dir),
     }

@@ -118,6 +118,179 @@ def unigram_lm_scores(
     )
 
 
+def train_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 30,
+    bigram_size: int = 30,
+    backoff: float = 0.4,
+) -> tuple[list[tuple[str, float]], float, list[tuple[str, float]], float]:
+    """Stupid-backoff bigram LM (Brants et al. 2007, the published
+    web-scale recipe) over the unigram base model: position i >= 2
+    scores log(c(t_{i-1} t_i) / c(t_{i-1})) when the pair is one of
+    the top-``bigram_size`` corpus bigrams, else log(backoff) +
+    unigram(t_i); position 1 scores unigram(t_1).
+
+    The document score factors into engine-portable integer-weighted
+    literals:  sum_i s_i  =  unigram_fold  +  (n-1) * log(backoff)
+    + sum_p cb_p * delta_p,   delta_p = lb_p - log(backoff) - u2_p —
+    each consecutive position matches at most one pair literal, so
+    counting pair occurrences (cb_p) replaces its backoff+unigram
+    contribution exactly. Every log runs ONCE driver-side (Python
+    math) and travels as a literal; training collects are bounded by
+    vocab_size + bigram_size, never corpus size.
+
+    Returns (vocab, logp_oov, [(pair, delta)...] in (count desc,
+    pair) order, log_backoff). Pair keys are "t1 t2" — a single space
+    is a safe join because the tokenizer splits on whitespace."""
+    vocab, logp_oov = train_unigram_lm(df, text_col, vocab_size)
+    uni = dict(vocab)
+    toks = tokens(F.col(text_col))
+    base = df.select(toks.alias("_toks"))
+    n1 = F.greatest(F.size("_toks") - 1, F.lit(0))
+    pair_col = F.zip_with(
+        F.slice("_toks", 1, n1),
+        F.slice("_toks", 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    top = (
+        base.select(F.explode(pair_col).alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("p"))
+        .limit(bigram_size)
+        .collect()
+    )
+    firsts = sorted({r.p.split(" ", 1)[0] for r in top})
+    ucnt = {
+        r.t: r.c
+        for r in df.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("t").isin(firsts))
+        .collect()
+    }
+    log_backoff = math.log(backoff)
+    bigrams = []
+    for r in top:
+        t1, t2 = r.p.split(" ", 1)
+        lb = math.log(r.c / ucnt[t1])
+        delta = lb - log_backoff - uni.get(t2, logp_oov)
+        bigrams.append((r.p, delta))
+    return vocab, logp_oov, bigrams, log_backoff
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    vocab: list[tuple[str, float]],
+    logp_oov: float,
+    bigrams: list[tuple[str, float]],
+    log_backoff: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mean token log-score per document under the stupid-backoff
+    bigram LM. Returns (id, n_tokens, avg_logprob); empty docs NULL.
+    Same staged-projection discipline as unigram_lm_scores: the token
+    array, then the pair array, then each interpreted-HOF count are
+    materialized exactly once per row."""
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    n1 = F.greatest(F.size("_toks") - 1, F.lit(0))
+    base = base.select(
+        F.col(id_col),
+        F.size("_toks").alias("_n"),
+        *[
+            F.size(F.filter("_toks", _eq_factory(t))).cast("long").alias(f"_c{i}")
+            for i, (t, _) in enumerate(vocab)
+        ],
+        F.zip_with(
+            F.slice("_toks", 1, n1),
+            F.slice("_toks", 2, n1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ).alias("_pairs"),
+    )
+    base = base.select(
+        F.col(id_col),
+        F.col("_n"),
+        *[F.col(f"_c{i}") for i in range(len(vocab))],
+        *[
+            F.size(F.filter("_pairs", _eq_factory(p))).cast("long").alias(f"_b{j}")
+            for j, (p, _) in enumerate(bigrams)
+        ],
+    )
+    cnt_cols = [F.col(f"_c{i}") for i in range(len(vocab))]
+    in_vocab: Column = F.lit(0).cast("long")
+    for c in cnt_cols:
+        in_vocab = in_vocab + c
+    oov = F.col("_n").cast("long") - in_vocab
+    # fixed-order left fold, unigram part first (identical to
+    # unigram_lm_scores), then the backoff term, then each bigram
+    # delta in (count desc, pair) order — mirrored verbatim in SQL
+    score: Column = F.lit(0.0)
+    for c, (_, lp) in zip(cnt_cols, vocab):
+        score = score + c.cast("double") * F.lit(lp)
+    score = score + oov.cast("double") * F.lit(logp_oov)
+    score = score + (F.col("_n") - 1).cast("double") * F.lit(log_backoff)
+    for j, (_, delta) in enumerate(bigrams):
+        score = score + F.col(f"_b{j}").cast("double") * F.lit(delta)
+    return base.select(
+        F.col(id_col),
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.when(F.col("_n") > 0, score / F.col("_n").cast("double")).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+def _eq_factory(value: str):
+    # factory, not a default-arg lambda: a 2-arg lambda would make
+    # F.filter pass the element INDEX as the second argument
+    return lambda x: x == F.lit(value)
+
+
+def bigram_lm_pairs_expr(toks_expr: str) -> str:
+    """DuckDB twin of the pair-array projection (1-based list index;
+    range() is end-exclusive and empty when n < 2)."""
+    return (
+        f"list_transform(range(1, greatest(len({toks_expr}), 1)), "
+        f"i -> {toks_expr}[i] || ' ' || {toks_expr}[i + 1])"
+    )
+
+
+def bigram_lm_count_exprs(
+    bigrams: list[tuple[str, float]], pairs_expr: str
+) -> list[str]:
+    """One DuckDB count expression per bigram over the pre-projected
+    pair array."""
+
+    def cnt(p: str) -> str:
+        esc = p.replace("'", "''")
+        return f"len(list_filter({pairs_expr}, x -> x = '{esc}'))"
+
+    return [cnt(p) for p, _ in bigrams]
+
+
+def bigram_lm_fold_expr(
+    vocab: list[tuple[str, float]],
+    logp_oov: float,
+    bigrams: list[tuple[str, float]],
+    log_backoff: float,
+    n_expr: str,
+    cnt_cols: list[str],
+    bigram_cols: list[str],
+) -> str:
+    """The identical fixed-order fold: unigram fold, then the
+    (n-1)*log_backoff term, then each bigram delta."""
+    parts = [
+        unigram_lm_fold_expr(vocab, logp_oov, n_expr, cnt_cols),
+        f"({n_expr} - 1) * CAST('{log_backoff!r}' AS DOUBLE)",
+    ] + [
+        f"{c} * CAST('{delta!r}' AS DOUBLE)"
+        for c, (_, delta) in zip(bigram_cols, bigrams)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
 def unigram_lm_count_exprs(
     vocab: list[tuple[str, float]], toks_expr: str
 ) -> list[str]:

@@ -1954,6 +1954,93 @@ FROM cn
 """
 
 
+def bigram_lm_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    vocab_size: int = 30,
+    bigram_size: int = 30,
+    backoff: float = 0.4,
+) -> str:
+    """Twin of q_lm_quality_bigram: the builder retrains the SAME
+    stupid-backoff model in plain Python (parity tokenizer, Counter,
+    math.log — the identical integers and float ops the Spark
+    training collects) and emits every log/delta as a quoted-repr
+    literal in the SAME fixed-order fold
+    (operators/lm.bigram_lm_fold_expr)."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from .functions.textstats import _ASCII_WS_RE
+    from .operators.lm import (
+        bigram_lm_count_exprs,
+        bigram_lm_fold_expr,
+        bigram_lm_pairs_expr,
+        unigram_lm_count_exprs,
+    )
+
+    con = duckdb.connect()
+    texts = [
+        r[0]
+        for r in con.sql(
+            f"SELECT text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+    ]
+    con.close()
+    c: Counter = Counter()
+    cb: Counter = Counter()
+    for t in texts:
+        toks = [w for w in _ASCII_WS_RE.split(t or "") if w]
+        c.update(toks)
+        cb.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    n, v = sum(c.values()), len(c)
+    denom = n + v + 1
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    vocab = [(t, math.log((cnt + 1) / denom)) for t, cnt in top]
+    logp_oov = math.log(1.0 / denom)
+    uni = dict(vocab)
+    topb = sorted(cb.items(), key=lambda kv: (-kv[1], kv[0]))[:bigram_size]
+    log_backoff = math.log(backoff)
+    bigrams = []
+    for p, cnt in topb:
+        t1, t2 = p.split(" ", 1)
+        delta = math.log(cnt / c[t1]) - log_backoff - uni.get(t2, logp_oov)
+        bigrams.append((p, delta))
+
+    cnt_names = [f"c{i}" for i in range(len(vocab))]
+    big_names = [f"b{j}" for j in range(len(bigrams))]
+    cnt_proj = ",\n         ".join(
+        f"{e} AS {nme}"
+        for e, nme in zip(unigram_lm_count_exprs(vocab, "toks"), cnt_names)
+    )
+    big_proj = ",\n         ".join(
+        f"{e} AS {nme}"
+        for e, nme in zip(bigram_lm_count_exprs(bigrams, "pairs"), big_names)
+    )
+    score = bigram_lm_fold_expr(
+        vocab, logp_oov, bigrams, log_backoff, "n", cnt_names, big_names
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+cn AS (
+  SELECT doc_id, len(toks) AS n,
+         {cnt_proj},
+         {bigram_lm_pairs_expr('toks')} AS pairs
+  FROM t
+),
+cb AS (
+  SELECT doc_id, n, {', '.join(cnt_names)},
+         {big_proj}
+  FROM cn
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CASE WHEN n > 0
+            THEN {score} / CAST(n AS DOUBLE) END AS avg_logprob
+FROM cb
+"""
+
+
 def anchor_text_index_sql() -> str:
     """Twin of q_anchor_text_index: the template's nine anchors carry
     fixed labels, so the per-(outlink, anchor_text) doc counts over

@@ -79,7 +79,10 @@ def main() -> None:
             )
 
     qs = entry_mod.queries()
-    sqls = entry_mod.oracle_sql()
+    # pass the target dir so data-derived oracle literals (lm vocab,
+    # IVF centroids, bm25 idf/avgdl) are re-derived from the same
+    # parquet the Spark queries read — the gate is sf-portable
+    sqls = entry_mod.oracle_sql(args.sf_dir)
     only = {s for s in args.only.split(",") if s}
 
     results = {}

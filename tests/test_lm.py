@@ -69,3 +69,98 @@ def test_scoring_plan_is_jvm_side(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------------ bigram LM
+def _train_and_score_bigram(spark, rows, vocab_size=6, bigram_size=6):
+    from medical_and_charity_document_extraction_system_spark.operators.lm import (
+        bigram_lm_scores,
+        train_bigram_lm,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    model = train_bigram_lm(df, vocab_size=vocab_size, bigram_size=bigram_size)
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in bigram_lm_scores(df, *model).collect()
+    }
+    return model, out
+
+
+def test_bigram_training_deterministic_and_ranked(spark):
+    rows = [(1, "a b a b c"), (2, "a b x")]
+    (vocab, oov, bigrams, log_backoff), _ = _train_and_score_bigram(spark, rows)
+    # bigram counts: "a b"=3, "b a"=1, "b c"=1, "b x"=1 -> count desc, pair
+    assert [p for p, _ in bigrams] == ["a b", "b a", "b c", "b x"]
+    assert log_backoff == math.log(0.4)
+    # delta for "a b": log(3/3) - log(0.4) - lp_b  (a occurs 3x)
+    lp = dict(vocab)
+    assert bigrams[0][1] == math.log(3 / 3) - log_backoff - lp["b"]
+
+
+def test_bigram_exact_hand_computed_score(spark):
+    rows = [(1, "a b a b"), (2, "b a")]
+    (vocab, oov, bigrams, log04), out = _train_and_score_bigram(
+        spark, rows, vocab_size=2, bigram_size=1
+    )
+    # corpus: a=3 b=3, bigrams: "a b"=2, "b a"=2 -> top-1 = "a b" (tie by text)
+    lp = dict(vocab)
+    lb_ab = math.log(2 / 3)
+    # doc 2 "b a": uni(b) + [backoff] log04 + uni(a) — no "a b" pair
+    want2 = (lp["b"] + lp["a"] + 1 * log04) / 2
+    # doc 1 "a b a b": unigram fold + 3*log04 + 2*delta_ab
+    delta = lb_ab - log04 - lp["b"]
+    want1 = (2 * lp["a"] + 2 * lp["b"] + 3 * log04 + 2 * delta) / 4
+    got1, got2 = out[1][1], out[2][1]
+    assert abs(got1 - want1) < 1e-12 and out[1][0] == 4
+    assert abs(got2 - want2) < 1e-12 and out[2][0] == 2
+
+
+def test_bigram_separates_word_order_unigram_cannot(spark):
+    """The value-add over the unigram model: a shuffled-word document
+    has the SAME unigram score as its natural original but a LOWER
+    bigram score; and gibberish scores below both."""
+    natural = "the cat sat on the mat " * 3
+    shuffled = "mat the on sat cat the " * 3
+    rows = [(i, natural.strip()) for i in range(8)] + [
+        (90, shuffled.strip()),
+        (99, "zzq qqz xqx jjj vvv www"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab, oov = train_unigram_lm(df, vocab_size=8)
+    uni = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in unigram_lm_scores(df, vocab, oov).collect()
+    }
+    _, big = _train_and_score_bigram(spark, rows, vocab_size=8, bigram_size=8)
+    # unigram is word-order blind
+    assert uni[0] == uni[90]
+    # bigram: natural > shuffled > gibberish
+    assert big[0][1] > big[90][1] > big[99][1]
+    # monotonic with unigram on the gibberish end
+    assert uni[0] > uni[99] and big[0][1] > big[99][1]
+
+
+def test_bigram_empty_doc_and_single_token(spark):
+    rows = [(1, "a a a"), (2, ""), (3, "a")]
+    _, out = _train_and_score_bigram(spark, rows, vocab_size=2, bigram_size=2)
+    assert out[2] == (0, None)
+    # single token: no pairs, no backoff term (n-1 = 0)
+    assert out[3][0] == 1 and out[3][1] is not None
+
+
+def test_bigram_scoring_plan_is_jvm_side_and_staged(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.lm import (
+        bigram_lm_scores,
+        train_bigram_lm,
+    )
+
+    df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    model = train_bigram_lm(df, vocab_size=2, bigram_size=2)
+    qe = bigram_lm_scores(df, *model)._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # staged projections: each interpreted HOF count evaluated once —
+    # filter() sites = vocab terms + bigrams + 1 tokenizer
+    n_filters = qe.optimizedPlan().toString().count("filter(")
+    assert n_filters <= 2 + 2 + 1
