@@ -32,10 +32,10 @@ projection. PageRank shuffles the edge list once per iteration
 (join on src, agg on dst) — the standard distributed PageRank plan;
 pre-partitioning edges and ranks on the node key (plans/bucketing.py)
 makes the per-iteration join co-located, leaving only the inflow agg
-shuffle. Iterations are a fixed unrolled K (the oracle needs a finite
-SQL twin); for convergence-driven runs compose with the same
-localCheckpoint-every-round pattern as operators/dedup.
-connected_components.
+shuffle. ``pagerank_fixed`` runs a fixed unrolled K (the oracle needs a
+finite SQL twin); ``pagerank_converged`` decides K at runtime
+(stop when the max per-node change hits an exact integer fixed
+point), same arithmetic, localCheckpoint per round.
 """
 
 from __future__ import annotations
@@ -169,3 +169,70 @@ def pagerank_fixed(
         if (it + 1) % 5 == 0 and (it + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("units").alias("rank_units"))
+
+
+def pagerank_converged(
+    edges: DataFrame,
+    max_iter: int = 50,
+    tol_units: int = 0,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    unit: int = 1_000_000,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> tuple[DataFrame, int]:
+    """Convergence-driven PageRank: iterate until the max per-node
+    rank change is <= ``tol_units`` (integer fixed-point reaches an
+    EXACT fixed point, so tol 0 terminates), else stop at
+    ``max_iter``. Returns (ranks, iterations_run). Identical
+    arithmetic to pagerank_fixed — after k rounds the two are
+    bit-equal by construction; this form just decides k at runtime
+    (the oracle-bound unrolled-K twin cannot, SQL needs a finite
+    plan). Each round's ranks are eagerly localCheckpoint'ed: the
+    convergence test is a per-round ACTION anyway, so materializing
+    there both feeds the delta join without recompute and keeps the
+    plan O(1)-tall instead of O(iterations)."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od")).localCheckpoint(eager=True)
+    base = unit - (d_num * unit) // d_den
+    ranks = nodes.select(
+        "node", F.lit(unit).cast("long").alias("units")
+    ).localCheckpoint(eager=True)
+    it = 0
+    while it < max_iter:
+        inflow = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(deg, "src")
+            .select("dst", F.expr("units DIV od").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        new_ranks = nodes.join(
+            inflow, nodes["node"] == inflow["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.expr(f"({d_num} * coalesce(inflow, 0L)) DIV {d_den}")
+            ).alias("units"),
+        ).localCheckpoint(eager=True)
+        it += 1
+        delta = (
+            new_ranks.alias("a")
+            .join(ranks.alias("b"), "node")
+            .agg(F.max(F.abs(F.col("a.units") - F.col("b.units"))).alias("d"))
+            .first()["d"]
+        )
+        ranks = new_ranks
+        if delta is not None and delta <= tol_units:
+            break
+    return ranks.select("node", F.col("units").alias("rank_units")), it

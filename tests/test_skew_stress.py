@@ -1,0 +1,97 @@
+"""Planted-skew stress tests for the r4 shuffle operators.
+
+Mirrors the LSH hot-bucket stress (test_dedup.py): each test plants a
+degenerate key distribution a 100-TB corpus WILL contain — a stopword
+term hitting ~every document, one mega-duplicated text window, one
+dominant host — and pins (a) correctness under the skew and (b) a
+generous wall-clock budget at local[8]. The budgets are deliberately
+loose (the box drifts +/-30%, CLAUDE.md): they catch the
+single-task-hotspot failure mode (minutes, not seconds), not a 20%
+regression. Plan-shape asserts in the per-operator test files are the
+precise guards; these are the end-to-end backstop.
+"""
+
+import time
+
+BUDGET_SEC = 90
+
+
+def test_inverted_index_hot_term_within_budget(spark):
+    """30% of all token positions are the same stopword: with the old
+    Window.partitionBy('term') df every 'the'-posting landed in ONE
+    window partition; the agg+join form map-side combines."""
+    from medical_and_charity_document_extraction_system_spark.operators.index import (
+        inverted_index,
+    )
+
+    n_docs = 4000
+    rows = [
+        (
+            i,
+            " ".join(
+                "the" if (j + i) % 3 == 0 else f"w{(i * 31 + j * 7) % 997}"
+                for j in range(30)
+            ),
+        )
+        for i in range(n_docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    t0 = time.time()
+    out = inverted_index(df, min_df=2)
+    hot = out.where("term = 'the'")
+    n_hot = hot.count()
+    df_val = hot.select("df").first()["df"]
+    elapsed = time.time() - t0
+    assert n_hot == n_docs  # every doc posts the hot term
+    assert df_val == n_docs
+    assert elapsed < BUDGET_SEC, f"hot-term index took {elapsed:.0f}s"
+
+
+def test_span_dedup_mega_duplicated_window_within_budget(spark):
+    """One 12-token window duplicated across 60% of the corpus: its
+    whash is a single groupBy key (map-side combinable) and the
+    dup-window join back is AQE-splittable — must not hotspot."""
+    from medical_and_charity_document_extraction_system_spark.operators.textdedup import (
+        span_dedup,
+    )
+
+    mega = " ".join(f"dup{j}" for j in range(12))
+    rows = []
+    for i in range(1500):
+        uniq = " ".join(f"u{i}x{j}" for j in range(12))
+        rows.append((i, f"{mega} {uniq}" if i % 5 < 3 else f"{uniq} more{i} words{i}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    t0 = time.time()
+    out = {r["doc_id"]: r for r in span_dedup(df, k=12).collect()}
+    elapsed = time.time() - t0
+    # canonical occurrence (doc 0) keeps the window; every other
+    # mega-carrier loses exactly those 12 tokens
+    assert out[0]["n_removed"] == 0
+    carriers = [i for i in range(1500) if i % 5 < 3]
+    assert all(out[i]["n_removed"] == 12 for i in carriers[1:])
+    assert all(out[i]["n_removed"] == 0 for i in range(1500) if i % 5 >= 3)
+    assert elapsed < BUDGET_SEC, f"mega-window span_dedup took {elapsed:.0f}s"
+
+
+def test_pagerank_dominant_host_within_budget(spark):
+    """Every node links to node 0 (a 30k-in-degree hub): the inflow
+    groupBy('dst') is map-side combinable so the hub key reduces to
+    one partial per task, never one task pulling 30k rows."""
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        pagerank_fixed,
+    )
+
+    n = 30_000
+    edges = spark.range(1, n).selectExpr("id AS src", "CAST(0 AS LONG) AS dst")
+    # plus a sparse ring so non-hub nodes have inflow too
+    ring = spark.range(1, n).selectExpr("id AS src", "(id % (30000 - 1)) + 1 AS dst")
+    t0 = time.time()
+    ranks = {
+        r.node: r.rank_units
+        for r in pagerank_fixed(edges.union(ring), iterations=3).collect()
+    }
+    elapsed = time.time() - t0
+    assert len(ranks) == n
+    # the hub dominates every spoke
+    assert ranks[0] > max(v for k, v in ranks.items() if k != 0) * 100
+    assert elapsed < BUDGET_SEC, f"dominant-host pagerank took {elapsed:.0f}s"

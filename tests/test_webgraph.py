@@ -134,3 +134,48 @@ def test_crawl_frontier_composition(spark):
     assert 0 < len(pend) < 200
     # priority joined for every row
     assert all(r["rank_units"] > 0 for r in rows)
+
+
+def test_pagerank_converged_matches_unrolled_k(spark):
+    """Convergence-driven mode: a 4-cycle reaches an EXACT integer
+    fixed point well before max_iter; the result must be bit-equal to
+    pagerank_fixed unrolled to the same round count."""
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        pagerank_converged,
+        pagerank_fixed,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 4) for i in range(4)], "src long, dst long"
+    )
+    ranks, k = pagerank_converged(edges, max_iter=50)
+    assert 0 < k < 50  # converged, did not exhaust the budget
+    got = {r.node: r.rank_units for r in ranks.collect()}
+    want = {
+        r.node: r.rank_units for r in pagerank_fixed(edges, iterations=k).collect()
+    }
+    assert got == want
+    # symmetric cycle: all four ranks identical, and stable one more round
+    assert len(set(got.values())) == 1
+    again = {
+        r.node: r.rank_units
+        for r in pagerank_fixed(edges, iterations=k + 1).collect()
+    }
+    assert again == got
+
+
+def test_pagerank_converged_respects_max_iter(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        pagerank_converged,
+        pagerank_fixed,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 2)], "src long, dst long"
+    )
+    ranks, k = pagerank_converged(edges, max_iter=2)
+    assert k == 2
+    want = {
+        r.node: r.rank_units for r in pagerank_fixed(edges, iterations=2).collect()
+    }
+    assert {r.node: r.rank_units for r in ranks.collect()} == want
