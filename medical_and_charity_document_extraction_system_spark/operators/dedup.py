@@ -166,12 +166,17 @@ def minhash_near_dup(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    total_rows: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with exact-Jaccard verification >= threshold.
 
     With 64 hashes / 16 bands of 4 rows, a pair at j=0.9 is caught with
     probability 1-(1-0.9^4)^16 ~ 1-1e-12; false positives are removed
     by the verification join.
+
+    ``total_rows``: pass the corpus size if the caller already knows
+    it (a catalog/metastore lookup at scale) to skip the per-call
+    ``df.count()`` job that otherwise feeds the hot-bucket skew probe.
     """
     # fan out before the signature stage: a single-file input leaves
     # the Arrow UDF on one core (a 40 MB corpus file is one split
@@ -195,9 +200,12 @@ def minhash_near_dup(
     # (measured 31s -> 2s at local[32], shuffle=64)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, bands).cache()
     # cheap upper bound for the skew probe: a corpus smaller than one
-    # hot bucket cannot have one (df.count() here is a footer-fast
-    # pre-UDF count, NOT a signature job)
-    cands = lsh_candidate_pairs(sigs, id_col, total_rows=df.count()).cache()
+    # hot bucket cannot have one (when the caller did not supply it,
+    # df.count() here is a footer-fast pre-UDF count, NOT a signature
+    # job)
+    if total_rows is None:
+        total_rows = df.count()
+    cands = lsh_candidate_pairs(sigs, id_col, total_rows=total_rows).cache()
     # shingle arrays are built ONLY for docs that appear in a candidate
     # pair (left_semi first) — at web scale the candidate set is a tiny
     # fraction of the corpus, so the expensive JVM shingling never runs
