@@ -6,6 +6,15 @@ and a value hash computed over columns sorted by name (rows sorted by
 their full tuple) — the same comparison shape the driver uses.
 
     python scripts/check_oracles.py [--sf-dir /root/testdata/sf0.01] [--only q1,q2]
+    python scripts/check_oracles.py --changed-since HEAD~3
+
+``--changed-since GIT_REF`` runs only the queries plausibly affected
+by files changed since the ref (committed or working-tree): package
+modules map to queries through a TRANSITIVE import graph (a change to
+functions/textstats.py selects every query whose operator imports
+it), and edits inside __spark_entry__.py / oracles.py map through the
+changed diff hunks' function names. It is a builder-iteration
+heuristic — run the FULL gate before submitting a round (CLAUDE.md).
 """
 
 from __future__ import annotations
@@ -58,10 +67,138 @@ def table_hash(cols, rows):
     return h.hexdigest()[:16]
 
 
+PKG = "medical_and_charity_document_extraction_system_spark"
+
+
+def _pkg_import_graph() -> dict[str, set[str]]:
+    """Dotted module -> package modules it imports (absolute and
+    relative forms), from a plain-regex scan of the source tree."""
+    import re
+
+    graph: dict[str, set[str]] = {}
+    for root, _, files in os.walk(os.path.join(REPO, PKG)):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            rel = os.path.relpath(os.path.join(root, f), REPO)
+            mod = rel[:-3].replace(os.sep, ".")
+            is_init = f == "__init__.py"
+            if is_init:
+                mod = mod[: -len(".__init__")]
+            src = open(os.path.join(root, f)).read()
+            deps: set[str] = set()
+            pkg_path = mod.split(".") if is_init else mod.split(".")[:-1]
+            for m in re.finditer(r"^\s*from\s+(\.+)([\w.]*)\s+import", src, re.M):
+                up = len(m.group(1)) - 1
+                anchor = pkg_path[: len(pkg_path) - up] if up else pkg_path
+                tail = m.group(2)
+                deps.add(".".join(anchor + ([tail] if tail else [])))
+            for m in re.finditer(
+                rf"^\s*(?:from\s+({PKG}[\w.]*)\s+import|import\s+({PKG}[\w.]*))",
+                src,
+                re.M,
+            ):
+                deps.add(m.group(1) or m.group(2))
+            graph[mod] = deps
+    return graph
+
+
+def _affected_modules(changed_files: list[str]) -> set[str]:
+    """Changed package files -> transitive set of dependent modules
+    (a query touching operators/lm.py is affected when
+    functions/textstats.py changes, because lm imports textstats)."""
+    graph = _pkg_import_graph()
+    seeds = set()
+    for f in changed_files:
+        if f.startswith(PKG + "/") and f.endswith(".py"):
+            mod = f[:-3].replace("/", ".")
+            if mod.endswith(".__init__"):
+                mod = mod[: -len(".__init__")]
+            seeds.add(mod)
+    affected = set(seeds)
+    # a "from pkg.operators import dedup"-style dep may record the
+    # parent package: treat a dep as hit if it IS an affected module
+    # or a prefix of one
+    changed = True
+    while changed:
+        changed = False
+        for mod, deps in graph.items():
+            if mod in affected:
+                continue
+            for d in deps:
+                if d in affected or any(a.startswith(d + ".") for a in affected):
+                    affected.add(mod)
+                    changed = True
+                    break
+    return affected
+
+
+def _changed_hunk_names(ref: str, path: str) -> str:
+    """The unified diff text for one file (hunk headers carry the
+    enclosing def name; added/removed lines carry query keys)."""
+    import subprocess
+
+    try:
+        return subprocess.check_output(
+            ["git", "diff", ref, "--", path], cwd=REPO, text=True
+        )
+    except subprocess.CalledProcessError:
+        return ""
+
+
+def select_changed(ref: str, entry_mod, names: list[str]) -> set[str]:
+    import inspect
+    import subprocess
+
+    changed = subprocess.check_output(
+        ["git", "diff", "--name-only", ref], cwd=REPO, text=True
+    ).split()
+    affected = _affected_modules(changed)
+    qs = entry_mod.queries()
+    # names bound at __spark_entry__ top level -> their source module
+    entry_src = open(os.path.join(REPO, "__spark_entry__.py")).read()
+    import re
+
+    top_imports: dict[str, str] = {}
+    for m in re.finditer(
+        rf"^from\s+({PKG}[\w.]*)\s+import\s+([\w,\s]+)$", entry_src, re.M
+    ):
+        for nm in m.group(2).replace(" ", "").split(","):
+            if nm:
+                top_imports[nm] = m.group(1)
+    sel: set[str] = set()
+    for name in names:
+        try:
+            src = inspect.getsource(qs[name])
+        except (OSError, TypeError):
+            sel.add(name)  # unmappable -> conservative
+            continue
+        mods = set(re.findall(rf"{PKG}[\w.]*", src))
+        mods |= {mod for nm, mod in top_imports.items() if re.search(rf"\b{nm}\b", src)}
+        if any(
+            m in affected or any(a.startswith(m + ".") for a in affected)
+            for m in mods
+        ):
+            sel.add(name)
+    # edits inside the entry/oracle files: map through diff text
+    for f in ("__spark_entry__.py", PKG + "/oracles.py"):
+        if f in changed:
+            diff = _changed_hunk_names(ref, f)
+            for name in names:
+                if name in sel:
+                    continue
+                if re.search(rf"\b{re.escape(name)}\b", diff) or re.search(
+                    rf"\bq_{re.escape(name)}\b", diff
+                ):
+                    sel.add(name)
+    return sel
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p.add_argument("--only", default="")
+    p.add_argument("--changed-since", default="", metavar="GIT_REF")
     args = p.parse_args()
 
     import __spark_entry__ as entry_mod
@@ -84,6 +221,17 @@ def main() -> None:
     # parquet the Spark queries read — the gate is sf-portable
     sqls = entry_mod.oracle_sql(args.sf_dir)
     only = {s for s in args.only.split(",") if s}
+    if args.changed_since and not only:
+        only = select_changed(args.changed_since, entry_mod, list(qs))
+        print(
+            f"--changed-since {args.changed_since}: "
+            f"{len(only)}/{len(qs)} queries selected "
+            f"({', '.join(sorted(only)) or 'none'})",
+            flush=True,
+        )
+        if not only:
+            print(json.dumps({"bad": [], "n": 0}))
+            return
 
     results = {}
     for name, fn in qs.items():
