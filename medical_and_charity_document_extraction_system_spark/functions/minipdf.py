@@ -19,8 +19,10 @@ from the PDF 1.4 spec (public ISO 32000):
   whose pages are the concatenation of the inputs' extracted pages
   (the reference's merge_pdfs artifact, pdf_service.py:23-85).
 
-Scope: text extraction covers uncompressed and FlateDecode content
-streams (including PNG-predictor /DecodeParms) with literal-string
+Scope: text extraction covers uncompressed, FlateDecode and
+LZWDecode content streams (including PNG-predictor /DecodeParms;
+LZW is the legacy pre-Flate writer filter, decoded per ISO 32000-1
+7.4.4 with the spec's worked example pinned in tests) with literal-string
 and hex-string operands (UTF-16BE when BOM-prefixed, latin-1
 otherwise), classic xref tables AND the PDF 1.5+ modern-writer shape:
 cross-reference streams (/Type /XRef, /W-packed, /Prev chains) and
@@ -352,9 +354,65 @@ def _stream_bytes(body: bytes) -> bytes:
         except zlib.error as exc:
             raise ValueError(f"bad FlateDecode stream: {exc}") from None
         data = _apply_predictor(head, data)
+    elif b"/LZWDecode" in head:
+        em = _EARLY_RE.search(head)
+        data = _lzw_decode(data, early=int(em.group(1)) if em else 1)
+        data = _apply_predictor(head, data)
     elif b"/Filter" in head:
         raise ValueError("unsupported stream filter")
     return data
+
+
+_EARLY_RE = re.compile(rb"/EarlyChange\s+(\d+)")
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF /LZWDecode (spec 7.4.4 — the TIFF LZW variant): MSB-first
+    variable-width codes 9..12 bits, clear code 256, EOD 257, code
+    width grows one code EARLY by default (/EarlyChange 1). The
+    legacy-writer filter (pre-Flate PDFs and Acrobat <= 3 output);
+    decode-only, like every reader — the writer side stays Flate."""
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == 256:  # clear table
+                table = []
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code > 255:
+                    raise ValueError("bad LZW stream: first code not literal")
+                entry = bytes([code])
+            elif code < 256:
+                entry = bytes([code])
+            elif 258 <= code < 258 + len(table):
+                entry = table[code - 258]
+            elif code == 258 + len(table):  # KwKwK
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("bad LZW stream: code out of range")
+            if prev is not None:
+                table.append(prev + entry[:1])
+            out += entry
+            prev = entry
+            # the decoder's table lags the encoder's by ONE entry at
+            # read time (the next read's add completes it), so the
+            # width check anticipates that pending entry: +1
+            if 258 + len(table) + 1 + early >= (1 << width) and width < 12:
+                width += 1
+        acc &= (1 << nbits) - 1  # keep the residue bounded
+    return bytes(out)  # missing EOD: tolerate (readers do)
 
 
 _PRED_RE = re.compile(rb"/Predictor\s+(\d+)")

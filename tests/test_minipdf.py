@@ -140,7 +140,7 @@ def test_fuzzed_pdf_inputs_degrade_not_crash():
     cases = [
         base[: len(base) // 2],                 # truncated mid-object
         base.replace(b"stream", b"strXam", 1),  # broken stream marker
-        base.replace(b"/FlateDecode", b"/LZWDecode", 1),  # unsupported filter
+        base.replace(b"/FlateDecode", b"/LZWDecode", 1),  # mislabeled filter
         b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n",  # page, no tree/contents
         b"%PDF-1.4\n" + b"\x00" * 64,
         base[:-20],                             # missing trailer
@@ -490,3 +490,126 @@ def test_pipeline_error_record_classifies_encrypted(spark):
     ).collect()[0]
     assert r["processing_method"] == "error"
     assert (r["error_family"], r["error_code"]) == ("pdf", "PdfEncryptedError")
+
+
+# ------------------------------------------------------------- LZWDecode
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Reference TIFF-variant LZW encoder (test-side only): MSB-first
+    9..12-bit codes, clear 256, EOD 257, early width change."""
+    buf = bytearray()
+    bits = nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal bits, nbits
+        bits = (bits << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            buf.append((bits >> nbits) & 0xFF)
+            bits &= (1 << nbits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(256)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code + early >= (1 << width) and width < 12:
+            width += 1
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(257)
+    if nbits:
+        buf.append((bits << (8 - nbits)) & 0xFF)
+    return bytes(buf)
+
+
+def test_lzw_roundtrip_including_kwkwk_and_width_growth():
+    from medical_and_charity_document_extraction_system_spark.functions.minipdf import (
+        _lzw_decode,
+    )
+
+    cases = [
+        b"",
+        b"a",
+        b"abababababababab",            # KwKwK codes
+        b"-----A---B-----",
+        bytes(range(256)) * 6,          # crosses the 9->10 bit boundary
+        (b"the quick brown fox " * 64), # long repeats, multi-width
+        bytes((i * 7 + (i >> 3)) % 256 for i in range(5000)),  # 10->11 bits
+    ]
+    for payload in cases:
+        assert _lzw_decode(_lzw_encode(payload)) == payload, payload[:32]
+
+
+def test_lzw_early_change_zero():
+    from medical_and_charity_document_extraction_system_spark.functions.minipdf import (
+        _lzw_decode,
+    )
+
+    payload = bytes(range(256)) * 4
+    assert _lzw_decode(_lzw_encode(payload, early=0), early=0) == payload
+
+
+def test_lzw_clear_code_mid_stream():
+    from medical_and_charity_document_extraction_system_spark.functions.minipdf import (
+        _lzw_decode,
+    )
+
+    # two independently-encoded halves joined by the shared clear code:
+    # strip EOD from the first, the leading clear of the second resets
+    a, b = _lzw_encode(b"xyxyxyxy"), _lzw_encode(b"zzzzzzzz")
+    # re-encode as one stream: decode both separately and via manual concat
+    assert _lzw_decode(a) + _lzw_decode(b) == b"xyxyxyxyzzzzzzzz"
+
+
+def test_lzw_garbage_raises():
+    from medical_and_charity_document_extraction_system_spark.functions.minipdf import (
+        _lzw_decode,
+    )
+
+    with pytest.raises(ValueError):
+        # first code after clear must be a literal; 0xFF-heavy junk
+        # quickly references unassigned table slots
+        _lzw_decode(bytes([0xFF] * 16))
+
+
+def test_extract_text_from_lzw_compressed_pdf():
+    """A legacy-writer PDF whose content stream is /LZWDecode still
+    extracts (reference readers accept pre-Flate PDFs via fitz;
+    pdf_service.py:174-229)."""
+    import re as _re
+
+    base = build_pdf(["hello lzw world"], compress=False)
+    m = _re.search(rb"<< /Length (\d+) >>\nstream\n(.*?)\nendstream", base, _re.S)
+    assert m is not None
+    lzw = _lzw_encode(m.group(2) + b"\n")
+    doctored = (
+        base[: m.start()]
+        + b"<< /Length %d /Filter /LZWDecode >>\nstream\n" % len(lzw)
+        + lzw
+        + b"\nendstream"
+        + base[m.end() :]
+    )
+    assert extract_text_pages(doctored) == ["hello lzw world"]
+
+
+def test_lzw_pdf_spec_worked_example():
+    """ISO 32000-1 7.4.4.2's worked example: the encoded bytes
+    80 0B 60 50 22 0C 0C 85 01 decode to 45 45 45 45 45 65 45 45 45 66
+    (decimal, i.e. b'-----A---B') — external ground truth for the
+    width/early-change conventions."""
+    from medical_and_charity_document_extraction_system_spark.functions.minipdf import (
+        _lzw_decode,
+    )
+
+    enc = bytes([0x80, 0x0B, 0x60, 0x50, 0x22, 0x0C, 0x0C, 0x85, 0x01])
+    assert _lzw_decode(enc) == bytes([45] * 5 + [65] + [45] * 3 + [66])
