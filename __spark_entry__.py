@@ -985,6 +985,20 @@ def q_lm_quality_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(docs, vocab, logp_oov, bigrams, log_backoff)
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (operators/repetition.py — Rae et
+    al. 2021 A1.1): duplicate-line fraction/char-fraction and the
+    top-{2,3,4}-gram char fractions, the repetition half of the
+    Gopher filter family (functions/gopher.py carries the word-shape
+    half). Exact-integer divisions only; the arg-max n-gram
+    tie-breaks deterministically."""
+    from medical_and_charity_document_extraction_system_spark.operators.repetition import (
+        gopher_repetition,
+    )
+
+    return gopher_repetition(_docs(spark, sf_dir))
+
+
 def q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (z-order) curve values over (host index, time bucket) —
     the clustering key write_zordered sorts by so parquet min/max
@@ -1741,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in round 5 (never driver-attested) ---
         "lm_quality_bigram": q_lm_quality_bigram,
+        "gopher_repetition": q_gopher_repetition,
         # --- last driver-attested in r03 (oldest attestations: the
         # r5 window refreshes these before they go stale two rounds) ---
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1922,6 +1937,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # merged-batch registers must equal the one-shot sketch
         "hll_incremental": oracles.hll_host_cardinality_sql(),
         "gopher_quality": oracles.gopher_sql(),
+        "gopher_repetition": oracles.gopher_repetition_sql(),
         "robots_filter": oracles.robots_filter_sql(),
         "crawl_diff": oracles.crawl_diff_sql(),
         "host_length_quantiles": oracles.host_length_quantiles_sql(),

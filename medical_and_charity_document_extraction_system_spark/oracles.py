@@ -2041,6 +2041,64 @@ FROM cb
 """
 
 
+def gopher_repetition_sql() -> str:
+    """Twin of q_gopher_repetition (operators/repetition.py): every
+    fraction is one division of two exact integers, and the arg-max
+    n-gram tie-breaks on the lexicographically smallest gram
+    (row_number ORDER BY cnt DESC, g == Spark's min(struct(-cnt, g)))."""
+    sizes = (2, 3, 4)
+    cov_cases = ",\n             ".join(
+        f"max(CASE WHEN n = {n} THEN cov END) AS cov{n}" for n in sizes
+    )
+    fracs = ",\n       ".join(
+        f"CASE WHEN jlen > 0 THEN CAST(cov{n} AS DOUBLE) / CAST(jlen AS DOUBLE) "
+        f"END AS top{n}gram_char_frac"
+        for n in sizes
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS toks,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         len(lines) AS nl,
+         len(list_distinct(lines)) AS ndl,
+         length(array_to_string(lines, '')) AS lc,
+         length(array_to_string(list_distinct(lines), '')) AS dlc,
+         length(array_to_string(toks, ' ')) AS jlen,
+         toks
+  FROM d
+),
+g AS (
+  SELECT doc_id, t.n AS n,
+         array_to_string(list_slice(toks, s.i, s.i + t.n - 1), ' ') AS g
+  FROM b, UNNEST([{', '.join(str(n) for n in sizes)}]) AS t(n),
+       UNNEST(range(1, greatest(len(toks) - t.n + 2, 1))) AS s(i)
+),
+c AS (SELECT doc_id, n, g, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+tk AS (
+  SELECT doc_id, n, cnt * length(g) AS cov,
+         row_number() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, g) AS rn
+  FROM c
+),
+w AS (
+  SELECT doc_id,
+             {cov_cases}
+  FROM tk WHERE rn = 1 GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(nl AS BIGINT) AS n_lines,
+       CASE WHEN nl > 0 THEN CAST(nl - ndl AS DOUBLE) / CAST(nl AS DOUBLE)
+            END AS dup_line_frac,
+       CASE WHEN lc > 0 THEN CAST(lc - dlc AS DOUBLE) / CAST(lc AS DOUBLE)
+            END AS dup_line_char_frac,
+       {fracs}
+FROM b LEFT JOIN w USING (doc_id)
+"""
+
+
 def anchor_text_index_sql() -> str:
     """Twin of q_anchor_text_index: the template's nine anchors carry
     fixed labels, so the per-(outlink, anchor_text) doc counts over

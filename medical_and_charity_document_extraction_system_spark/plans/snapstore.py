@@ -161,7 +161,11 @@ class SnapshotTable:
         table, which is exactly why Iceberg does it this way. Old
         snapshots keep reading the pre-merge files (time travel
         unaffected). ``tag`` gives the same replay-idempotency as
-        commit. Returns the new snapshot id."""
+        commit. ``updates`` must be key-unique — duplicates would
+        leave multiple current rows per key, so they raise (Iceberg
+        MERGE errors on multi-match too). A zero-data-file parent
+        (empty commit) degrades to insert-only. Returns the new
+        snapshot id."""
         from pyspark.sql import functions as F
 
         snaps = self.snapshots()
