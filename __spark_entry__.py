@@ -999,6 +999,32 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_repetition(_docs(spark, sf_dir))
 
 
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-n-gram character coverage (n = 5, 10) — the second
+    Gopher repetition family: fraction of token characters inside
+    word n-grams that repeat WITHIN the document, overlap-safe (union
+    of covered positions). Complements q_gopher_repetition's
+    top-n-gram fractions."""
+    from medical_and_charity_document_extraction_system_spark.operators.repetition import (
+        dup_ngram_coverage,
+    )
+
+    return dup_ngram_coverage(_docs(spark, sf_dir))
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED Gopher document filter: word-shape conjunction +
+    every repetition cut, with a deterministic first-violation
+    reject_reason per doc (operators/repetition.quality_filter). The
+    oracle composes the same SQL fragments as the per-signal queries,
+    so a mismatch isolates to the keep/reason wiring."""
+    from medical_and_charity_document_extraction_system_spark.operators.repetition import (
+        quality_filter,
+    )
+
+    return quality_filter(_docs(spark, sf_dir))
+
+
 def q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (z-order) curve values over (host index, time bucket) —
     the clustering key write_zordered sorts by so parquet min/max
@@ -1756,6 +1782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 (never driver-attested) ---
         "lm_quality_bigram": q_lm_quality_bigram,
         "gopher_repetition": q_gopher_repetition,
+        "dup_ngram_coverage": q_dup_ngram_coverage,
+        "quality_filter": q_quality_filter,
         # --- last driver-attested in r03 (oldest attestations: the
         # r5 window refreshes these before they go stale two rounds) ---
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1938,6 +1966,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "hll_incremental": oracles.hll_host_cardinality_sql(),
         "gopher_quality": oracles.gopher_sql(),
         "gopher_repetition": oracles.gopher_repetition_sql(),
+        "dup_ngram_coverage": oracles.dup_ngram_coverage_sql(),
+        "quality_filter": oracles.quality_filter_sql(),
         "robots_filter": oracles.robots_filter_sql(),
         "crawl_diff": oracles.crawl_diff_sql(),
         "host_length_quantiles": oracles.host_length_quantiles_sql(),

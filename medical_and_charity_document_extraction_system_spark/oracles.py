@@ -2099,6 +2099,100 @@ FROM b LEFT JOIN w USING (doc_id)
 """
 
 
+def dup_ngram_coverage_sql() -> str:
+    """Twin of q_dup_ngram_coverage (operators/repetition.py): the
+    duplicated-n-gram char fraction with union-of-covered-positions
+    semantics — DISTINCT (doc, n, pos) before the char sum, exactly
+    like the Spark plan. Token-less docs drop out of both engines
+    (the position explode defines the universe)."""
+    sizes = (5, 10)
+    cov_cases = ",\n              ".join(
+        f"max(CASE WHEN n = {n} THEN covc END) AS cov{n}" for n in sizes
+    )
+    fracs = ",\n       ".join(
+        f"CASE WHEN tot > 0 THEN CAST(coalesce(cov{n}, 0) AS DOUBLE) / "
+        f"CAST(tot AS DOUBLE) END AS dup{n}gram_char_frac"
+        for n in sizes
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tp AS (
+  SELECT doc_id, s.i AS p, length(toks[s.i]) AS tlen
+  FROM d, UNNEST(range(1, len(toks) + 1)) AS s(i)
+),
+tot AS (SELECT doc_id, count(*) AS n_tokens, sum(tlen) AS tot FROM tp GROUP BY 1),
+gr AS (
+  SELECT doc_id, t.n AS n,
+         array_to_string(list_slice(toks, s.i, s.i + t.n - 1), ' ') AS g,
+         s.i AS i
+  FROM d, UNNEST([{', '.join(str(n) for n in sizes)}]) AS t(n),
+       UNNEST(range(1, greatest(len(toks) - t.n + 2, 1))) AS s(i)
+),
+dup AS (
+  SELECT doc_id, n, g
+  FROM (SELECT doc_id, n, g, count(*) AS c FROM gr GROUP BY 1, 2, 3)
+  WHERE c >= 2
+),
+cov AS (
+  SELECT DISTINCT gr.doc_id, gr.n, u.p
+  FROM gr JOIN dup USING (doc_id, n, g),
+       UNNEST(range(gr.i, gr.i + gr.n)) AS u(p)
+),
+cc AS (
+  SELECT cov.doc_id, cov.n, sum(tp.tlen) AS covc
+  FROM cov JOIN tp ON tp.doc_id = cov.doc_id AND tp.p = cov.p
+  GROUP BY 1, 2
+),
+w AS (SELECT doc_id,
+              {cov_cases}
+      FROM cc GROUP BY 1)
+SELECT tot.doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       {fracs}
+FROM tot LEFT JOIN w USING (doc_id)
+"""
+
+
+def quality_filter_sql() -> str:
+    """Twin of q_quality_filter: composes the SAME fragments its
+    parts use (_GOPHER_BODY/_GOPHER_KEEP, gopher_repetition_sql,
+    dup_ngram_coverage_sql as scoped subqueries) so a mismatch
+    isolates to the keep/reason wiring, not the signals. Thresholds
+    travel as quoted-repr DOUBLE casts (bare decimals parse as
+    DECIMAL in DuckDB — CLAUDE.md)."""
+    from .operators.repetition import REPETITION_CUTS
+
+    branches = "\n         ".join(
+        f"WHEN {col} > CAST('{cut!r}' AS DOUBLE) THEN '{col}'"
+        for col, cut in REPETITION_CUTS
+    )
+    return f"""
+WITH t AS (SELECT doc_id, text FROM documents),
+{_GOPHER_BODY},
+gk AS (SELECT doc_id, {_GOPHER_KEEP} AS gopher_keep FROM v),
+rep AS ({gopher_repetition_sql()}),
+dng AS ({dup_ngram_coverage_sql()}),
+j AS (
+  SELECT gk.doc_id, gk.gopher_keep,
+         rep.dup_line_frac, rep.dup_line_char_frac,
+         rep.top2gram_char_frac, rep.top3gram_char_frac,
+         rep.top4gram_char_frac,
+         dng.dup5gram_char_frac, dng.dup10gram_char_frac
+  FROM gk
+  LEFT JOIN rep ON rep.doc_id = gk.doc_id
+  LEFT JOIN dng ON dng.doc_id = gk.doc_id
+),
+r AS (
+  SELECT doc_id,
+    CASE WHEN NOT gopher_keep THEN 'gopher'
+         {branches}
+         ELSE 'none' END AS reject_reason
+  FROM j
+)
+SELECT doc_id, (reject_reason = 'none') AS keep, reject_reason FROM r
+"""
+
+
 def anchor_text_index_sql() -> str:
     """Twin of q_anchor_text_index: the template's nine anchors carry
     fixed labels, so the per-(outlink, anchor_text) doc counts over

@@ -69,3 +69,104 @@ def test_plan_is_jvm_side_single_explode(spark):
     # scans between union branches) and df is never window-computed
     assert plan.count("Generate explode") == 1
     assert "Window" not in qe.optimizedPlan().toString()
+
+
+# -------------------------------------------- dup n-gram coverage
+def _dup(spark, rows, sizes=(5, 10)):
+    from medical_and_charity_document_extraction_system_spark.operators.repetition import (
+        dup_ngram_coverage,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r["doc_id"]: r.asDict() for r in dup_ngram_coverage(df, sizes=sizes).collect()
+    }
+
+
+def test_dup_ngram_union_of_positions_hand_computed(spark):
+    # 12 tokens: "a b c d e" appears at pos 1 and pos 6 (non-overlapping),
+    # tail "x y" unique. Covered positions 1..10 of 12; all tokens 1 char.
+    text = "a b c d e a b c d e x y"
+    out = _dup(spark, [(1, text)], sizes=(5,))
+    r = out[1]
+    assert r["n_tokens"] == 12
+    assert r["dup5gram_char_frac"] == 10 / 12
+
+
+def test_dup_ngram_overlap_not_double_counted(spark):
+    # "a a a a a a": every 5-gram is "a a a a a" (x2, overlapping at
+    # positions 1 and 2) -> union covers ALL 6 positions, frac 1.0
+    out = _dup(spark, [(1, "a a a a a a")], sizes=(5,))
+    assert out[1]["dup5gram_char_frac"] == 1.0
+
+
+def test_dup_ngram_no_duplicates_and_short_docs(spark):
+    out = _dup(spark, [(1, "one two three four five six"), (2, "tiny doc")])
+    assert out[1]["dup5gram_char_frac"] == 0.0
+    assert out[1]["dup10gram_char_frac"] == 0.0
+    # doc 2 has < 5 tokens: no grams at all -> coverage 0
+    assert out[2]["dup5gram_char_frac"] == 0.0
+
+
+def test_dup_ngram_char_weighting(spark):
+    # duplicated 5-gram of LONG tokens vs unique short tail: fraction
+    # weights characters, not positions
+    text = "alpha beta gamma delta epsilon alpha beta gamma delta epsilon x"
+    out = _dup(spark, [(1, text)], sizes=(5,))
+    long_chars = 2 * (5 + 4 + 5 + 5 + 7)
+    assert out[1]["dup5gram_char_frac"] == long_chars / (long_chars + 1)
+
+
+# ------------------------------------------------ composed filter
+def test_quality_filter_reasons_and_precedence(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.repetition import (
+        quality_filter,
+    )
+
+    words = [
+        "quick", "brown", "foxes", "jumped", "lazily", "over", "seven",
+        "green", "hills", "while", "birds", "sang", "about", "distant",
+        "rivers", "carrying", "boats", "toward", "harbors", "filled",
+        "with", "lanterns", "morning", "traders", "counted", "copper",
+        "coins", "under", "awnings", "children", "chased", "kites",
+        "along", "dusty", "roads", "past", "orchards", "heavy", "fruit",
+        "autumn", "winds", "turned", "pages", "unread", "letters",
+    ]
+    good = "the a of to and in " + " ".join(words)  # 50+ varied words
+    # passes gopher word-shape (>=50 words, stopwords...) but repeats
+    # one line 20x -> rejected by the first repetition cut
+    spam_line = "the spam of the day is to win and in " * 2
+    spammy = "\n".join(spam_line.strip() for _ in range(20))
+    tiny = "too short"
+    rows = [(1, good), (2, spammy), (3, tiny)]
+    out = {
+        r["doc_id"]: (r["keep"], r["reject_reason"])
+        for r in quality_filter(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1] == (True, "none")
+    assert out[3] == (False, "gopher")          # word-shape fails first
+    keep2, reason2 = out[2]
+    assert keep2 is False
+    # gopher's own dup_line rule fires before the repetition cuts
+    assert reason2 == "gopher"
+
+
+def test_quality_filter_repetition_cut_fires_when_gopher_passes(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.repetition import (
+        quality_filter,
+    )
+
+    # >=50 words, healthy shape, DISTINCT lines (gopher line rule ok),
+    # but one 4-gram covers most characters
+    phrase = "click here to win"
+    filler = [f"the offer number{i} of day{i} ends in a moment{i}" for i in range(6)]
+    text = "\n".join(filler + [(phrase + " ") * 12])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = quality_filter(df).collect()[0]
+    assert out["keep"] is False
+    assert out["reject_reason"] in (
+        "top2gram_char_frac", "top3gram_char_frac", "top4gram_char_frac",
+        "dup5gram_char_frac",
+    )
