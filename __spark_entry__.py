@@ -1025,6 +1025,41 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(_docs(spark, sf_dir))
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py — the GPT-3 /
+    Pile exact word-13-gram overlap check): docs with
+    doc_id % 17 == 3 stand in for the eval set; every other doc
+    reports its distinct-13-gram count, how many of those appear in
+    the eval set, and the contaminated flag. The benchmark gram table
+    is broadcast, so the corpus side's only shuffle is the doc-keyed
+    hit count."""
+    from medical_and_charity_document_extraction_system_spark.operators.decontam import (
+        benchmark_ngrams,
+        decontaminate,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 17 == 3)
+    corpus = docs.where(F.col("doc_id") % 17 != 3)
+    return decontaminate(corpus, benchmark_ngrams(bench))
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.semantic_dedup — Abbas et al.
+    2023): k-means-cluster the embeddings with the deterministic IVF
+    quantizer, then within each cluster mark a row a semantic
+    duplicate of the earliest row whose cosine exceeds the threshold.
+    Pairing shuffles ids only; pair cosines are strict left-folds over
+    pre-normalized vectors so the max — and the keep decision — is
+    bit-identical to the DuckDB twin (which re-derives the centroids
+    from the same parquet as SQL literals)."""
+    from medical_and_charity_document_extraction_system_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    return semantic_dedup(_embeddings(spark, sf_dir), dim=64, threshold=0.4)
+
+
 def q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (z-order) curve values over (host index, time bucket) —
     the clustering key write_zordered sorts by so parquet min/max
@@ -1780,6 +1815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "decontamination": q_decontamination,
+        "semdedup": q_semdedup,
         "lm_quality_bigram": q_lm_quality_bigram,
         "gopher_repetition": q_gopher_repetition,
         "dup_ngram_coverage": q_dup_ngram_coverage,
@@ -1960,6 +1997,9 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # data-derived literals (IVF/LSH trick), re-derived per sf_dir
         "lm_quality": oracles.unigram_lm_sql(sf_dir),
         "lm_quality_bigram": oracles.bigram_lm_sql(sf_dir),
+        "decontamination": oracles.decontamination_sql(),
+        # centroid literals re-derived from the target sf_dir (IVF trick)
+        "semdedup": oracles.semdedup_sql(sf_dir),
         # the streamed upsert must land on the batch-merge construction
         "stream_merge_sink": oracles.snapshot_merge_sql(),
         # merged-batch registers must equal the one-shot sketch

@@ -1,0 +1,117 @@
+"""Benchmark decontamination: n-gram overlap against an eval set.
+
+Training-data pipelines must drop (or at least flag) corpus documents
+that overlap the benchmarks the trained model will be scored on —
+otherwise eval numbers measure memorization. The standard recipe
+(GPT-3 appendix C, The Pile §6.3, FineWeb) is exact word-13-gram
+overlap: a document is contaminated if any of its 13-grams appears in
+the benchmark set. The reference repo has no analog (it serves one
+extraction request at a time, reference
+``backend/app/api/routes/ocr_routes.py:28``); this operator is part
+of the LLM-data-pipeline layer the engine adds on top of extraction.
+
+Semantics per corpus document:
+
+- ``n_grams``      — the document's DISTINCT word n-gram count;
+- ``n_hits``       — how many of those distinct n-grams occur in the
+  benchmark set (each distinct gram counted once, however often it
+  repeats in either side);
+- ``contaminated`` — ``n_hits >= 1``.
+
+Scale shape: the benchmark side is an eval suite — millions of
+n-grams at most, versus the 10^12-document corpus — so the overlap
+join broadcasts the benchmark grams and the corpus side never
+shuffles on the gram key at all: explode → broadcast-semi-count →
+groupBy(doc_id), a map-side-combinable agg keyed by doc. A
+corpus-frequent gram ("of the united states of …") therefore cannot
+concentrate on one reducer. If the benchmark set ever outgrows
+broadcast range, drop the hint and the same plan becomes a plain
+hash join on ``g`` — AQE-splittable.
+
+Determinism/float discipline: integer counts and one boolean — no
+floats anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import tokens
+
+DECONTAM_N = 13
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """array<string> of the column's word n-grams (space-joined).
+    ``sequence(1, stop)`` DESCENDS when stop < 1, so the end is
+    clamped to 1 and a zero-length outer slice yields the empty array
+    for too-short documents (the repetition-operator trick)."""
+    n_grams = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.slice(grams, 1, F.greatest(n_grams, F.lit(0)))
+
+
+def benchmark_ngrams(
+    bench: DataFrame,
+    n: int = DECONTAM_N,
+    text_col: str = "text",
+) -> DataFrame:
+    """The DISTINCT word n-grams of the benchmark documents, one
+    ``g`` string column — the (small) probe side of the overlap
+    join."""
+    return (
+        bench.select(
+            F.explode(word_ngrams(tokens(F.col(text_col)), n)).alias("g")
+        )
+        .distinct()
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    bench_grams: DataFrame,
+    n: int = DECONTAM_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """(id, n_grams, n_hits, contaminated) per corpus document.
+
+    ``bench_grams`` is the output of :func:`benchmark_ngrams` (a
+    single distinct ``g`` column). ``broadcast_bench`` keeps the
+    corpus side shuffle-free; disable it only if the benchmark set
+    outgrows executor memory.
+
+    Per-doc distinctness is an ``array_distinct`` BEFORE the explode
+    (zero shuffle, and cross-doc gram duplicates are irrelevant to a
+    per-doc count); the total is a plain projection so documents too
+    short for any n-gram still emit a row with ``n_grams = 0``. The
+    only corpus shuffle is the doc-keyed hit count."""
+    grams = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams(tokens(F.col(text_col)), n))
+        ).alias("g"),
+    )
+    bench_side = F.broadcast(bench_grams) if broadcast_bench else bench_grams
+    hits = (
+        grams.join(bench_side, "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    totals = corpus.select(
+        F.col(id_col),
+        F.size(F.array_distinct(word_ngrams(tokens(F.col(text_col)), n)))
+        .cast("long")
+        .alias("n_grams"),
+    )
+    return totals.join(hits, id_col, "left").select(
+        F.col(id_col),
+        "n_grams",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+    )

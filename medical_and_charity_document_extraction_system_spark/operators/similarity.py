@@ -497,3 +497,109 @@ def ivf_topk_pruned(
     probe = _probe_clusters(centroids, query_vec, nprobe)
     df = spark.read.parquet(path).where(F.col("_ivf").isin(probe))
     return _score_topk(df, query_vec, k, vec_col, id_col)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int = 64,
+    threshold: float = 0.4,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+    sample_rows: int = 10000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal
+    via k-means clustering + within-cluster cosine.
+
+    Every embedding is assigned to its nearest centroid (the IVF
+    coarse quantizer — same deterministic ``kmeans_fit`` as
+    ``ivf_topk``); within each cluster a row is a semantic duplicate
+    of the earliest (= lowest-id) sufficiently-similar row. Returns
+    ``(id, cid, max_prev_cos, keep)``: ``max_prev_cos`` is the row's
+    maximum cosine to any SAME-CLUSTER row with a smaller id (NULL
+    for the cluster's first row), ``keep = max_prev_cos IS NULL OR
+    max_prev_cos <= threshold`` — the paper's keep-one-per-group rule
+    with a deterministic survivor (the lowest id).
+
+    Scale shape: pairing is a self-join on the cluster id carrying
+    ONLY (id, cid) — the vectors join back per side afterwards, so
+    the pair-generation shuffle never moves 64-float payloads. Pair
+    count is sum over clusters of |c|^2/2: in production SemDeDup the
+    cluster count scales with the corpus (the paper uses 50k clusters
+    for LAION) precisely to bound |c|; ``n_clusters`` is that knob.
+    Centroid training cost is independent of corpus size (bounded
+    seeded sample, ``train_ivf_centroids``).
+
+    Float discipline: cosines are strict left-fold dots over
+    pre-normalized vectors (``_fold_dot``) so each pair's value is
+    bit-identical to the DuckDB twin's fold; ``max`` over exact
+    doubles is order-free, so the aggregate — and therefore the
+    keep decision — is deterministic. Cluster assignment uses a GEMM;
+    the oracle builder asserts every assignment margin > 1e-9 so
+    GEMM-vs-fold rounding cannot flip it (the ann_topk_ivf trick).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, n_clusters=n_clusters, vec_col=vec_col, id_col=id_col,
+            sample_rows=sample_rows,
+        )
+    v = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(dot_fold(v, v))
+    clustered = with_ivf_cluster(df, centroids, vec_col).select(
+        F.col(id_col),
+        F.col("_ivf").alias("cid"),
+        F.transform(v, lambda x: x / nrm).alias("_vn"),
+    )
+    clustered = clustered.cache()
+    ids = clustered.select(id_col, "cid")
+    pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), "cid")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+    )
+    sided = pairs.join(
+        clustered.select(F.col(id_col).alias("id_a"), F.col("_vn").alias("va")),
+        "id_a",
+    ).join(
+        clustered.select(F.col(id_col).alias("id_b"), F.col("_vn").alias("vb")),
+        "id_b",
+    )
+
+    def fold_cos(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = np.array([list(x) for x in pdf["va"]], dtype=np.float64)
+            vb = np.array([list(x) for x in pdf["vb"]], dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "id_b": pdf["id_b"].to_numpy(dtype=np.int64),
+                    "cos": pd.Series(
+                        [_fold_dot(va[i], vb[i]) for i in range(len(va))],
+                        dtype="float64",
+                    ),
+                }
+            )
+
+    prev_max = (
+        sided.mapInPandas(fold_cos, "id_b long, cos double")
+        .groupBy("id_b")
+        .agg(F.max("cos").alias("max_prev_cos"))
+    )
+    out = clustered.select(id_col, "cid").join(
+        prev_max.withColumnRenamed("id_b", id_col), id_col, "left"
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("cid").cast("int").alias("cid"),
+        "max_prev_cos",
+        (
+            F.col("max_prev_cos").isNull()
+            | (F.col("max_prev_cos") <= F.lit(threshold))
+        ).alias("keep"),
+    )

@@ -2307,3 +2307,109 @@ SELECT {registrable_domain_sql('host')} AS site,
        count(DISTINCT host) AS n_hosts
 FROM h GROUP BY 1
 """
+
+
+def decontamination_sql(n: int = 13, bench_mod: int = 17, bench_rem: int = 3) -> str:
+    """Twin of q_decontamination (operators/decontam.py): benchmark =
+    docs with doc_id % bench_mod = bench_rem, corpus = the rest; a
+    corpus doc's n_hits counts its DISTINCT word n-grams that appear
+    anywhere in the benchmark docs' n-gram set. Integer counts and one
+    boolean — no float risk. DuckDB's generate_series(1, stop) is
+    empty (not descending) for stop < 1, so the greatest(.., 0) clamp
+    alone covers too-short docs."""
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(len(toks) - {n - 1}, 0)),
+        i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS grams FROM t),
+bench AS (SELECT DISTINCT unnest(grams) AS g FROM g
+          WHERE doc_id % {bench_mod} = {bench_rem}),
+corp AS (SELECT doc_id, grams FROM g WHERE doc_id % {bench_mod} <> {bench_rem}),
+hits AS (SELECT doc_id, count(*) AS n_hits
+         FROM (SELECT doc_id, unnest(grams) AS g FROM corp) cg
+         JOIN bench USING (g) GROUP BY doc_id)
+SELECT corp.doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(n_hits, 0) > 0 AS contaminated
+FROM corp LEFT JOIN hits USING (doc_id)
+"""
+
+
+def semdedup_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    threshold: float = 0.4,
+    n_clusters: int = 16,
+    sample_rows: int = 10000,
+    dim: int = 64,
+) -> str:
+    """Full oracle for q_semdedup (operators/similarity.semantic_dedup).
+
+    The coarse quantizer is a pure function of the embeddings table
+    (seeded Lloyd over the sample_rows smallest ids — the SAME sample
+    train_ivf_centroids takes), so the builder reruns kmeans_fit on
+    the parquet directly and emits the centroids as SQL literals (the
+    ann_topk_ivf trick). DuckDB re-derives cluster assignment (argmax
+    centroid dot — normalization drops out of the argmax), the
+    within-cluster earlier-id pair set, each pair's fold-order cosine
+    over pre-normalized vectors (bit-identical to the Spark side's
+    _fold_dot), the order-free max per row, and the keep decision.
+
+    Assignment uses a GEMM on the Spark side vs fold-order dots here;
+    the builder asserts every assignment margin exceeds 1e-9 so
+    rounding cannot flip a cluster id. The threshold literal travels
+    as a quoted repr cast to DOUBLE (DuckDB parses bare float
+    literals as DECIMAL)."""
+    import duckdb
+    import numpy as np
+
+    from .operators.similarity import kmeans_fit
+
+    con = duckdb.connect()
+    emb = con.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    mat = np.array([list(r[1]) for r in emb], dtype=np.float64)
+    cent = kmeans_fit(mat[:sample_rows], n_clusters)
+
+    vn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    d = vn @ cent.T
+    top2 = np.sort(d, axis=1)[:, -2:]
+    assert (top2[:, 1] - top2[:, 0]).min() > 1e-9, "assignment near-tie"
+
+    cent_rows = ",\n".join(
+        f"({c}, [{', '.join(repr(float(x)) for x in cent[c])}])"
+        for c in range(len(cent))
+    )
+    vdot = _DOT.format(n=dim, a="e.v", b="cent.c")
+    norm = _DOT.format(n=dim, a="v", b="v")
+    pdot = _DOT.format(n=dim, a="a.vn", b="b.vn")
+    thr = f"CAST('{threshold!r}' AS DOUBLE)"
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+cent(cid, craw) AS (VALUES {cent_rows}),
+centd AS (SELECT cid, list_transform(craw, x -> CAST(x AS DOUBLE)) AS c FROM cent),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, cent.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY ({vdot}) DESC, cent.cid) AS rn
+    FROM e CROSS JOIN centd cent
+  ) WHERE rn = 1
+),
+nrm AS (SELECT vec_id, sqrt({norm}) AS nrm, v FROM e),
+vn AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM nrm),
+pm AS (
+  SELECT ab.vec_id AS vec_id, max({pdot}) AS max_prev_cos
+  FROM assign aa JOIN assign ab
+       ON ab.cid = aa.cid AND aa.vec_id < ab.vec_id
+       JOIN vn a ON a.vec_id = aa.vec_id
+       JOIN vn b ON b.vec_id = ab.vec_id
+  GROUP BY ab.vec_id
+)
+SELECT assign.vec_id, CAST(assign.cid AS INTEGER) AS cid, pm.max_prev_cos,
+       (pm.max_prev_cos IS NULL OR pm.max_prev_cos <= {thr}) AS keep
+FROM assign LEFT JOIN pm ON pm.vec_id = assign.vec_id
+"""

@@ -1,0 +1,90 @@
+"""Benchmark decontamination (operators/decontam.py): planted
+contamination, distinct-gram counting, too-short docs, determinism."""
+
+import pytest
+
+from medical_and_charity_document_extraction_system_spark.operators.decontam import (
+    benchmark_ngrams,
+    decontaminate,
+    word_ngrams,
+)
+
+from pyspark.sql import functions as F
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    bench = spark.createDataFrame(
+        [(0, _words("b", 13)), (1, _words("c", 20))], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains bench doc 0's full 13-gram, surrounded by noise
+            (10, "x0 x1 " + _words("b", 13) + " x2"),
+            # repeats the SAME contaminated 13-gram twice: distinct
+            # grams count once on both sides of the join
+            (11, _words("b", 13) + " z0 " + _words("b", 13)),
+            # clean doc, no overlap
+            (12, _words("q", 30)),
+            # too short for any 13-gram
+            (13, "a b c"),
+        ],
+        ["doc_id", "text"],
+    )
+    return bench, corpus
+
+
+def test_contamination_flags(spark, planted):
+    bench, corpus = planted
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(corpus, benchmark_ngrams(bench)).collect()
+    }
+    assert set(out) == {10, 11, 12, 13}
+    assert out[10]["contaminated"] and out[10]["n_hits"] == 1
+    assert out[12]["n_hits"] == 0 and not out[12]["contaminated"]
+    # 16 tokens -> 4 distinct 13-grams
+    assert out[10]["n_grams"] == 4
+
+
+def test_repeated_gram_counts_once(spark, planted):
+    bench, corpus = planted
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(corpus, benchmark_ngrams(bench)).collect()
+    }
+    # doc 11 contains the planted 13-gram twice -> still one hit
+    assert out[11]["n_hits"] == 1 and out[11]["contaminated"]
+
+
+def test_short_doc_emits_zero_row(spark, planted):
+    bench, corpus = planted
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(corpus, benchmark_ngrams(bench)).collect()
+    }
+    assert out[13]["n_grams"] == 0
+    assert out[13]["n_hits"] == 0 and not out[13]["contaminated"]
+
+
+def test_word_ngrams_clamp(spark):
+    # sequence(1, stop) descends for stop < 1: the clamp must yield []
+    df = spark.createDataFrame([("a b",), ("a b c",)], ["text"])
+    toks = F.split("text", " ")
+    rows = df.select(word_ngrams(toks, 3).alias("g")).collect()
+    assert rows[0]["g"] == []
+    assert rows[1]["g"] == ["a b c"]
+
+
+def test_no_broadcast_variant_same_result(spark, planted):
+    bench, corpus = planted
+    bg = benchmark_ngrams(bench)
+    a = sorted(map(tuple, decontaminate(corpus, bg).collect()))
+    b = sorted(
+        map(tuple, decontaminate(corpus, bg, broadcast_bench=False).collect())
+    )
+    assert a == b
