@@ -63,6 +63,10 @@ CATALOG_QUERIES = [
     "span_dedup",
     "inverted_index",
     "training_pipeline",
+    # round 5: eval-set 13-gram decontamination (broadcast overlap
+    # join) and SemDeDup (cluster-bounded semantic near-dup)
+    "decontamination",
+    "semdedup",
 ]
 
 
