@@ -1044,6 +1044,31 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, benchmark_ngrams(bench))
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights + deterministic top-k selection
+    (operators/dsir.py — Xie et al. 2023): docs from source 'src0'
+    stand in for the trusted target domain; every other doc scores
+    sum of hashed-unigram+bigram bucket log-ratios. Weights are exact
+    int64 fixed-point sums (order-free — the PageRank discipline), the
+    exported double is one power-of-two descale, and selection
+    compares against a precomputed (weight, id) threshold instead of
+    a global sort. The oracle re-derives counts, literals, and
+    threshold independently from the same parquet."""
+    from medical_and_charity_document_extraction_system_spark.operators.dsir import (
+        dsir_log_weights,
+        dsir_select,
+        dsir_threshold,
+        train_dsir,
+    )
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("source") == "src0")
+    raw = docs.where(F.col("source") != "src0")
+    ratios = train_dsir(target, raw)
+    scored = dsir_log_weights(raw, ratios)
+    return dsir_select(scored, dsir_threshold(scored, k=100))
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/similarity.semantic_dedup — Abbas et al.
     2023): k-means-cluster the embeddings with the deterministic IVF
@@ -1817,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 (never driver-attested) ---
         "decontamination": q_decontamination,
         "semdedup": q_semdedup,
+        "dsir_weights": q_dsir_weights,
         "lm_quality_bigram": q_lm_quality_bigram,
         "gopher_repetition": q_gopher_repetition,
         "dup_ngram_coverage": q_dup_ngram_coverage,
@@ -1998,6 +2024,9 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "lm_quality": oracles.unigram_lm_sql(sf_dir),
         "lm_quality_bigram": oracles.bigram_lm_sql(sf_dir),
         "decontamination": oracles.decontamination_sql(),
+        # bucket counts / log-ratio literals / threshold re-derived
+        # from the target sf_dir (the lm_quality trick)
+        "dsir_weights": oracles.dsir_sql(sf_dir),
         # centroid literals re-derived from the target sf_dir (IVF trick)
         "semdedup": oracles.semdedup_sql(sf_dir),
         # the streamed upsert must land on the batch-merge construction

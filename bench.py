@@ -67,6 +67,8 @@ CATALOG_QUERIES = [
     # join) and SemDeDup (cluster-bounded semantic near-dup)
     "decontamination",
     "semdedup",
+    # round 5: DSIR hashed-ngram importance weights + top-k selection
+    "dsir_weights",
 ]
 
 

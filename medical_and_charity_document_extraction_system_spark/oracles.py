@@ -2413,3 +2413,75 @@ SELECT assign.vec_id, CAST(assign.cid AS INTEGER) AS cid, pm.max_prev_cos,
        (pm.max_prev_cos IS NULL OR pm.max_prev_cos <= {thr}) AS keep
 FROM assign LEFT JOIN pm ON pm.vec_id = assign.vec_id
 """
+
+
+def dsir_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    target_source: str = "src0",
+    m: int = 64,
+    k: int = 100,
+) -> str:
+    """Full oracle for q_dsir_weights (operators/dsir.py).
+
+    The model is a pure function of the documents table, so the
+    builder re-derives the per-bucket counts straight from the
+    parquet with duckdb (independent of the Spark path), runs the
+    SAME fixed-point literal arithmetic (ratios_from_counts — one
+    Python math.log per bucket, int64 at 2^40), probes the selection
+    threshold with the same scoring SQL, and emits everything as
+    literals. Per-doc weights are exact integer sums (order-free), so
+    the only floats in the output are one power-of-two descale —
+    bit-identical by construction."""
+    import duckdb
+
+    from .operators.dsir import ratios_from_counts
+    from .operators.lm import bigram_lm_pairs_expr
+
+    pairs = bigram_lm_pairs_expr("toks")
+    bucket = f"CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % {m}"
+
+    con = duckdb.connect()
+    counts = con.sql(f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks
+           FROM '{sf_dir}/documents.parquet'),
+fx AS (SELECT source, unnest(toks || {pairs}) AS f FROM t)
+SELECT source = '{target_source}' AS is_t, {bucket} AS b, count(*) AS c
+FROM fx GROUP BY 1, 2
+""").fetchall()
+    ct = {int(b): int(c) for is_t, b, c in counts if is_t}
+    cr = {int(b): int(c) for is_t, b, c in counts if not is_t}
+    ratios = ratios_from_counts(ct, cr, m)
+    lr_list = "[" + ", ".join(str(r) for r in ratios) + "]"
+
+    def score_sql(table: str) -> str:
+        return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM {table}
+           WHERE source <> '{target_source}'),
+fx AS (SELECT doc_id, unnest(toks || {pairs}) AS f FROM t),
+p AS (SELECT doc_id, ({lr_list})[1 + {bucket}] AS lr FROM fx),
+agg AS (SELECT doc_id, CAST(sum(lr) AS BIGINT) AS logw_scaled,
+               CAST(count(*) AS BIGINT) AS n_feats
+        FROM p GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(a.n_feats, 0) AS BIGINT) AS n_feats,
+       CAST(coalesce(a.logw_scaled, 0) AS BIGINT) AS logw_scaled,
+       CAST(coalesce(a.logw_scaled, 0) AS DOUBLE) / CAST('{float(1 << 40)!r}' AS DOUBLE) AS log_weight
+FROM t LEFT JOIN agg a USING (doc_id)
+"""
+
+    thr = con.sql(
+        score_sql(f"'{sf_dir}/documents.parquet'")
+        + f" ORDER BY logw_scaled DESC, doc_id LIMIT {k}"
+    ).fetchall()
+    con.close()
+    thr_w, thr_id = (int(thr[-1][2]), int(thr[-1][0])) if thr else (None, None)
+    sel = (
+        "FALSE"
+        if thr_w is None
+        else f"(logw_scaled > {thr_w} OR (logw_scaled = {thr_w} AND doc_id <= {thr_id}))"
+    )
+    return f"""
+WITH scored AS ({score_sql('documents')})
+SELECT doc_id, n_feats, logw_scaled, log_weight, {sel} AS selected
+FROM scored
+"""
