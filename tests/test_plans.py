@@ -106,3 +106,57 @@ def test_bucketed_layout_removes_join_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS docs_bkt")
+
+
+def test_decontamination_broadcasts_benchmark_grams(spark):
+    """The benchmark side (eval-suite-sized) must broadcast so the
+    corpus never shuffles on the gram key; the only corpus shuffle is
+    the doc-keyed hit count (map-side combinable partial)."""
+    df = entry_mod.queries()["decontamination"](spark, SF_SMALL)
+    tree = plan_of(df, "simple")
+    assert "BroadcastHashJoin" in tree and "LeftSemi" in tree
+    # no sort-merge pairing on the (corpus-frequent) gram key
+    assert "SortMergeJoin [g" not in tree
+    assert "partial_count" in tree
+
+
+def test_dsir_scoring_is_joinless(spark):
+    """The bucket->log-ratio map is an m-entry array literal: scoring
+    must plan NO join on the feature/bucket key at all — only the
+    doc-keyed sum (exact integer, map-side partial) and the final
+    id-aligned assembly join."""
+    from medical_and_charity_document_extraction_system_spark.operators.dsir import (
+        dsir_log_weights,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    scored = dsir_log_weights(docs, list(range(64)))
+    tree = plan_of(scored, "simple")
+    # the one join is the left outer re-attach of per-doc sums to the
+    # full id list (zero-feature docs) — keyed on doc_id, never on g/b
+    assert "Join [g" not in tree and "Join [b" not in tree
+    assert "partial_sum" in tree
+    assert "pythonUDF" not in tree.lower()  # pure JVM path
+
+
+def test_semdedup_pair_join_carries_ids_only(spark):
+    """Pair generation must shuffle (id, cid) only: the 64-float
+    vectors join back per side AFTER the pair join, so no vector
+    payload rides the cluster-key exchange."""
+    import numpy as np
+
+    from medical_and_charity_document_extraction_system_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    cent = np.eye(4, 64, dtype=np.float64)  # fixed quantizer: plan-only test
+    df = semantic_dedup(emb, dim=64, centroids=cent)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the cid-keyed pair exchanges move ids, not embeddings
+    import re
+
+    for m in re.finditer(r"Arguments: hashpartitioning\(cid[^\n]*", plan):
+        assert "_vn" not in m.group(0) and "embedding" not in m.group(0)
