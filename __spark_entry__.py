@@ -1025,6 +1025,53 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(_docs(spark, sf_dir))
 
 
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line/page cleanup (functions/c4.py — Raffel et al. 2020
+    section 2.2) over the extraction text: per-line word-count +
+    javascript rules, page-level lorem-ipsum / brace / min-lines
+    rules with a fixed precedence reject_reason. require_terminal is
+    off (the synthetic corpus has no sentence punctuation; the rule
+    is pytest-pinned on planted fixtures). Zero-shuffle staged
+    projection — integer/boolean/string arithmetic only."""
+    from medical_and_charity_document_extraction_system_spark.functions.c4 import c4_clean
+
+    out = _extract(spark, sf_dir).select(_doc_id(), "text")
+    return c4_clean(out)
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity split per language
+    (operators/ccnet.py — Wenzek et al. 2020): unigram-LM scores
+    (bit-identical fixed-order fold, the lm_quality discipline),
+    tercile thresholds from a deterministic bounded sample
+    (doc_id % 10 == 7), bucket = compare against the broadcast
+    per-language thresholds. The oracle re-derives the log-prob
+    literals from the same parquet and mirrors every CASE arm."""
+    from medical_and_charity_document_extraction_system_spark.operators.ccnet import (
+        ccnet_buckets,
+    )
+    from medical_and_charity_document_extraction_system_spark.operators.lm import (
+        train_unigram_lm,
+    )
+
+    docs = _docs(spark, sf_dir)
+    vocab, logp_oov = train_unigram_lm(docs)
+    return ccnet_buckets(docs, vocab, logp_oov)
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing coordinates (operators/packing.py):
+    per document, where it lands when its shard's token stream is
+    sliced into 256-token training sequences — md5-stable shard +
+    order, one integer window running sum, integer div/mod. The
+    window partition is a shard, bounded by construction."""
+    from medical_and_charity_document_extraction_system_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=256, n_shards=8)
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontam.py — the GPT-3 /
     Pile exact word-13-gram overlap check): docs with
@@ -1840,6 +1887,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "c4_filter": q_c4_filter,
+        "ccnet_buckets": q_ccnet_buckets,
+        "sequence_packing": q_sequence_packing,
         "decontamination": q_decontamination,
         "semdedup": q_semdedup,
         "dsir_weights": q_dsir_weights,
@@ -2023,6 +2073,11 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # data-derived literals (IVF/LSH trick), re-derived per sf_dir
         "lm_quality": oracles.unigram_lm_sql(sf_dir),
         "lm_quality_bigram": oracles.bigram_lm_sql(sf_dir),
+        "c4_filter": oracles.c4_filter_sql(),
+        # ccnet re-derives the unigram log-prob literals from the
+        # target sf_dir (the lm_quality trick)
+        "ccnet_buckets": oracles.ccnet_buckets_sql(sf_dir),
+        "sequence_packing": oracles.sequence_packing_sql(),
         "decontamination": oracles.decontamination_sql(),
         # bucket counts / log-ratio literals / threshold re-derived
         # from the target sf_dir (the lm_quality trick)

@@ -76,13 +76,19 @@ def unigram_lm_scores(
     logp_oov: float,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Mean token log-prob per document under the trained unigram LM.
-    Returns (id, n_tokens, avg_logprob); empty docs score NULL."""
+    Returns (id, *keep_cols, n_tokens, avg_logprob); empty docs score
+    NULL. ``keep_cols`` are passed through untouched (ccnet_buckets
+    carries the language column this way)."""
+    thru = [F.col(c) for c in keep_cols]
     # _toks alone in the first projection: _n comes from the second
     # (size over the materialized column), so the interpreted
     # tokenize HOF runs once per row, not once per referencing expr
-    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    base = df.select(
+        F.col(id_col), *thru, tokens(F.col(text_col)).alias("_toks")
+    )
     def _cnt(term: str) -> Column:
         # factory, not a default-arg lambda: a 2-arg lambda would make
         # F.filter pass the element INDEX as the second argument
@@ -95,6 +101,7 @@ def unigram_lm_scores(
     # materialized, which is what makes this two-stage shape stick)
     base = base.select(
         F.col(id_col),
+        *thru,
         F.size("_toks").alias("_n"),
         *[_cnt(t).alias(f"_c{i}") for i, (t, _) in enumerate(vocab)],
     )
@@ -111,6 +118,7 @@ def unigram_lm_scores(
     score = score + oov.cast("double") * F.lit(logp_oov)
     return base.select(
         F.col(id_col),
+        *thru,
         F.col("_n").cast("long").alias("n_tokens"),
         F.when(F.col("_n") > 0, score / F.col("_n").cast("double")).alias(
             "avg_logprob"

@@ -1900,6 +1900,39 @@ FROM d
 """
 
 
+def _unigram_lm_literals(
+    sf_dir: str, vocab_size: int = 30
+) -> tuple[list[tuple[str, float]], float]:
+    """Retrain the unigram LM in plain Python (parity tokenizer,
+    Counter, math.log — the same floats operators/lm.train_unigram_lm
+    derives) so every log-prob travels to the SQL side as a literal.
+    Shared by unigram_lm_sql and ccnet_buckets_sql."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from .functions.textstats import _ASCII_WS_RE
+
+    con = duckdb.connect()
+    texts = [
+        r[0]
+        for r in con.sql(
+            f"SELECT text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+    ]
+    con.close()
+    c: Counter = Counter()
+    for t in texts:
+        c.update(w for w in _ASCII_WS_RE.split(t or "") if w)
+    n, v = sum(c.values()), len(c)
+    denom = n + v + 1
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    vocab = [(t, math.log((cnt + 1) / denom)) for t, cnt in top]
+    logp_oov = math.log(1.0 / denom)
+    return vocab, logp_oov
+
+
 def unigram_lm_sql(
     sf_dir: str = "/root/testdata/sf0.01", vocab_size: int = 30
 ) -> str:
@@ -1910,29 +1943,9 @@ def unigram_lm_sql(
     in the SAME fixed-order fold (operators/lm.unigram_lm_sql_exprs).
     Engine-side ln never runs; data-derived literals, the IVF/LSH
     oracle trick."""
-    import math
-    from collections import Counter
-
-    import duckdb
-
-    from .functions.textstats import _ASCII_WS_RE
     from .operators.lm import unigram_lm_count_exprs, unigram_lm_fold_expr
 
-    con = duckdb.connect()
-    texts = [
-        r[0]
-        for r in con.sql(
-            f"SELECT text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
-        ).fetchall()
-    ]
-    c: Counter = Counter()
-    for t in texts:
-        c.update(w for w in _ASCII_WS_RE.split(t or "") if w)
-    n, v = sum(c.values()), len(c)
-    denom = n + v + 1
-    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
-    vocab = [(t, math.log((cnt + 1) / denom)) for t, cnt in top]
-    logp_oov = math.log(1.0 / denom)
+    vocab, logp_oov = _unigram_lm_literals(sf_dir, vocab_size)
     cnt_names = [f"c{i}" for i in range(len(vocab))]
     cnt_proj = ",\n         ".join(
         f"{e} AS {nme}"
@@ -2484,4 +2497,157 @@ FROM t LEFT JOIN agg a USING (doc_id)
 WITH scored AS ({score_sql('documents')})
 SELECT doc_id, n_feats, logw_scaled, log_weight, {sel} AS selected
 FROM scored
+"""
+
+
+def c4_filter_sql(
+    min_words: int = 3,
+    min_lines: int = 5,
+    blocklist: tuple[str, ...] = (),
+) -> str:
+    """Twin of q_c4_filter (functions/c4.py — Raffel et al. 2020
+    section 2.2) over the reconstructed extraction text: per-line
+    word-count + javascript rules via nested list_filter lambdas,
+    page rules as the same precedence-ordered CASE. Everything is
+    integer/boolean/string — no float discipline needed.
+    array_to_string of an empty list is NULL in DuckDB (CLAUDE.md),
+    hence the coalesce on kept_text."""
+    line_ok = (
+        f"len(list_filter(regexp_split_to_array(l, '\\s+'), x -> x <> ''))"
+        f" >= {min_words} AND NOT contains(lower(l), 'javascript')"
+    )
+    if blocklist:
+        words = ", ".join("'" + w.lower().replace("'", "''") + "'" for w in blocklist)
+        blocked = (
+            "list_has_any(list_transform(list_filter("
+            "regexp_split_to_array(t, '\\s+'), x -> x <> ''), "
+            f"x -> lower(x)), [{words}])"
+        )
+    else:
+        blocked = "FALSE"
+    return f"""
+WITH {base_cte()},
+doc_text AS (SELECT doc_id, {_EXTRACT_TEXT_CASE} AS t FROM rec),
+l AS (
+  SELECT doc_id, t,
+         list_filter(string_split(t, chr(10)), x -> x <> '') AS lines
+  FROM doc_text
+),
+k AS (
+  SELECT doc_id, t, len(lines) AS nl,
+         list_filter(lines, l -> {line_ok}) AS kept
+  FROM l
+),
+v AS (
+  SELECT doc_id, nl, kept,
+         CASE WHEN contains(lower(t), 'lorem ipsum') THEN 'lorem_ipsum'
+              WHEN contains(t, '{{') THEN 'brace'
+              WHEN {blocked} THEN 'blocklist'
+              WHEN len(kept) < {min_lines} THEN 'too_few_lines'
+              ELSE 'none' END AS reject_reason
+  FROM k
+)
+SELECT doc_id,
+       CAST(nl AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       (reject_reason = 'none') AS keep,
+       reject_reason,
+       coalesce(array_to_string(kept, chr(10)), '') AS kept_text
+FROM v
+"""
+
+
+def ccnet_buckets_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    vocab_size: int = 30,
+    sample_mod: int = 10,
+    sample_rem: int = 7,
+) -> str:
+    """Twin of q_ccnet_buckets (operators/ccnet.py — Wenzek et al.
+    2020): the unigram-LM score CTE reuses the retrained log-prob
+    literals (_unigram_lm_literals — the lm_quality trick), the
+    per-language tercile thresholds come from the SAME deterministic
+    sample via row_number, and the bucket CASE mirrors the Spark arms
+    verbatim (NULL score -> tail, unseen language -> head)."""
+    from .operators.lm import unigram_lm_count_exprs, unigram_lm_fold_expr
+
+    vocab, logp_oov = _unigram_lm_literals(sf_dir, vocab_size)
+    cnt_names = [f"c{i}" for i in range(len(vocab))]
+    cnt_proj = ",\n         ".join(
+        f"{e} AS {nme}"
+        for e, nme in zip(unigram_lm_count_exprs(vocab, "toks"), cnt_names)
+    )
+    score = unigram_lm_fold_expr(vocab, logp_oov, "n", cnt_names)
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+cn AS (
+  SELECT doc_id, lang, len(toks) AS n,
+         {cnt_proj}
+  FROM t
+),
+s AS (
+  SELECT doc_id, lang,
+         CAST(n AS BIGINT) AS n_tokens,
+         CASE WHEN n > 0
+              THEN {score} / CAST(n AS DOUBLE) END AS avg_logprob
+  FROM cn
+),
+samp AS (
+  SELECT * FROM s
+  WHERE doc_id % {sample_mod} = {sample_rem} AND n_tokens > 0
+),
+r AS (
+  SELECT lang, avg_logprob,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY avg_logprob DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS nl
+  FROM samp
+),
+thr AS (
+  SELECT lang,
+         max(CASE WHEN rn = (nl + 2) // 3 THEN avg_logprob END) AS s1,
+         max(CASE WHEN rn = (2 * nl + 2) // 3 THEN avg_logprob END) AS s2
+  FROM r GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.n_tokens, s.avg_logprob,
+       CASE WHEN s.avg_logprob IS NULL THEN 'tail'
+            WHEN thr.s1 IS NULL THEN 'head'
+            WHEN s.avg_logprob >= thr.s1 THEN 'head'
+            WHEN s.avg_logprob >= thr.s2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM s LEFT JOIN thr ON thr.lang = s.lang
+"""
+
+
+def sequence_packing_sql(seq_len: int = 256, n_shards: int = 8) -> str:
+    """Twin of q_sequence_packing (operators/packing.py): the same
+    md5-bucket shard, the same (md5(id), id) intra-shard order, one
+    integer running sum, and integer div/mod for the sequence
+    coordinates — exact in any engine."""
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         {_BUCKET} % {n_shards} AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS oh,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+             PARTITION BY shard ORDER BY oh, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS tok_start
+  FROM d
+)
+SELECT doc_id,
+       CAST(shard AS BIGINT) AS shard,
+       n_tokens,
+       CAST(tok_start AS BIGINT) AS tok_start,
+       CAST(tok_start // {seq_len} AS BIGINT) AS seq_first,
+       CAST(tok_start % {seq_len} AS BIGINT) AS seq_offset,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+                 ELSE (tok_start + n_tokens - 1) // {seq_len}
+                      - tok_start // {seq_len} + 1 END AS BIGINT) AS n_seqs
+FROM c
 """
