@@ -1912,7 +1912,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_preprocess_png": q_image_preprocess_png,
         "image_preprocess_jpeg": q_image_preprocess_jpeg,
         "pdf_pages": q_pdf_pages,
-        "bpe_token_count": q_bpe_token_count,
         "host_quality": q_host_quality,
         "error_taxonomy": q_error_taxonomy,
         "ocr_words": q_ocr_words,
@@ -1925,7 +1924,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_pdf_artifacts": q_merge_pdf_artifacts,
         "extraction_spans": q_extraction_spans,
         "rollup_source": q_rollup_source,
-        "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_guess": q_lang_guess,
         "lang_agreement": q_lang_agreement,
@@ -1934,9 +1932,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "topk_cosine": q_topk_cosine,
         "events_tumbling": q_events_tumbling,
-        "nation_revenue": q_nation_revenue,
-        "priority_line_revenue": q_priority_line_revenue,
-        "merge_sources": q_merge_sources,
         "retention_cleanup": q_retention_cleanup,
         # --- r04-attested but TOUCHED in r5 (plan or oracle changed:
         # re-attest inside the window) ---
@@ -1946,6 +1941,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_pages_type0": q_pdf_pages_type0,
         "lm_quality": q_lm_quality,
         "bm25_scores_tfmap": q_bm25_scores_tfmap,
+        # --- tail: r01–r03 green, trivial plans, untouched since
+        # (displaced from the window by the three late-r5 queries:
+        # touched entries outrank stale-but-untouched ones) ---
+        "token_count": q_token_count,
+        "bpe_token_count": q_bpe_token_count,
+        "nation_revenue": q_nation_revenue,
+        "priority_line_revenue": q_priority_line_revenue,
+        "merge_sources": q_merge_sources,
         # --- tail: driver-attested MATCH in r04, untouched since ---
         "paragraph_dedup": q_paragraph_dedup,
         "span_dedup": q_span_dedup,

@@ -69,6 +69,12 @@ CATALOG_QUERIES = [
     "semdedup",
     # round 5: DSIR hashed-ngram importance weights + top-k selection
     "dsir_weights",
+    # round 5: selection-stage trio — C4 line/page cleanup (zero-
+    # shuffle projection over extraction text), CCNet per-language
+    # perplexity terciles, and sequence-packing coordinates
+    "c4_filter",
+    "ccnet_buckets",
+    "sequence_packing",
 ]
 
 
