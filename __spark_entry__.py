@@ -1072,6 +1072,26 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_docs(spark, sf_dir), seq_len=256, n_shards=8)
 
 
+def q_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (MinHash-Jaccard) benchmark decontamination
+    (operators/decontam.fuzzy_decontaminate — the Llama-style
+    near-duplicate complement to the exact 13-gram check): corpus
+    docs whose shingle Jaccard vs ANY eval doc (doc_id % 17 == 3,
+    the same stand-in benchmark as q_decontamination) reaches 0.9.
+    The bounded benchmark side broadcasts through both the band join
+    and the verification join; the oracle computes the true
+    all-pairs answer, which the 64-hash/16-band LSH provably equals
+    at this threshold (the minhash_near_dup argument)."""
+    from medical_and_charity_document_extraction_system_spark.operators.decontam import (
+        fuzzy_decontaminate,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 17 == 3)
+    corpus = docs.where(F.col("doc_id") % 17 != 3)
+    return fuzzy_decontaminate(corpus, bench)
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontam.py — the GPT-3 /
     Pile exact word-13-gram overlap check): docs with
@@ -1890,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": q_c4_filter,
         "ccnet_buckets": q_ccnet_buckets,
         "sequence_packing": q_sequence_packing,
+        "fuzzy_decontamination": q_fuzzy_decontamination,
         "decontamination": q_decontamination,
         "semdedup": q_semdedup,
         "dsir_weights": q_dsir_weights,
@@ -1927,7 +1948,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_guess": q_lang_guess,
         "lang_agreement": q_lang_agreement,
-        "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "topk_cosine": q_topk_cosine,
@@ -1946,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # touched entries outrank stale-but-untouched ones) ---
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
+        "fingerprint": q_fingerprint,
         "nation_revenue": q_nation_revenue,
         "priority_line_revenue": q_priority_line_revenue,
         "merge_sources": q_merge_sources,
@@ -2081,6 +2102,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # target sf_dir (the lm_quality trick)
         "ccnet_buckets": oracles.ccnet_buckets_sql(sf_dir),
         "sequence_packing": oracles.sequence_packing_sql(),
+        "fuzzy_decontamination": oracles.fuzzy_decontamination_sql(),
         "decontamination": oracles.decontamination_sql(),
         # bucket counts / log-ratio literals / threshold re-derived
         # from the target sf_dir (the lm_quality trick)

@@ -115,3 +115,95 @@ def decontaminate(
         F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
         (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.9,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fuzzy decontamination: flag corpus documents whose shingle
+    Jaccard against ANY benchmark document reaches ``threshold`` —
+    the near-duplicate complement to the exact 13-gram overlap
+    (Llama-style eval-overlap removal catches paraphrased/reflowed
+    benchmark copies that exact n-grams miss).
+
+    Returns one row per corpus document: (id, n_bench_hits,
+    max_jaccard, contaminated). ``max_jaccard`` is the maximum over
+    the VERIFIED >=threshold hits (NULL when clean) — each Jaccard is
+    one exact integer division and max over exact doubles is
+    order-free, so the output is engine-reproducible.
+
+    LSH guarantee: same banding as minhash_near_dup (64 hashes / 16
+    bands); at the default 0.9 threshold a qualifying pair escapes
+    every band with probability ~1e-12, and the md5-derived hashing
+    is deterministic, so the verified hit set equals the true
+    all-pairs set the DuckDB twin computes (the minhash_near_dup
+    argument, driver-attested since r01).
+
+    Scale shape: the benchmark side is an eval suite (bounded), so
+    BOTH joins broadcast it — the corpus side's only wide operations
+    are the signature UDF scan and one doc-keyed agg; no self-join,
+    no salting needed (broadcast joins cannot concentrate a hot band
+    key on one reducer), and shingles are re-materialized only for
+    the candidate subset (left_semi first)."""
+    from ..functions.textstats import jaccard, word_shingles_fast
+    from .dedup import minhash_signatures
+
+    csig = minhash_signatures(
+        corpus, text_col, id_col, num_hashes, shingle_k, bands
+    )
+    bsig = minhash_signatures(
+        bench, text_col, id_col, num_hashes, shingle_k, bands
+    )
+    cb = csig.select(
+        F.col(id_col), F.posexplode("band_keys").alias("band", "key")
+    )
+    bb = bsig.select(
+        F.col(id_col).alias("_bid"),
+        F.posexplode("band_keys").alias("band", "key"),
+    )
+    cand = (
+        cb.join(F.broadcast(bb), ["band", "key"])
+        .select(id_col, "_bid")
+        .distinct()
+    )
+    sh = word_shingles_fast(shingle_k)
+    csh = corpus.join(
+        cand.select(id_col).distinct(), id_col, "left_semi"
+    ).select(F.col(id_col), sh(F.col(text_col)).alias("_sha"))
+    bsh = bench.join(
+        cand.select(F.col("_bid").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    ).select(F.col(id_col).alias("_bid"), sh(F.col(text_col)).alias("_shb"))
+    verified = (
+        cand.join(csh, id_col)
+        .join(F.broadcast(bsh), "_bid")
+        .select(
+            F.col(id_col),
+            jaccard(F.col("_sha"), F.col("_shb")).alias("_j"),
+        )
+        .where(F.col("_j") >= threshold)
+    )
+    hits = verified.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+        F.max("_j").alias("max_jaccard"),
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bench_hits"), F.lit(0).cast("long")).alias(
+                "n_bench_hits"
+            ),
+            F.col("max_jaccard"),
+            F.col("max_jaccard").isNotNull().alias("contaminated"),
+        )
+    )

@@ -2651,3 +2651,38 @@ SELECT doc_id,
                       - tok_start // {seq_len} + 1 END AS BIGINT) AS n_seqs
 FROM c
 """
+
+
+def fuzzy_decontamination_sql(
+    threshold: float = 0.9, bench_mod: int = 17, bench_rem: int = 3
+) -> str:
+    """Twin of q_fuzzy_decontamination: TRUE all-pairs corpus x bench
+    shingle Jaccard (the Spark side goes through MinHash banding +
+    exact verification; at threshold 0.9 the banding provably catches
+    every qualifying pair — the minhash_near_dup argument). Each
+    Jaccard is one exact integer division; max_jaccard aggregates
+    only the >=threshold hits, mirroring the Spark plan."""
+    thr = f"CAST('{threshold!r}' AS DOUBLE)"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+c AS (SELECT * FROM s WHERE doc_id % {bench_mod} <> {bench_rem}),
+b AS (SELECT * FROM s WHERE doc_id % {bench_mod} = {bench_rem}),
+p AS (
+  SELECT c.doc_id,
+         len(list_intersect(c.sh, b.sh))
+           / len(list_distinct(c.sh || b.sh)) AS j
+  FROM c JOIN b ON len(c.sh) > 0 AND len(b.sh) > 0
+),
+h AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bench_hits,
+         max(j) AS max_jaccard
+  FROM p WHERE j >= {thr} GROUP BY doc_id
+)
+SELECT c.doc_id,
+       coalesce(h.n_bench_hits, 0) AS n_bench_hits,
+       h.max_jaccard,
+       (h.max_jaccard IS NOT NULL) AS contaminated
+FROM c LEFT JOIN h USING (doc_id)
+"""

@@ -149,3 +149,21 @@ def test_packing_single_window_plan(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = pack_sequences(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") == 1  # exactly one window pass
+
+
+def test_ccnet_window_only_on_sample_plan(spark):
+    rows = [(i, "xx", "a b c d") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    vocab, oov = train_unigram_lm(df)
+    plan = (
+        ccnet_buckets(df, vocab, oov)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # thresholds broadcast back onto the corpus; the only windows are
+    # the row_number/count pair over the bounded SAMPLE (a corpus-wide
+    # per-language window would be one task per language at scale)
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window") == 2

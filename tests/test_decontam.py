@@ -88,3 +88,57 @@ def test_no_broadcast_variant_same_result(spark, planted):
         map(tuple, decontaminate(corpus, bg, broadcast_bench=False).collect())
     )
     assert a == b
+
+
+# ---------------------------------------------------------------- fuzzy
+
+
+def test_fuzzy_decontamination_planted(spark):
+    base = _words("w", 40)
+    bench = spark.createDataFrame(
+        [(3, base), (20, _words("q", 30))], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, base),                       # identical to bench doc 3
+            (2, base + " extra tail here"),  # near-dup of bench doc 3
+            (4, _words("z", 40)),            # clean
+            (5, "too short"),                # < shingle_k tokens
+        ],
+        ["doc_id", "text"],
+    )
+    from medical_and_charity_document_extraction_system_spark.operators.decontam import (
+        fuzzy_decontaminate,
+    )
+
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in fuzzy_decontaminate(corpus, bench, threshold=0.9).collect()
+    }
+    assert len(out) == 4  # every corpus doc reports, hit or not
+    assert out[1]["contaminated"] and out[1]["max_jaccard"] == 1.0
+    assert out[1]["n_bench_hits"] == 1
+    # 38 shared shingles / 41 union = 0.9268... >= 0.9
+    assert out[2]["contaminated"] and 0.9 <= out[2]["max_jaccard"] < 1.0
+    assert not out[4]["contaminated"] and out[4]["max_jaccard"] is None
+    assert out[5]["n_bench_hits"] == 0  # signature-less doc still rows
+
+
+def test_fuzzy_decontamination_broadcast_only_plan(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.decontam import (
+        fuzzy_decontaminate,
+    )
+
+    bench = spark.createDataFrame([(3, _words("w", 30))], ["doc_id", "text"])
+    corpus = spark.createDataFrame([(1, _words("w", 30))], ["doc_id", "text"])
+    plan = (
+        fuzzy_decontaminate(corpus, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the bounded benchmark side broadcasts through BOTH the band
+    # join and the verification join (explicit hints — a hot band key
+    # cannot concentrate on one reducer); the remaining id-keyed
+    # corpus joins are plain equi-joins, AQE-splittable
+    assert plan.count("BroadcastHashJoin") >= 2
