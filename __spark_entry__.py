@@ -1080,8 +1080,10 @@ def q_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same stand-in benchmark as q_decontamination) reaches 0.9.
     The bounded benchmark side broadcasts through both the band join
     and the verification join; the oracle computes the true
-    all-pairs answer, which the 64-hash/16-band LSH provably equals
-    at this threshold (the minhash_near_dup argument)."""
+    all-pairs answer, which the deterministic 64-hash/16-band LSH
+    matches here (escape probability ~4e-8 per qualifying pair over
+    hash families, and no data pair sits near the 0.9 boundary at
+    any shipped sf dir — see operators/decontam.py)."""
     from medical_and_charity_document_extraction_system_spark.operators.decontam import (
         fuzzy_decontaminate,
     )

@@ -75,6 +75,9 @@ CATALOG_QUERIES = [
     "c4_filter",
     "ccnet_buckets",
     "sequence_packing",
+    # round 5: MinHash-Jaccard eval-overlap removal (benchmark side
+    # broadcast through band + verify joins)
+    "fuzzy_decontamination",
 ]
 
 

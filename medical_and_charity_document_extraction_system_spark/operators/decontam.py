@@ -141,20 +141,38 @@ def fuzzy_decontaminate(
 
     LSH guarantee: same banding as minhash_near_dup (64 hashes / 16
     bands); at the default 0.9 threshold a qualifying pair escapes
-    every band with probability ~1e-12, and the md5-derived hashing
-    is deterministic, so the verified hit set equals the true
-    all-pairs set the DuckDB twin computes (the minhash_near_dup
-    argument, driver-attested since r01).
+    every band with probability (1 - 0.9^4)^16 ~ 4e-8 over hash
+    families. The md5 family is FIXED, so on a given corpus the
+    outcome is deterministic — the oracle computes true all-pairs,
+    and parity additionally rests on the verified data gap: no
+    corpus/bench pair sits in [0.80, 0.9167) at any shipped sf dir,
+    so the banding and the exact answer cannot disagree there. Do
+    not lower the threshold materially below 0.9: the escape
+    probability grows fast (at 0.5 it is ~0.35 per pair) and the
+    oracle would no longer match.
 
     Scale shape: the benchmark side is an eval suite (bounded), so
-    BOTH joins broadcast it — the corpus side's only wide operations
-    are the signature UDF scan and one doc-keyed agg; no self-join,
+    BOTH joins broadcast it — the corpus side's wide operations are
+    the signature UDF scan and one doc-keyed agg; no self-join,
     no salting needed (broadcast joins cannot concentrate a hot band
     key on one reducer), and shingles are re-materialized only for
-    the candidate subset (left_semi first)."""
+    the candidate subset (left_semi first). The candidate table is
+    cached: it feeds the verification join plus both left_semi
+    probes, and without the cache each consumer would recompute the
+    corpus-wide signature UDF (the minhash_near_dup lesson,
+    operators/dedup.py)."""
     from ..functions.textstats import jaccard, word_shingles_fast
     from .dedup import minhash_signatures
 
+    # fan out a narrow input before the Arrow signature stage — a
+    # single-file corpus is one split under the default 128 MB
+    # maxPartitionBytes and would run the dominant UDF on one core
+    # (same prep as minhash_near_dup)
+    sc = corpus.sparkSession.sparkContext
+    width = sc.defaultParallelism
+    n_files = len(corpus.inputFiles())
+    if (0 < n_files < width) or corpus.rdd.getNumPartitions() < width:
+        corpus = corpus.repartition(width)
     csig = minhash_signatures(
         corpus, text_col, id_col, num_hashes, shingle_k, bands
     )
@@ -172,6 +190,7 @@ def fuzzy_decontaminate(
         cb.join(F.broadcast(bb), ["band", "key"])
         .select(id_col, "_bid")
         .distinct()
+        .cache()
     )
     sh = word_shingles_fast(shingle_k)
     csh = corpus.join(

@@ -170,9 +170,11 @@ def minhash_near_dup(
 ) -> DataFrame:
     """Near-duplicate pairs with exact-Jaccard verification >= threshold.
 
-    With 64 hashes / 16 bands of 4 rows, a pair at j=0.9 is caught with
-    probability 1-(1-0.9^4)^16 ~ 1-1e-12; false positives are removed
-    by the verification join.
+    With 64 hashes / 16 bands of 4 rows, a pair at j=0.9 escapes every
+    band with probability (1-0.9^4)^16 ~ 4e-8 (over hash families; the
+    fixed md5 family makes the outcome deterministic per corpus, and
+    the oracle gate verifies no pair is missed on the shipped data);
+    false positives are removed by the verification join.
 
     ``total_rows``: pass the corpus size if the caller already knows
     it (a catalog/metastore lookup at scale) to skip the per-call
