@@ -1072,6 +1072,66 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_docs(spark, sf_dir), seq_len=256, n_shards=8)
 
 
+def q_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED modern pretraining selection recipe, end to end:
+    extraction text -> C4 line/page cleanup (functions/c4.py; the
+    kept_text flows forward) -> Gopher word-shape keep -> exact dedup
+    -> exact 13-gram benchmark decontamination (eval stand-in docs
+    removed, overlapping docs dropped) -> per-shard sequence-packing
+    summary (shard, n_docs, n_tokens, n_seqs; n_seqs = the last
+    touched sequence index + 1, exercising the packing window for
+    real). One query chaining five operators the catalog also proves
+    individually; the oracle composes the SAME SQL fragments, so a
+    mismatch isolates to stage wiring, not stage semantics."""
+    from medical_and_charity_document_extraction_system_spark.functions.c4 import c4_clean
+    from medical_and_charity_document_extraction_system_spark.functions.gopher import (
+        with_gopher_signals,
+    )
+    from medical_and_charity_document_extraction_system_spark.operators.decontam import (
+        benchmark_ngrams,
+        decontaminate,
+    )
+    from medical_and_charity_document_extraction_system_spark.operators.dedup import (
+        exact_dedup,
+    )
+    from medical_and_charity_document_extraction_system_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    ext = _extract(spark, sf_dir).select(_doc_id(), "text")
+    c4 = c4_clean(ext)
+    cleaned = c4.where("keep").select(
+        "doc_id", F.col("kept_text").alias("text")
+    )
+    gk = with_gopher_signals(cleaned).where("gopher_keep").select("doc_id")
+    kept = cleaned.join(gk, "doc_id", "left_semi")
+    ded = exact_dedup(kept)
+    bench = ded.where(F.col("doc_id") % 17 == 3)
+    corp = ded.where(F.col("doc_id") % 17 != 3)
+    dec = decontaminate(corp, benchmark_ngrams(bench))
+    surv = corp.join(
+        dec.where(~F.col("contaminated")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    packed = pack_sequences(surv, seq_len=256, n_shards=8)
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.col("seq_first") + F.col("n_seqs"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_seqs"),
+    )
+
+
 def q_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy (MinHash-Jaccard) benchmark decontamination
     (operators/decontam.fuzzy_decontaminate — the Llama-style
@@ -1912,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": q_c4_filter,
         "ccnet_buckets": q_ccnet_buckets,
         "sequence_packing": q_sequence_packing,
+        "pretraining_corpus": q_pretraining_corpus,
         "fuzzy_decontamination": q_fuzzy_decontamination,
         "decontamination": q_decontamination,
         "semdedup": q_semdedup,
@@ -1948,7 +2009,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_spans": q_extraction_spans,
         "rollup_source": q_rollup_source,
         "quality_score": q_quality_score,
-        "lang_guess": q_lang_guess,
         "lang_agreement": q_lang_agreement,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1967,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (displaced from the window by the three late-r5 queries:
         # touched entries outrank stale-but-untouched ones) ---
         "token_count": q_token_count,
+        "lang_guess": q_lang_guess,
         "bpe_token_count": q_bpe_token_count,
         "fingerprint": q_fingerprint,
         "nation_revenue": q_nation_revenue,
@@ -2104,6 +2165,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # target sf_dir (the lm_quality trick)
         "ccnet_buckets": oracles.ccnet_buckets_sql(sf_dir),
         "sequence_packing": oracles.sequence_packing_sql(),
+        "pretraining_corpus": oracles.pretraining_corpus_sql(),
         "fuzzy_decontamination": oracles.fuzzy_decontamination_sql(),
         "decontamination": oracles.decontamination_sql(),
         # bucket counts / log-ratio literals / threshold re-derived

@@ -78,6 +78,9 @@ CATALOG_QUERIES = [
     # round 5: MinHash-Jaccard eval-overlap removal (benchmark side
     # broadcast through band + verify joins)
     "fuzzy_decontamination",
+    # round 5 capstone: extract -> C4 -> Gopher -> dedup ->
+    # decontaminate -> packing summary, one composed query
+    "pretraining_corpus",
 ]
 
 

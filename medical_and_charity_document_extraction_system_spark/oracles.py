@@ -2500,18 +2500,17 @@ FROM scored
 """
 
 
-def c4_filter_sql(
+def _c4_ctes(
+    src: str,
     min_words: int = 3,
     min_lines: int = 5,
     blocklist: tuple[str, ...] = (),
 ) -> str:
-    """Twin of q_c4_filter (functions/c4.py — Raffel et al. 2020
-    section 2.2) over the reconstructed extraction text: per-line
-    word-count + javascript rules via nested list_filter lambdas,
-    page rules as the same precedence-ordered CASE. Everything is
-    integer/boolean/string — no float discipline needed.
-    array_to_string of an empty list is NULL in DuckDB (CLAUDE.md),
-    hence the coalesce on kept_text."""
+    """The C4 rule chain as a reusable CTE fragment: reads
+    (doc_id, t) from ``src`` and produces ``c4v`` with (doc_id, nl,
+    kept, reject_reason). Shared by c4_filter_sql and the composed
+    pretraining_corpus_sql so the composite cannot drift from the
+    standalone oracle."""
     line_ok = (
         f"len(list_filter(regexp_split_to_array(l, '\\s+'), x -> x <> ''))"
         f" >= {min_words} AND NOT contains(lower(l), 'javascript')"
@@ -2525,35 +2524,50 @@ def c4_filter_sql(
         )
     else:
         blocked = "FALSE"
-    return f"""
-WITH {base_cte()},
-doc_text AS (SELECT doc_id, {_EXTRACT_TEXT_CASE} AS t FROM rec),
-l AS (
+    return f"""c4l AS (
   SELECT doc_id, t,
          list_filter(string_split(t, chr(10)), x -> x <> '') AS lines
-  FROM doc_text
+  FROM {src}
 ),
-k AS (
+c4k AS (
   SELECT doc_id, t, len(lines) AS nl,
          list_filter(lines, l -> {line_ok}) AS kept
-  FROM l
+  FROM c4l
 ),
-v AS (
+c4v AS (
   SELECT doc_id, nl, kept,
          CASE WHEN contains(lower(t), 'lorem ipsum') THEN 'lorem_ipsum'
               WHEN contains(t, '{{') THEN 'brace'
               WHEN {blocked} THEN 'blocklist'
               WHEN len(kept) < {min_lines} THEN 'too_few_lines'
               ELSE 'none' END AS reject_reason
-  FROM k
-)
+  FROM c4k
+)"""
+
+
+def c4_filter_sql(
+    min_words: int = 3,
+    min_lines: int = 5,
+    blocklist: tuple[str, ...] = (),
+) -> str:
+    """Twin of q_c4_filter (functions/c4.py — Raffel et al. 2020
+    section 2.2) over the reconstructed extraction text: per-line
+    word-count + javascript rules via nested list_filter lambdas,
+    page rules as the same precedence-ordered CASE. Everything is
+    integer/boolean/string — no float discipline needed.
+    array_to_string of an empty list is NULL in DuckDB (CLAUDE.md),
+    hence the coalesce on kept_text."""
+    return f"""
+WITH {base_cte()},
+doc_text AS (SELECT doc_id, {_EXTRACT_TEXT_CASE} AS t FROM rec),
+{_c4_ctes('doc_text', min_words, min_lines, blocklist)}
 SELECT doc_id,
        CAST(nl AS BIGINT) AS n_lines,
        CAST(len(kept) AS BIGINT) AS n_kept_lines,
        (reject_reason = 'none') AS keep,
        reject_reason,
        coalesce(array_to_string(kept, chr(10)), '') AS kept_text
-FROM v
+FROM c4v
 """
 
 
@@ -2685,4 +2699,81 @@ SELECT c.doc_id,
        h.max_jaccard,
        (h.max_jaccard IS NOT NULL) AS contaminated
 FROM c LEFT JOIN h USING (doc_id)
+"""
+
+
+def pretraining_corpus_sql(
+    n: int = 13,
+    bench_mod: int = 17,
+    bench_rem: int = 3,
+    seq_len: int = 256,
+    n_shards: int = 8,
+) -> str:
+    """Twin of q_pretraining_corpus — the COMPOSED modern selection
+    recipe, end to end: reconstructed extraction text -> C4 line/page
+    cleanup (the kept_text flows forward) -> Gopher word-shape keep ->
+    exact dedup (min-id keeper) -> exact 13-gram benchmark
+    decontamination (eval docs removed AND overlapping docs dropped)
+    -> per-shard sequence-packing summary. Every stage reuses the
+    SAME fragment its standalone oracle uses (_c4_ctes,
+    _GOPHER_BODY/_GOPHER_KEEP, the firsts/ded dedup pair, the
+    decontamination gram CTEs, the packing window), so a composite
+    mismatch isolates to stage wiring, not stage semantics. Output is
+    integer-only: (shard, n_docs, n_tokens, n_seqs)."""
+    return f"""
+WITH {base_cte()},
+doc_text AS (SELECT doc_id, {_EXTRACT_TEXT_CASE} AS t FROM rec),
+{_c4_ctes('doc_text')},
+t AS (
+  SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS text
+  FROM c4v WHERE reject_reason = 'none'
+),
+{_GOPHER_BODY},
+gk AS (SELECT doc_id FROM v WHERE {_GOPHER_KEEP}),
+kept AS (SELECT t.doc_id, t.text FROM t JOIN gk USING (doc_id)),
+firsts AS (SELECT md5(text) AS f, min(doc_id) AS keeper FROM kept GROUP BY 1),
+ded AS (
+  SELECT kept.doc_id, kept.text
+  FROM kept JOIN firsts
+    ON md5(kept.text) = firsts.f AND kept.doc_id = firsts.keeper
+),
+dtok AS (SELECT doc_id, {_TOKS} AS toks FROM ded),
+dg AS (SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(len(toks) - {n - 1}, 0)),
+        i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS grams FROM dtok),
+bgrams AS (SELECT DISTINCT unnest(grams) AS g FROM dg
+           WHERE doc_id % {bench_mod} = {bench_rem}),
+corp AS (SELECT doc_id FROM dg WHERE doc_id % {bench_mod} <> {bench_rem}),
+contam AS (
+  SELECT DISTINCT cg.doc_id
+  FROM (SELECT dg.doc_id, unnest(dg.grams) AS g FROM dg
+        JOIN corp USING (doc_id)) cg
+  JOIN bgrams USING (g)
+),
+surv AS (
+  SELECT d.doc_id, d.text
+  FROM ded d JOIN corp USING (doc_id)
+  LEFT JOIN contam c ON c.doc_id = d.doc_id
+  WHERE c.doc_id IS NULL
+),
+pk AS (
+  SELECT doc_id,
+         {_BUCKET} % {n_shards} AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS oh,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM surv
+),
+pc AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (
+      PARTITION BY shard ORDER BY oh, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+  FROM pk
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(coalesce(max(CASE WHEN n_tokens > 0
+                 THEN (tok_start + n_tokens - 1) // {seq_len} + 1 END), 0)
+            AS BIGINT) AS n_seqs
+FROM pc GROUP BY shard
 """

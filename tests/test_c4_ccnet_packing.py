@@ -167,3 +167,21 @@ def test_ccnet_window_only_on_sample_plan(spark):
     assert plan.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in plan
     assert plan.count("Window") == 2
+
+
+def test_pretraining_corpus_composite_funnel(spark):
+    # the composed selection recipe over the real sf0.001 extraction:
+    # survivors shrink monotonically vs the raw corpus, every shard
+    # reports, and the packing summary is internally consistent
+    import __spark_entry__ as e
+
+    rows = e.queries()["pretraining_corpus"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert 1 <= len(rows) <= 8
+    total_docs = sum(r["n_docs"] for r in rows)
+    assert 0 < total_docs < 500  # C4/Gopher/dedup/decontam all bite
+    for r in rows:
+        # n_seqs = ceil(shard token stream / 256) when tokens exist
+        if r["n_tokens"] > 0:
+            assert r["n_seqs"] == (r["n_tokens"] + 255) // 256
