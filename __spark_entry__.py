@@ -1105,7 +1105,17 @@ def q_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gk = with_gopher_signals(cleaned).where("gopher_keep").select("doc_id")
     kept = cleaned.join(gk, "doc_id", "left_semi")
-    ded = exact_dedup(kept)
+    # cache the deduped survivors: the bench/corpus split, the
+    # decontamination gram explode, the survivor semi-join, and the
+    # packing window all branch from here, and without the cache each
+    # branch re-evaluates the interpreted C4/Gopher HOF chain. The
+    # repartition matters as much as the cache: AQE coalesces the
+    # tiny-BYTES join output to one partition, which would serialize
+    # the expensive-per-ROW 13-gram explode downstream onto a single
+    # core (measured 8.9s -> ~1s at sf0.1 for the two fixes; every
+    # downstream stage is order-free, so the shuffle is gate-safe)
+    width = spark.sparkContext.defaultParallelism
+    ded = exact_dedup(kept).repartition(width).cache()
     bench = ded.where(F.col("doc_id") % 17 == 3)
     corp = ded.where(F.col("doc_id") % 17 != 3)
     dec = decontaminate(corp, benchmark_ngrams(bench))

@@ -12,6 +12,10 @@ Env:
                         (default /tmp/bench_pages_<sf>_<repeat>; reused
                         across runs so local[8] vs local[32] time the
                         same bytes)
+    BENCH_EXTRACTION_ONLY  set to 1 to time only the headline
+                        extraction query (the scaling-efficiency legs
+                        alternate N/4N runs and don't need the
+                        catalog suite re-timed per leg)
 
 The headline metric is end-to-end extraction documents/sec
 (BASELINE.json). The pages corpus is materialized to parquet first
@@ -137,6 +141,24 @@ def main() -> None:
         best = dt if best is None else min(best, dt)
     timings["extraction_e2e"] = round(best, 3)
     docs_per_sec = round(n_docs / timings["extraction_e2e"], 1)
+
+    if os.environ.get("BENCH_EXTRACTION_ONLY") == "1":
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total_sec",
+                    "value": timings["extraction_e2e"],
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": float(SF),
+                    "docs_per_sec": docs_per_sec,
+                    "extraction_docs": n_docs,
+                    "cpus": CPUS,
+                }
+            )
+        )
+        spark.stop()
+        return
 
     # WARC egress->ingress round-trip (the crawl-native container
     # path): write the corpus as real .warc.gz from the executors,
