@@ -1266,6 +1266,53 @@ def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch over the corpus token stream
+    (operators/sketches.py — Cormode & Muthukrishnan 2005): the top-20
+    exact term counts next to their sketch estimates. The sketch is
+    built from the two doc_id-parity halves and MERGED (cell addition
+    commutes), so this query attests the incremental/mergeable form
+    against the oracle's one-shot build — same pattern as
+    hll_incremental. All cell math is 64-bit integer; the estimate is
+    a min over D exact integers, so estimate >= exact always and
+    ``overcount`` is the visible collision bias."""
+    from medical_and_charity_document_extraction_system_spark.operators.sketches import (
+        cms_estimate,
+        cms_registers,
+        merge_cms_registers,
+    )
+
+    docs = _docs(spark, sf_dir)
+    # ONE token-stream aggregation keyed (term, parity-half); the
+    # vocab-sized result feeds the exact counts, both sketch halves,
+    # and the top-k probe — cache it rather than re-exploding the
+    # corpus three times.
+    by_half = (
+        docs.select(
+            (F.col("doc_id") % 2).alias("half"),
+            F.explode(ts.tokens(F.col("text"))).alias("term"),
+        )
+        .groupBy("term", "half")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .cache()
+    )
+    counts = by_half.groupBy("term").agg(F.sum("cnt").alias("n_exact"))
+    regs = merge_cms_registers(
+        cms_registers(by_half.where(F.col("half") == 0)),
+        cms_registers(by_half.where(F.col("half") == 1)),
+    )
+    top = counts.orderBy(F.col("n_exact").desc(), "term").limit(20)
+    est = cms_estimate(regs, top.select("term"))
+    return top.join(est, "term").select(
+        "term",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        (F.col("cms_estimate") - F.col("n_exact"))
+        .cast("long")
+        .alias("overcount"),
+    )
+
+
 def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level upsert into the snapshot table (Iceberg MERGE INTO
     shape, plans/snapstore.SnapshotTable.merge): every tenth doc's
@@ -1979,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "c4_filter": q_c4_filter,
         "ccnet_buckets": q_ccnet_buckets,
         "sequence_packing": q_sequence_packing,
@@ -2166,6 +2214,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "training_pipeline": oracles.training_pipeline_sql(),
         "snapshot_merge": oracles.snapshot_merge_sql(),
         "hll_cardinality": oracles.hll_host_cardinality_sql(),
+        # merged two-half CMS must equal the oracle's one-shot build
+        "cms_heavy_hitters": oracles.cms_heavy_hitters_sql(),
         "zorder_curve": oracles.zorder_curve_sql(),
         # data-derived literals (IVF/LSH trick), re-derived per sf_dir
         "lm_quality": oracles.unigram_lm_sql(sf_dir),

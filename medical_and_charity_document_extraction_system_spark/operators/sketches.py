@@ -1,4 +1,5 @@
-"""Cardinality sketches: a deterministic, engine-portable HyperLogLog.
+"""Frequency/cardinality sketches: deterministic, engine-portable
+HyperLogLog (distinct counts) and Count-Min (frequency estimates).
 
 Distinct-counting at crawl scale (distinct urls per host, distinct
 hosts per TLD, ...) can't afford exact countDistinct's shuffle of
@@ -129,4 +130,112 @@ def hll_estimate_from_registers(
         F.col("n_buckets").cast("long").alias("n_buckets"),
         (F.lit(M) - F.col("n_buckets")).cast("long").alias("n_empty"),
         (F.lit(ALPHA_NUM) / total.cast("double")).alias("hll_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): frequency estimates
+# in fixed memory. Exact term counting over a 10^12-document corpus
+# shuffles every distinct term; the CMS shuffles at most D*W integer
+# cells no matter how large the vocabulary grows, and cells from
+# disjoint corpora/partitions MERGE by plain addition — the same
+# mergeability story as the HLL registers above, which is what makes
+# it streamable and map-side combinable. Estimates are biased UP only
+# (collisions add, never subtract): estimate >= true count always.
+#
+# Determinism: the D hash rows are md5-derived ("row:term" prefix
+# trick — same rationale as simhash/HLL: the DuckDB twin recomputes
+# every cell from scratch), all cell math is 64-bit integer, and the
+# probe is min() over D exact integers — no float anywhere.
+
+CMS_D = 4  # hash rows
+CMS_W = 1024  # buckets per row
+
+
+def cms_bucket(term: Column, row: int, width: int = CMS_W) -> Column:
+    """Row-``row``'s bucket for ``term``: md5("row:term") first 15
+    nibbles (60 bits, clear of the int64 sign) mod width."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{row}:"), term)), 1, 15), 16, 10
+    ).cast("bigint")
+    return h % width
+
+
+def cms_registers(
+    term_counts: DataFrame,
+    term_col: str = "term",
+    count_col: str = "cnt",
+    d: int = CMS_D,
+    width: int = CMS_W,
+) -> DataFrame:
+    """Build the (row, bucket, cell) sketch table from a (term, count)
+    stream. Addition commutes, so feeding pre-aggregated counts or raw
+    occurrence rows (count 1) yields the identical sketch; the groupBy
+    is map-side combinable and the shuffle carries at most d*width
+    rows regardless of vocabulary size."""
+    t, c = F.col(term_col), F.col(count_col)
+    fanout = term_counts.select(
+        c.alias("_c"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row"),
+                        cms_bucket(t, r, width).alias("bucket"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("_rb"),
+    )
+    return (
+        fanout.select("_rb.row", "_rb.bucket", "_c")
+        .groupBy("row", "bucket")
+        .agg(F.sum("_c").cast("long").alias("cell"))
+    )
+
+
+def merge_cms_registers(*regs: DataFrame) -> DataFrame:
+    """Union sketch tables from independent batches — groupBy SUM over
+    (row, bucket); the CMS merge operator."""
+    u = regs[0]
+    for r in regs[1:]:
+        u = u.unionByName(r)
+    return u.groupBy("row", "bucket").agg(F.sum("cell").alias("cell"))
+
+
+def cms_estimate(
+    registers: DataFrame,
+    probes: DataFrame,
+    term_col: str = "term",
+    d: int = CMS_D,
+    width: int = CMS_W,
+) -> DataFrame:
+    """Point-query the sketch: per probe term, min over the D row
+    cells. Probe terms absent from every build row would miss the
+    join; a left join + zero-coalesce keeps never-seen terms exact
+    (estimate 0). The registers side is at most d*width rows —
+    broadcast it so probing never shuffles the probe side."""
+    probe_rb = probes.select(
+        F.col(term_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row"),
+                        cms_bucket(F.col(term_col), r, width).alias("bucket"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("_rb"),
+    ).select(term_col, "_rb.row", "_rb.bucket")
+    return (
+        probe_rb.join(F.broadcast(registers), ["row", "bucket"], "left")
+        .groupBy(term_col)
+        .agg(
+            F.min(F.coalesce(F.col("cell"), F.lit(0).cast("long"))).alias(
+                "cms_estimate"
+            )
+        )
     )

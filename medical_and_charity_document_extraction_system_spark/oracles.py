@@ -1845,6 +1845,38 @@ FROM documents WHERE doc_id % 50 = 0
 """
 
 
+def cms_heavy_hitters_sql() -> str:
+    """Twin of q_cms_heavy_hitters: every Count-Min cell recomputed
+    from md5 scratch (the "row:term" prefix family), one-shot build —
+    which must equal the Spark side's merged two-half build because
+    cell addition commutes. Integer-only: no float risk anywhere."""
+    from .operators.sketches import CMS_D, CMS_W
+
+    bucket = (
+        "CAST(('0x' || substr(md5(CAST(hrow AS VARCHAR) || ':' || term), 1, 15)) "
+        f"AS BIGINT) % {CMS_W}"
+    )
+    return f"""
+WITH t AS (SELECT unnest({_TOKS}) AS term FROM documents),
+c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+hr AS (SELECT unnest(generate_series(0, {CMS_D - 1})) AS hrow),
+cells AS (
+  SELECT hrow, {bucket} AS bucket, sum(cnt) AS cell
+  FROM c CROSS JOIN hr GROUP BY 1, 2
+),
+top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 20),
+probe AS (
+  SELECT term, cnt, hrow, {bucket} AS bucket FROM top CROSS JOIN hr
+)
+SELECT term,
+       CAST(cnt AS BIGINT) AS n_exact,
+       CAST(min(coalesce(cell, 0)) AS BIGINT) AS cms_estimate,
+       CAST(min(coalesce(cell, 0)) - cnt AS BIGINT) AS overcount
+FROM probe LEFT JOIN cells USING (hrow, bucket)
+GROUP BY term, cnt
+"""
+
+
 def hll_host_cardinality_sql() -> str:
     """Twin of q_hll_cardinality: every HLL register recomputed from
     md5 scratch (bin() bitlength, integer-scaled harmonic sum); the

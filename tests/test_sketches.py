@@ -99,3 +99,111 @@ def test_register_merge_equals_one_shot(spark):
     r3 = hll_registers(df, ["k"], "v")
     inc2 = hll_estimate_from_registers(merge_hll_registers(r1, r3), ["k"]).collect()[0]
     assert inc2["hll_estimate"] == whole["hll_estimate"]
+
+
+# ------------------------------------------------------------- Count-Min
+
+
+def _cms_build(spark, pairs):
+    from medical_and_charity_document_extraction_system_spark.operators.sketches import (
+        cms_registers,
+    )
+
+    df = spark.createDataFrame(pairs, "term string, cnt long")
+    return cms_registers(df)
+
+
+def test_cms_estimate_upper_bounds_truth(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.sketches import (
+        cms_estimate,
+    )
+
+    pairs = [(f"t{i}", (i % 7) + 1) for i in range(300)]
+    truth = dict(pairs)
+    regs = _cms_build(spark, pairs)
+    probes = spark.createDataFrame([(t,) for t in truth], "term string")
+    est = {r["term"]: r["cms_estimate"] for r in cms_estimate(regs, probes).collect()}
+    assert set(est) == set(truth)
+    assert all(est[t] >= c for t, c in truth.items())
+    # with 300 terms in 4x1024 cells most probes should be exact
+    assert sum(est[t] == c for t, c in truth.items()) > 250
+
+
+def test_cms_never_seen_term_estimates_zero_or_collision(spark):
+    """A probe term absent from the build must survive the left join:
+    estimate is 0 unless every one of its D buckets collides."""
+    from medical_and_charity_document_extraction_system_spark.operators.sketches import (
+        cms_estimate,
+    )
+
+    regs = _cms_build(spark, [("only", 5)])
+    probes = spark.createDataFrame([("never",), ("only",)], "term string")
+    est = {r["term"]: r["cms_estimate"] for r in cms_estimate(regs, probes).collect()}
+    assert est["only"] == 5
+    assert est["never"] == 0
+
+
+def test_cms_merge_equals_one_shot_and_partitioning_invariant(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.sketches import (
+        cms_estimate,
+        cms_registers,
+        merge_cms_registers,
+    )
+
+    pairs = [(i, f"w{i % 40}", 1) for i in range(400)]
+    df = spark.createDataFrame(pairs, "i long, term string, cnt long")
+    whole = cms_registers(df)
+    merged = merge_cms_registers(
+        cms_registers(df.where("i % 3 = 0")),
+        cms_registers(df.where("i % 3 != 0")),
+    )
+    probes = df.select("term").distinct()
+    a = {r["term"]: r["cms_estimate"] for r in cms_estimate(whole, probes).collect()}
+    b = {r["term"]: r["cms_estimate"] for r in cms_estimate(merged, probes).collect()}
+    assert a == b
+    c = {
+        r["term"]: r["cms_estimate"]
+        for r in cms_estimate(cms_registers(df.repartition(8)), probes).collect()
+    }
+    assert a == c
+
+
+def test_cms_raw_stream_equals_preaggregated(spark):
+    """Feeding per-occurrence rows (cnt 1) and pre-aggregated counts
+    must build the identical sketch — addition commutes; this is what
+    lets the build ride an existing map-side-combined agg."""
+    from medical_and_charity_document_extraction_system_spark.operators.sketches import (
+        cms_estimate,
+        cms_registers,
+    )
+
+    raw = [(f"x{i % 9}", 1) for i in range(90)]
+    agg = [(f"x{i}", 10) for i in range(9)]
+    probes = spark.createDataFrame([(f"x{i}",) for i in range(9)], "term string")
+    a = {
+        r["term"]: r["cms_estimate"]
+        for r in cms_estimate(
+            cms_registers(spark.createDataFrame(raw, "term string, cnt long")), probes
+        ).collect()
+    }
+    b = {
+        r["term"]: r["cms_estimate"]
+        for r in cms_estimate(
+            cms_registers(spark.createDataFrame(agg, "term string, cnt long")), probes
+        ).collect()
+    }
+    assert a == b
+    assert all(v >= 10 for v in a.values())
+
+
+def test_cms_plan_is_jvm_side_and_broadcasts_probe_join(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.sketches import (
+        cms_estimate,
+        cms_registers,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "term string, cnt long")
+    out = cms_estimate(cms_registers(df), df.select("term"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
