@@ -1164,6 +1164,26 @@ def q_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_decontaminate(corpus, bench)
 
 
+def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-memory decontamination (operators/decontam.py
+    bloom_decontaminate — Bloom 1970): the exact 13-gram overlap next
+    to the Bloom-filter pass over the same eval set (doc_id % 17 == 3
+    stand-in). The filter's set-bit table is capped at 2^16 rows no
+    matter how large the benchmark grows — the broadcast that never
+    stops fitting — and the false-positive gap between the two hit
+    counts is emitted, not hidden. Oracle recomputes every bit
+    position from md5 scratch."""
+    from medical_and_charity_document_extraction_system_spark.operators.decontam import (
+        benchmark_ngrams,
+        bloom_decontaminate,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 17 == 3)
+    corpus = docs.where(F.col("doc_id") % 17 != 3)
+    return bloom_decontaminate(corpus, benchmark_ngrams(bench))
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontam.py — the GPT-3 /
     Pile exact word-13-gram overlap check): docs with
@@ -2027,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in round 5 (never driver-attested) ---
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "bloom_decontamination": q_bloom_decontamination,
         "c4_filter": q_c4_filter,
         "ccnet_buckets": q_ccnet_buckets,
         "sequence_packing": q_sequence_packing,
@@ -2216,6 +2237,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "hll_cardinality": oracles.hll_host_cardinality_sql(),
         # merged two-half CMS must equal the oracle's one-shot build
         "cms_heavy_hitters": oracles.cms_heavy_hitters_sql(),
+        "bloom_decontamination": oracles.bloom_decontamination_sql(),
         "zorder_curve": oracles.zorder_curve_sql(),
         # data-derived literals (IVF/LSH trick), re-derived per sf_dir
         "lm_quality": oracles.unigram_lm_sql(sf_dir),

@@ -226,3 +226,122 @@ def fuzzy_decontaminate(
             F.col("max_jaccard").isNotNull().alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (Bloom 1970): the fixed-memory form of the
+# exact overlap check above. decontaminate() broadcasts the benchmark
+# GRAM STRINGS — fine for one eval suite, but the broadcast grows with
+# the benchmark set (13-gram strings are long). A Bloom filter caps
+# the probe side at M_BITS bits forever: K md5-derived positions per
+# gram, a gram "hits" iff all K positions are set. Deterministic
+# (fixed md5 family — the DuckDB twin recomputes every position), and
+# one-sided: exact hits are always bloom hits; the false-positive rate
+# (1 - e^(-K*n/M))^K is the visible gap between the two hit counts.
+
+BLOOM_M = 1 << 16  # bits
+BLOOM_K = 4  # hash functions
+
+
+def bloom_positions(gram: Column, k: int = BLOOM_K, m: int = BLOOM_M) -> Column:
+    """array<bigint> of the gram's K bit positions — the same
+    "row:value" md5 family as the Count-Min rows (sketches.py)."""
+    from .sketches import cms_bucket
+
+    return F.array(*[cms_bucket(gram, i, m) for i in range(k)])
+
+
+def bloom_build(
+    bench_grams: DataFrame,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """The filter's SET-BIT table: one ``p`` column of distinct
+    positions. At most ``m`` rows (8 KiB of bits in a real bitset)
+    no matter how many benchmark grams exist — always broadcastable,
+    which is the whole point. Position tables from independent
+    benchmark batches merge by plain distinct-union (bitwise OR)."""
+    return (
+        bench_grams.select(
+            F.explode(bloom_positions(F.col("g"), k, m)).alias("p")
+        )
+        .distinct()
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    bench_grams: DataFrame,
+    n: int = DECONTAM_N,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per corpus document: distinct n-gram count, the EXACT benchmark
+    hit count, and the Bloom hit count side by side —
+    (id, n_grams, n_hits_exact, n_hits_bloom, contaminated_exact,
+    contaminated_bloom). Bloom hits are a superset of exact hits by
+    construction, so ``n_hits_bloom >= n_hits_exact`` always; at scale
+    a pipeline keeps only the Bloom pass (fixed memory) and accepts
+    the one-sided false-positive rate as extra discarded documents.
+
+    Plan shape: the gram projection is narrow and recomputed per
+    consumer (cheaper than caching a 13x-exploded corpus); the bloom
+    probe joins a <= m-row broadcast and counts set positions per
+    (doc, gram) — a doc-and-gram-keyed agg that no hot benchmark gram
+    can skew (the broadcast join has no reducer key)."""
+    grams = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams(tokens(F.col(text_col)), n))
+        ).alias("g"),
+    )
+    exact = (
+        grams.join(F.broadcast(bench_grams), "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits_exact"))
+    )
+    setbits = bloom_build(bench_grams, k, m)
+    probe = grams.select(
+        F.col(id_col),
+        F.col("g"),
+        F.explode(bloom_positions(F.col("g"), k, m)).alias("p"),
+    )
+    bloom = (
+        probe.join(
+            F.broadcast(setbits.withColumn("_set", F.lit(1))), "p", "left"
+        )
+        .groupBy(id_col, "g")
+        # never emitted: grouping on g keeps position counts per gram
+        .agg(F.count("_set").alias("_nset"))
+        .where(F.col("_nset") == k)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits_bloom"))
+    )
+    totals = corpus.select(
+        F.col(id_col),
+        F.size(F.array_distinct(word_ngrams(tokens(F.col(text_col)), n)))
+        .cast("long")
+        .alias("n_grams"),
+    )
+    return (
+        totals.join(exact, id_col, "left")
+        .join(bloom, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_grams",
+            F.coalesce(F.col("n_hits_exact"), F.lit(0))
+            .cast("long")
+            .alias("n_hits_exact"),
+            F.coalesce(F.col("n_hits_bloom"), F.lit(0))
+            .cast("long")
+            .alias("n_hits_bloom"),
+            (F.coalesce(F.col("n_hits_exact"), F.lit(0)) > 0).alias(
+                "contaminated_exact"
+            ),
+            (F.coalesce(F.col("n_hits_bloom"), F.lit(0)) > 0).alias(
+                "contaminated_bloom"
+            ),
+        )
+    )

@@ -2380,6 +2380,48 @@ FROM corp LEFT JOIN hits USING (doc_id)
 """
 
 
+def bloom_decontamination_sql(
+    n: int = 13, bench_mod: int = 17, bench_rem: int = 3
+) -> str:
+    """Twin of q_bloom_decontamination: the exact gram-overlap count
+    (decontamination_sql's construction) plus the Bloom pass with
+    every set bit and probe position recomputed from md5 scratch
+    ("hrow:gram" family, 2^16 bits, 4 hashes). Integer-only."""
+    from .operators.decontam import BLOOM_K, BLOOM_M
+
+    def pos(g: str) -> str:
+        return (
+            f"CAST(('0x' || substr(md5(CAST(hrow AS VARCHAR) || ':' || {g}), "
+            f"1, 15)) AS BIGINT) % {BLOOM_M}"
+        )
+
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(len(toks) - {n - 1}, 0)),
+        i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS grams FROM t),
+bench AS (SELECT DISTINCT unnest(grams) AS g FROM g
+          WHERE doc_id % {bench_mod} = {bench_rem}),
+corp AS (SELECT doc_id, grams FROM g WHERE doc_id % {bench_mod} <> {bench_rem}),
+cg AS (SELECT doc_id, unnest(grams) AS g FROM corp),
+hr AS (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS hrow),
+setbits AS (SELECT DISTINCT {pos('g')} AS p, 1 AS s FROM bench CROSS JOIN hr),
+probe AS (SELECT doc_id, g, {pos('g')} AS p FROM cg CROSS JOIN hr),
+bhit AS (SELECT doc_id, g FROM probe LEFT JOIN setbits USING (p)
+         GROUP BY doc_id, g HAVING count(s) = {BLOOM_K}),
+nb AS (SELECT doc_id, count(*) AS n_hits_bloom FROM bhit GROUP BY doc_id),
+ne AS (SELECT doc_id, count(*) AS n_hits_exact
+       FROM cg JOIN bench USING (g) GROUP BY doc_id)
+SELECT corp.doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(coalesce(n_hits_exact, 0) AS BIGINT) AS n_hits_exact,
+       CAST(coalesce(n_hits_bloom, 0) AS BIGINT) AS n_hits_bloom,
+       coalesce(n_hits_exact, 0) > 0 AS contaminated_exact,
+       coalesce(n_hits_bloom, 0) > 0 AS contaminated_bloom
+FROM corp LEFT JOIN ne USING (doc_id) LEFT JOIN nb USING (doc_id)
+"""
+
+
 def semdedup_sql(
     sf_dir: str = "/root/testdata/sf0.01",
     threshold: float = 0.4,

@@ -142,3 +142,58 @@ def test_fuzzy_decontamination_broadcast_only_plan(spark):
     # cannot concentrate on one reducer); the remaining id-keyed
     # corpus joins are plain equi-joins, AQE-splittable
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+# ------------------------------------------------------------ Bloom pass
+
+
+def test_bloom_planted_contamination_and_superset(spark, planted):
+    from medical_and_charity_document_extraction_system_spark.operators.decontam import (
+        bloom_decontaminate,
+    )
+
+    bench, corpus = planted
+    out = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(corpus, benchmark_ngrams(bench)).collect()
+    }
+    assert set(out) == {10, 11, 12, 13}
+    # exact hits are always bloom hits (one-sided error)
+    for r in out.values():
+        assert r["n_hits_bloom"] >= r["n_hits_exact"]
+        assert (not r["contaminated_exact"]) or r["contaminated_bloom"]
+    assert out[10]["contaminated_exact"] and out[10]["contaminated_bloom"]
+    assert out[11]["n_hits_exact"] == 1  # repeated gram counts once
+    assert out[13]["n_grams"] == 0 and not out[13]["contaminated_bloom"]
+    # 18 clean grams of doc 12 against ~8 bench grams in 2^16 bits:
+    # a false positive needs a 4-position collision — impossible here
+    assert not out[12]["contaminated_bloom"]
+
+
+def test_bloom_build_is_bounded_and_mergeable(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.decontam import (
+        BLOOM_M,
+        bloom_build,
+    )
+
+    a = spark.createDataFrame([(f"g{i}",) for i in range(50)], ["g"])
+    b = spark.createDataFrame([(f"h{i}",) for i in range(50)], ["g"])
+    both = a.unionByName(b)
+    one_shot = {r["p"] for r in bloom_build(both).collect()}
+    merged = {r["p"] for r in bloom_build(a).collect()} | {
+        r["p"] for r in bloom_build(b).collect()
+    }
+    assert one_shot == merged  # set-bit tables OR by plain union
+    assert len(one_shot) <= BLOOM_M
+
+
+def test_bloom_plan_is_jvm_side_with_broadcast_probe(spark, planted):
+    from medical_and_charity_document_extraction_system_spark.operators.decontam import (
+        bloom_decontaminate,
+    )
+
+    bench, corpus = planted
+    out = bloom_decontaminate(corpus, benchmark_ngrams(bench))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
