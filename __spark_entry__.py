@@ -1203,6 +1203,40 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, benchmark_ngrams(bench))
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised quality classifier (operators/classifier.py — the
+    DCLM/fastText model-filter analog as closed-form NB log-odds over
+    hashed unigram buckets): train on docs with doc_id % 10 < 8,
+    score the held-out 20%, and emit per-doc prediction vs label.
+    The stand-in label is "document mentions 'spark'" so the oracle
+    can recompute it; any boolean column plugs into the same code
+    path. Weights are int64 2^40 fixed-point literals shared with the
+    twin (the DSIR discipline) — scores are exact integer sums, no
+    float fold anywhere."""
+    from medical_and_charity_document_extraction_system_spark.operators.classifier import (
+        nb_scores,
+        train_nb_classifier,
+    )
+
+    docs = _docs(spark, sf_dir)
+    labeled = docs.withColumn(
+        "label_pos", F.array_contains(ts.tokens(F.col("text")), "spark")
+    )
+    train = labeled.where(F.col("doc_id") % 10 < 8)
+    weights, bias = train_nb_classifier(train, "label_pos")
+    ev = labeled.where(F.col("doc_id") % 10 >= 8)
+    scored = nb_scores(ev, weights, bias)
+    return scored.join(ev.select("doc_id", "label_pos"), "doc_id").select(
+        "doc_id",
+        "label_pos",
+        "n_toks",
+        "score_scaled",
+        "score",
+        "pred",
+        (F.col("pred") == F.col("label_pos")).alias("correct"),
+    )
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights + deterministic top-k selection
     (operators/dsir.py — Xie et al. 2023): docs from source 'src0'
@@ -2048,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 (never driver-attested) ---
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_decontamination": q_bloom_decontamination,
+        "quality_classifier": q_quality_classifier,
         "c4_filter": q_c4_filter,
         "ccnet_buckets": q_ccnet_buckets,
         "sequence_packing": q_sequence_packing,
@@ -2253,6 +2288,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # bucket counts / log-ratio literals / threshold re-derived
         # from the target sf_dir (the lm_quality trick)
         "dsir_weights": oracles.dsir_sql(sf_dir),
+        # data-derived literals: re-derive from the gate's sf_dir
+        "quality_classifier": oracles.nb_classifier_sql(sf_dir),
         # centroid literals re-derived from the target sf_dir (IVF trick)
         "semdedup": oracles.semdedup_sql(sf_dir),
         # the streamed upsert must land on the batch-merge construction

@@ -2502,6 +2502,74 @@ FROM assign LEFT JOIN pm ON pm.vec_id = assign.vec_id
 """
 
 
+def nb_classifier_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    m: int = 256,
+    marker: str = "spark",
+    train_mod: int = 10,
+    train_lt: int = 8,
+) -> str:
+    """Full oracle for q_quality_classifier (operators/classifier.py).
+
+    The model is a pure function of the documents table: the builder
+    re-derives the per-(label, bucket) token counts straight from the
+    parquet with duckdb, reruns the SAME fixed-point literal
+    arithmetic (nb_weights_from_counts — one math.log per bucket,
+    int64 at 2^40), and scores the held-out split in SQL with the
+    weights as an array literal. Per-doc scores are exact integer
+    sums plus the bias literal; the only float is one power-of-two
+    descale."""
+    import duckdb
+
+    from .operators.classifier import nb_weights_from_counts
+    from .operators.dsir import FP_SCALE
+
+    bucket = "CAST(('0x' || substr(md5({t}), 1, 8)) AS BIGINT) % " + str(m)
+
+    con = duckdb.connect()
+    counts = con.sql(f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks
+           FROM '{sf_dir}/documents.parquet'
+           WHERE doc_id % {train_mod} < {train_lt}),
+lab AS (SELECT doc_id, toks, list_contains(toks, '{marker}') AS pos FROM t),
+tk AS (SELECT pos, unnest(toks) AS tok FROM lab)
+SELECT pos, {bucket.format(t='tok')} AS b, count(*) AS c
+FROM tk GROUP BY 1, 2
+""").fetchall()
+    ndocs = con.sql(f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks
+           FROM '{sf_dir}/documents.parquet'
+           WHERE doc_id % {train_mod} < {train_lt})
+SELECT list_contains(toks, '{marker}') AS pos, count(*) FROM t GROUP BY 1
+""").fetchall()
+    con.close()
+    cp = {int(b): int(c) for pos, b, c in counts if pos}
+    cn = {int(b): int(c) for pos, b, c in counts if not pos}
+    n_pos = next((int(c) for pos, c in ndocs if pos), 0)
+    n_neg = next((int(c) for pos, c in ndocs if not pos), 0)
+    weights, bias = nb_weights_from_counts(cp, cn, n_pos, n_neg, m)
+    w_list = "[" + ", ".join(str(w) for w in weights) + "]"
+
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+           WHERE doc_id % {train_mod} >= {train_lt}),
+lab AS (SELECT doc_id, toks, list_contains(toks, '{marker}') AS label_pos FROM t),
+tk AS (SELECT doc_id, unnest(toks) AS tok FROM lab),
+p AS (SELECT doc_id, ({w_list})[1 + {bucket.format(t='tok')}] AS w FROM tk),
+agg AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS ws,
+               CAST(count(*) AS BIGINT) AS n_toks
+        FROM p GROUP BY doc_id)
+SELECT lab.doc_id, lab.label_pos,
+       CAST(coalesce(n_toks, 0) AS BIGINT) AS n_toks,
+       CAST(coalesce(ws, 0) + {bias} AS BIGINT) AS score_scaled,
+       CAST(coalesce(ws, 0) + {bias} AS DOUBLE)
+         / CAST('{float(FP_SCALE)!r}' AS DOUBLE) AS score,
+       (coalesce(ws, 0) + {bias}) > 0 AS pred,
+       ((coalesce(ws, 0) + {bias}) > 0) = lab.label_pos AS correct
+FROM lab LEFT JOIN agg USING (doc_id)
+"""
+
+
 def dsir_sql(
     sf_dir: str = "/root/testdata/sf0.01",
     target_source: str = "src0",
