@@ -1203,6 +1203,40 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, benchmark_ngrams(bench))
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py — Sennrich
+    et al. 2016): 12 merge rounds over the word-frequency table (the
+    one corpus-wide pass happens before round 1; every round after is
+    vocabulary-sized). Emits the learned merge table in priority
+    order; the oracle reruns the identical algorithm in Python over
+    duckdb word counts, so any divergence in pair counting, the
+    (count DESC, left, right) tie-break, or the greedy leftmost apply
+    scan fails the gate."""
+    from medical_and_charity_document_extraction_system_spark.operators.bpe import (
+        bpe_train,
+        merge_table_df,
+    )
+
+    merges, _ = bpe_train(_docs(spark, sf_dir))
+    return merge_table_df(spark, merges)
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document subtoken counts under the corpus-trained BPE
+    (operators/bpe.segment_counts): the trained word table already
+    carries each word's final segmentation, so segmenting the corpus
+    is ONE join on word — the merge loop never reruns over documents.
+    Oracle re-derives the word->subtoken map via the Python twin."""
+    from medical_and_charity_document_extraction_system_spark.operators.bpe import (
+        bpe_train,
+        segment_counts,
+    )
+
+    docs = _docs(spark, sf_dir)
+    _, wt = bpe_train(docs)
+    return segment_counts(docs, wt)
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supervised quality classifier (operators/classifier.py — the
     DCLM/fastText model-filter analog as closed-form NB log-odds over
@@ -2083,6 +2117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_decontamination": q_bloom_decontamination,
         "quality_classifier": q_quality_classifier,
+        "bpe_train": q_bpe_train,
+        "bpe_segment": q_bpe_segment,
         "c4_filter": q_c4_filter,
         "ccnet_buckets": q_ccnet_buckets,
         "sequence_packing": q_sequence_packing,
@@ -2290,6 +2326,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "dsir_weights": oracles.dsir_sql(sf_dir),
         # data-derived literals: re-derive from the gate's sf_dir
         "quality_classifier": oracles.nb_classifier_sql(sf_dir),
+        "bpe_train": oracles.bpe_train_sql(sf_dir),
+        "bpe_segment": oracles.bpe_segment_sql(sf_dir),
         # centroid literals re-derived from the target sf_dir (IVF trick)
         "semdedup": oracles.semdedup_sql(sf_dir),
         # the streamed upsert must land on the batch-merge construction

@@ -2502,6 +2502,72 @@ FROM assign LEFT JOIN pm ON pm.vec_id = assign.vec_id
 """
 
 
+def _bpe_word_counts(sf_dir: str) -> dict[str, int]:
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(f"""
+WITH t AS (SELECT {_TOKS} AS toks FROM '{sf_dir}/documents.parquet')
+SELECT word, count(*) FROM (SELECT unnest(toks) AS word FROM t) GROUP BY word
+""").fetchall()
+    con.close()
+    return {w: int(c) for w, c in rows}
+
+
+def _sq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def bpe_train_sql(sf_dir: str = "/root/testdata/sf0.01", n_merges: int = 12) -> str:
+    """Twin of q_bpe_train: the merge table re-derived by running the
+    IDENTICAL algorithm (operators/bpe.bpe_train_python — same greedy
+    scan, same (count DESC, left, right) tie-break) over duckdb word
+    counts from the same parquet, emitted as VALUES literals. Integer
+    counts and string equality only — nothing to drift."""
+    from .operators.bpe import bpe_train_python
+
+    merges, _ = bpe_train_python(_bpe_word_counts(sf_dir), n_merges)
+    if not merges:
+        return (
+            "SELECT CAST(NULL AS INTEGER) AS rank, CAST(NULL AS VARCHAR) AS left_sym, "
+            "CAST(NULL AS VARCHAR) AS right_sym, CAST(NULL AS BIGINT) AS pair_count "
+            "WHERE FALSE"
+        )
+    rows = ",\n".join(
+        f"({i}, {_sq(l)}, {_sq(r)}, {c})" for i, (l, r, c) in enumerate(merges)
+    )
+    return f"""
+SELECT CAST(rank AS INTEGER) AS rank, left_sym, right_sym,
+       CAST(pair_count AS BIGINT) AS pair_count
+FROM (VALUES {rows}) AS m(rank, left_sym, right_sym, pair_count)
+"""
+
+
+def bpe_segment_sql(sf_dir: str = "/root/testdata/sf0.01", n_merges: int = 12) -> str:
+    """Twin of q_bpe_segment: the trained word->subtoken-count map is
+    re-derived in Python (bpe_train_python) and joined in SQL against
+    the same tokenization the Spark side explodes."""
+    from .operators.bpe import bpe_train_python
+
+    _, syms = bpe_train_python(_bpe_word_counts(sf_dir), n_merges)
+    if not syms:
+        seg = "SELECT CAST(NULL AS VARCHAR) AS word, CAST(NULL AS BIGINT) AS n_sub WHERE FALSE"
+    else:
+        rows = ",\n".join(f"({_sq(w)}, {len(ss)})" for w, ss in syms.items())
+        seg = f"SELECT word, CAST(n_sub AS BIGINT) AS n_sub FROM (VALUES {rows}) AS s(word, n_sub)"
+    return f"""
+WITH seg AS ({seg}),
+t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+w AS (SELECT doc_id, unnest(toks) AS word FROM t),
+a AS (SELECT doc_id, count(*) AS n_words, sum(n_sub) AS n_subtokens
+      FROM w JOIN seg USING (word) GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(n_subtokens, 0) AS BIGINT) AS n_subtokens
+FROM t LEFT JOIN a USING (doc_id)
+"""
+
+
 def nb_classifier_sql(
     sf_dir: str = "/root/testdata/sf0.01",
     m: int = 256,
