@@ -1203,6 +1203,19 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, benchmark_ngrams(bench))
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction (operators/lm.collocation_lift — Church
+    & Hanks association ranking): top-50 adjacent word pairs by lift
+    n_xy*N/(n_x*n_y) with min pair count 5. Integer-exact products,
+    one final division — the float-free alternative to log-PMI, so
+    the oracle needs no injected literals."""
+    from medical_and_charity_document_extraction_system_spark.operators.lm import (
+        collocation_lift,
+    )
+
+    return collocation_lift(_docs(spark, sf_dir))
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/bpe.py — Sennrich
     et al. 2016): 12 merge rounds over the word-frequency table (the
@@ -2119,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
+        "collocations": q_collocations,
         "c4_filter": q_c4_filter,
         "ccnet_buckets": q_ccnet_buckets,
         "sequence_packing": q_sequence_packing,
@@ -2328,6 +2342,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "quality_classifier": oracles.nb_classifier_sql(sf_dir),
         "bpe_train": oracles.bpe_train_sql(sf_dir),
         "bpe_segment": oracles.bpe_segment_sql(sf_dir),
+        "collocations": oracles.collocations_sql(),
         # centroid literals re-derived from the target sf_dir (IVF trick)
         "semdedup": oracles.semdedup_sql(sf_dir),
         # the streamed upsert must land on the batch-merge construction

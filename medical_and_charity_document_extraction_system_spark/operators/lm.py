@@ -332,3 +332,64 @@ def unigram_lm_fold_expr(
         f"{oov} * CAST('{logp_oov!r}' AS DOUBLE)"
     ]
     return "(" + " + ".join(parts) + ")"
+
+
+def collocation_lift(
+    corpus: DataFrame,
+    top_k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation extraction: rank adjacent word pairs by
+    association lift — PMI's exponent,
+
+        lift(x, y) = n_xy * N / (n_x * n_y)
+
+    with N the total token count. High-lift pairs are multiword
+    expressions ("los angeles", "machine learning") — the classic
+    phrase-mining signal (Church & Hanks 1990) a corpus pipeline
+    feeds to tokenizer/vocab construction.
+
+    Float discipline: n_xy * N and n_x * n_y are EXACT int64 products
+    (at 10^12-token scale promote to decimal/hugeint — int64 caps the
+    cross-product at N * max_pair_count < 2^63) and the lift is ONE
+    division of exact integers — reproducible in any IEEE engine, so
+    no literal-injection is needed, unlike log-based PMI.
+
+    Plan: bigram + unigram counts are two map-side-combinable aggs,
+    joined on each pair's two member words (bigram-keyed joins, no
+    hot reducer since pairs are near-unique); N is one bounded scalar
+    collect. Top-k is a TakeOrdered, not a global sort."""
+    toks = tokens(F.col(text_col))
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    pair = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+    )
+    pairs = corpus.select(F.explode(pair).alias("p")).select("p.x", "p.y")
+    n_xy = pairs.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_xy")
+    )
+    uni = (
+        corpus.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    )
+    total = uni.agg(F.sum("n_w")).collect()[0][0] or 0
+    scored = (
+        n_xy.where(F.col("n_xy") >= min_count)
+        .join(uni.withColumnRenamed("w", "x").withColumnRenamed("n_w", "n_x"), "x")
+        .join(uni.withColumnRenamed("w", "y").withColumnRenamed("n_w", "n_y"), "y")
+        .select(
+            F.concat(F.col("x"), F.lit(" "), F.col("y")).alias("pair"),
+            "n_xy",
+            "n_x",
+            "n_y",
+            (
+                (F.col("n_xy") * F.lit(int(total)).cast("long")).cast("double")
+                / (F.col("n_x") * F.col("n_y")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "pair").limit(top_k)

@@ -2502,6 +2502,33 @@ FROM assign LEFT JOIN pm ON pm.vec_id = assign.vec_id
 """
 
 
+def collocations_sql(top_k: int = 50, min_count: int = 5) -> str:
+    """Twin of q_collocations: identical integer cross-products and
+    ONE exact-int division per pair — no literals needed (the reason
+    lift is used instead of log-PMI)."""
+    return f"""
+WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+ix AS (SELECT toks, unnest(range(1, greatest(len(toks), 1))) AS i FROM t),
+bp AS (SELECT toks[i] AS x, toks[i + 1] AS y FROM ix),
+nxy AS (SELECT x, y, count(*) AS n_xy FROM bp GROUP BY x, y),
+nu AS (SELECT w, count(*) AS n_w
+       FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+tot AS (SELECT sum(n_w) AS n FROM nu)
+SELECT x || ' ' || y AS pair,
+       CAST(n_xy AS BIGINT) AS n_xy,
+       CAST(ux.n_w AS BIGINT) AS n_x,
+       CAST(uy.n_w AS BIGINT) AS n_y,
+       CAST(n_xy * (SELECT n FROM tot) AS DOUBLE)
+         / CAST(ux.n_w * uy.n_w AS DOUBLE) AS lift
+FROM nxy
+JOIN nu ux ON ux.w = x
+JOIN nu uy ON uy.w = y
+WHERE n_xy >= {min_count}
+ORDER BY lift DESC, pair
+LIMIT {top_k}
+"""
+
+
 def _bpe_word_counts(sf_dir: str) -> dict[str, int]:
     import duckdb
 

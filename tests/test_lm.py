@@ -164,3 +164,52 @@ def test_bigram_scoring_plan_is_jvm_side_and_staged(spark):
     # filter() sites = vocab terms + bigrams + 1 tokenizer
     n_filters = qe.optimizedPlan().toString().count("filter(")
     assert n_filters <= 2 + 2 + 1
+
+
+# ---------------------------------------------------------- collocations
+
+
+def test_collocation_lift_ranks_fixed_phrases_first(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.lm import (
+        collocation_lift,
+    )
+
+    # "new york" always adjacent; "the" everywhere (high-frequency,
+    # low association); lift must rank the fixed phrase on top
+    rows = [(i, "the city of new york has the people the cars") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = collocation_lift(df, top_k=10, min_count=5).collect()
+    pairs = [r["pair"] for r in out]
+    assert pairs[0] in ("city of", "new york", "of new")  # all perfect 1:1 pairs
+    assert "new york" in pairs
+    ny = next(r for r in out if r["pair"] == "new york")
+    # n_xy=5, n_x=n_y=5, N=50 -> lift = 5*50/25 = 10.0 exactly
+    assert ny["lift"] == 10.0 and ny["n_xy"] == 5
+    the = [r for r in out if r["pair"].startswith("the ")]
+    assert all(r["lift"] < 10.0 for r in the)  # "the" pairs are diluted
+
+
+def test_collocation_min_count_filters(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.lm import (
+        collocation_lift,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "rare pair common common common common common common")],
+        "doc_id long, text string",
+    )
+    out = collocation_lift(df, top_k=10, min_count=2).collect()
+    assert all(r["n_xy"] >= 2 for r in out)
+    assert not any(r["pair"] == "rare pair" for r in out)
+
+
+def test_collocation_partitioning_invariant(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.lm import (
+        collocation_lift,
+    )
+
+    rows = [(i, "alpha beta gamma alpha beta") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = [tuple(r) for r in collocation_lift(df, 10, 2).collect()]
+    b = [tuple(r) for r in collocation_lift(df.repartition(8), 10, 2).collect()]
+    assert a == b
