@@ -85,6 +85,15 @@ CATALOG_QUERIES = [
     # round 5 capstone: extract -> C4 -> Gopher -> dedup ->
     # decontaminate -> packing summary, one composed query
     "pretraining_corpus",
+    # late round 5: fixed-memory sketches (Count-Min heavy hitters,
+    # Bloom decontamination), the NB quality classifier, distributed
+    # BPE training (12 merge rounds over the word table), and
+    # collocation lift
+    "cms_heavy_hitters",
+    "bloom_decontamination",
+    "quality_classifier",
+    "bpe_train",
+    "collocations",
 ]
 
 
