@@ -1203,6 +1203,47 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, benchmark_ngrams(bench))
 
 
+def q_stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min maintenance (streaming/stream.py
+    cms_register_stream): the corpus arrives as micro-batches (8
+    input files, 2 per trigger -> 4 epochs), each epoch writes its
+    register delta, and the merged sketch must equal the ONE-SHOT
+    build bit-for-bit — same oracle as cms_heavy_hitters, because
+    cell addition commutes across any batch slicing. This is the
+    sketch layer's incremental/streaming attestation (the HLL
+    equivalent is hll_incremental)."""
+    from medical_and_charity_document_extraction_system_spark.operators.sketches import (
+        cms_estimate,
+    )
+    from medical_and_charity_document_extraction_system_spark.streaming import (
+        cms_register_stream,
+        read_cms_registers,
+    )
+
+    base = _stage_dir("stream_cms_")
+    inp, regs, ck = f"{base}/in", f"{base}/regs", f"{base}/ck"
+    docs = _docs(spark, sf_dir)
+    docs.repartition(8).write.mode("overwrite").parquet(inp)
+    q = cms_register_stream(spark, inp, regs, ck, max_files_per_trigger=2)
+    q.awaitTermination()
+    merged = read_cms_registers(spark, regs)
+    counts = (
+        docs.select(F.explode(ts.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    top = counts.orderBy(F.col("n_exact").desc(), "term").limit(20)
+    est = cms_estimate(merged, top.select("term"))
+    return top.join(est, "term").select(
+        "term",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        (F.col("cms_estimate") - F.col("n_exact"))
+        .cast("long")
+        .alias("overcount"),
+    )
+
+
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation extraction (operators/lm.collocation_lift — Church
     & Hanks association ranking): top-50 adjacent word pairs by lift
@@ -2133,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
         "collocations": q_collocations,
+        "stream_cms_sketch": q_stream_cms_sketch,
         "c4_filter": q_c4_filter,
         "ccnet_buckets": q_ccnet_buckets,
         "sequence_packing": q_sequence_packing,
@@ -2343,6 +2385,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "bpe_train": oracles.bpe_train_sql(sf_dir),
         "bpe_segment": oracles.bpe_segment_sql(sf_dir),
         "collocations": oracles.collocations_sql(),
+        # streamed epoch-delta merge must equal the one-shot sketch
+        "stream_cms_sketch": oracles.cms_heavy_hitters_sql(),
         # centroid literals re-derived from the target sf_dir (IVF trick)
         "semdedup": oracles.semdedup_sql(sf_dir),
         # the streamed upsert must land on the batch-merge construction

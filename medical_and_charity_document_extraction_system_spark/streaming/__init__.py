@@ -1,7 +1,9 @@
 from .stream import (  # noqa: F401
     dedup_url_stream,
     extraction_to_snapshot_stream,
+    cms_register_stream,
     host_running_totals_stream,
+    read_cms_registers,
     host_rate_stream,
     recrawl_merge_stream,
     run_extraction_stream,

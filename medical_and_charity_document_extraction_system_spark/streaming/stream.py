@@ -324,3 +324,66 @@ def recrawl_merge_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def cms_register_stream(
+    spark: SparkSession,
+    input_dir: str,
+    registers_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int = 2,
+) -> StreamingQuery:
+    """Streaming Count-Min maintenance (the sketch-mergeability
+    payoff): each micro-batch aggregates its own token counts,
+    sketches them, and writes the register DELTA to an epoch-keyed
+    subdirectory. Replayed batches overwrite the same path —
+    idempotent, the foreachBatch contract — and the sketch "as of
+    now" is the groupBy-SUM merge of every delta on disk, valid
+    because CMS cells merge by addition (operators/sketches.py).
+    State never grows past D*W cells per epoch file, and no epoch
+    ever rewrites another's output — contrast with the snapshot sink
+    above, which needs a tag protocol because its commits share one
+    table."""
+    from pyspark.sql import functions as F
+
+    from ..functions.textstats import tokens
+    from ..operators.sketches import cms_registers
+
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def commit_batch(batch_df, epoch_id: int) -> None:
+        counts = (
+            batch_df.select(F.explode(tokens(F.col("text"))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        cms_registers(counts).write.mode("overwrite").parquet(
+            f"{registers_dir}/epoch_{epoch_id}"
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cms_registers(spark: SparkSession, registers_dir: str):
+    """Merge every epoch delta into the current sketch — one
+    groupBy-SUM, the same operation merge_cms_registers applies to
+    batch halves."""
+    from pyspark.sql import functions as F
+
+    deltas = spark.read.parquet(f"{registers_dir}/epoch_*")
+    return deltas.groupBy("row", "bucket").agg(
+        F.sum("cell").cast("long").alias("cell")
+    )

@@ -276,3 +276,58 @@ def test_host_running_totals_stateful_stream(spark, pages_small, tmp_path):
         .collect()
     }
     assert final == exp
+
+
+def test_streaming_cms_matches_one_shot_and_is_idempotent(spark, tmp_path):
+    """Epoch-delta CMS maintenance: slicing the corpus into
+    micro-batches must not move a single cell (addition commutes),
+    and a second availableNow run over the same checkpoint must
+    process nothing (foreachBatch idempotence via epoch-keyed
+    paths)."""
+    import pyspark.sql.functions as F
+
+    from medical_and_charity_document_extraction_system_spark.functions.textstats import tokens
+    from medical_and_charity_document_extraction_system_spark.operators.sketches import (
+        cms_registers,
+    )
+    from medical_and_charity_document_extraction_system_spark.streaming import (
+        cms_register_stream,
+        read_cms_registers,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 3} common") for i in range(40)],
+        "doc_id long, text string",
+    )
+    inp, regs, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "regs"),
+        str(tmp_path / "ck"),
+    )
+    docs.repartition(6).write.parquet(inp)
+    cms_register_stream(spark, inp, regs, ck, max_files_per_trigger=2).awaitTermination()
+    import glob
+
+    epochs = glob.glob(f"{regs}/epoch_*")
+    assert len(epochs) >= 2  # genuinely incremental, not one batch
+    merged = {
+        (r["row"], r["bucket"]): r["cell"]
+        for r in read_cms_registers(spark, regs).collect()
+    }
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    one_shot = {
+        (r["row"], r["bucket"]): r["cell"] for r in cms_registers(counts).collect()
+    }
+    assert merged == one_shot
+    # replay: same checkpoint, no new files -> no new epochs, same cells
+    cms_register_stream(spark, inp, regs, ck, max_files_per_trigger=2).awaitTermination()
+    assert sorted(glob.glob(f"{regs}/epoch_*")) == sorted(epochs)
+    merged2 = {
+        (r["row"], r["bucket"]): r["cell"]
+        for r in read_cms_registers(spark, regs).collect()
+    }
+    assert merged2 == one_shot
