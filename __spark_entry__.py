@@ -1203,6 +1203,25 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, benchmark_ngrams(bench))
 
 
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantiles (operators/sketches.py —
+    hist_registers/hist_quantiles): per-source p50/p95 document
+    length from a 64-bin integer histogram. The exact twin
+    (host_length_quantiles) row-numbers inside corpus-sized window
+    partitions; this sketch shuffles <= 64 cells per source and
+    answers with one-bin-width error — entirely integer arithmetic,
+    including the ceil(p% of n) rank threshold ((n*p + 99) div 100),
+    so the oracle needs no float literal at all."""
+    from medical_and_charity_document_extraction_system_spark.operators.sketches import (
+        hist_quantiles,
+        hist_registers,
+    )
+
+    docs = _docs(spark, sf_dir)
+    regs = hist_registers(docs, ["source"], "n_chars")
+    return hist_quantiles(regs, ["source"])
+
+
 def q_stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Count-Min maintenance (streaming/stream.py
     cms_register_stream): the corpus arrives as micro-batches (8
@@ -2175,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment": q_bpe_segment,
         "collocations": q_collocations,
         "stream_cms_sketch": q_stream_cms_sketch,
+        "hist_quantiles": q_hist_quantiles,
         "c4_filter": q_c4_filter,
         "ccnet_buckets": q_ccnet_buckets,
         "sequence_packing": q_sequence_packing,
@@ -2387,6 +2407,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "collocations": oracles.collocations_sql(),
         # streamed epoch-delta merge must equal the one-shot sketch
         "stream_cms_sketch": oracles.cms_heavy_hitters_sql(),
+        "hist_quantiles": oracles.hist_quantiles_sql(),
         # centroid literals re-derived from the target sf_dir (IVF trick)
         "semdedup": oracles.semdedup_sql(sf_dir),
         # the streamed upsert must land on the batch-merge construction

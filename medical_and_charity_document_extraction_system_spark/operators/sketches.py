@@ -239,3 +239,77 @@ def cms_estimate(
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram quantiles: the mergeable-quantile member of the
+# sketch family (HLL = distinct, CMS = frequency, Bloom = membership,
+# histogram = rank/quantile). The exact discrete quantile
+# (host_length_quantiles) row-numbers every value inside a corpus-
+# sized window partition; the histogram shuffles at most BINS integer
+# cells per key, merges by addition (streamable, map-side
+# combinable), and answers any quantile with error bounded by one bin
+# width. Everything is integer — bin assignment is one integer
+# division, the rank threshold ceil(q*n) is computed as
+# (n*pct + 99) div 100, exact in both engines with NO float literal
+# at all (sidestepping the DuckDB DECIMAL-0.95 trap entirely).
+
+HIST_BINS = 64
+HIST_WIDTH = 16  # covers values 0 .. BINS*WIDTH-1; last bin absorbs overflow
+
+
+def hist_registers(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    bins: int = HIST_BINS,
+    width: int = HIST_WIDTH,
+) -> DataFrame:
+    """(keys, bin, cnt) — mergeable by groupBy-SUM, like the CMS
+    cells. Negative values clamp to bin 0, overflow to the last bin."""
+    bin_expr = F.expr(
+        f"least(greatest({value_col}, 0) div {width}, {bins - 1})"
+    ).cast("int")
+    return (
+        df.select(*key_cols, bin_expr.alias("bin"))
+        .groupBy(*key_cols, "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    regs: DataFrame,
+    key_cols: list[str],
+    pcts: tuple[int, ...] = (50, 95),
+    width: int = HIST_WIDTH,
+) -> DataFrame:
+    """Finish a register table into per-key quantile estimates:
+    for each percentile p, the smallest bin whose cumulative count
+    reaches ceil(p% of n), reported as (p{p}_bin, p{p}_upper) where
+    upper = (bin+1)*width - 1 bounds the true discrete quantile from
+    above (and bin*width from below: one-bin-width error, always).
+
+    The cumulative window partitions on the KEY over the aggregated
+    register table — at most BINS rows per partition regardless of
+    corpus size, so this is NOT the inverted_index window hazard
+    (that window partitioned a corpus-sized posting list)."""
+    from pyspark.sql.window import Window
+
+    w_cum = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*key_cols)
+    cum = regs.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    aggs = [F.max("n").cast("long").alias("n_docs")]
+    for p in pcts:
+        thr = F.expr(f"(n * {p} + 99) div 100")
+        qbin = F.min(F.when(F.col("cum") >= thr, F.col("bin")))
+        aggs.append(qbin.cast("long").alias(f"p{p}_bin"))
+        aggs.append(
+            ((qbin + 1) * width - 1).cast("long").alias(f"p{p}_upper")
+        )
+    return cum.groupBy(*key_cols).agg(*aggs)

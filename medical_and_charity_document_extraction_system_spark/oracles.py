@@ -1126,6 +1126,36 @@ FROM r GROUP BY source
 """
 
 
+def hist_quantiles_sql(bins: int = 64, width: int = 16) -> str:
+    """Twin of q_hist_quantiles: identical integer bin assignment,
+    cumulative bin counts, and the float-free ceil threshold
+    (n*p + 99) // 100 — no DECIMAL/DOUBLE literal anywhere."""
+
+    def q(p: int) -> str:
+        return f"min(CASE WHEN cum >= (n * {p} + 99) // 100 THEN bin END)"
+
+    return f"""
+WITH b AS (
+  SELECT source, least(greatest(n_chars, 0) // {width}, {bins - 1}) AS bin
+  FROM documents
+),
+c AS (SELECT source, bin, count(*) AS cnt FROM b GROUP BY source, bin),
+w AS (
+  SELECT source, bin, cnt,
+         sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY source) AS n
+  FROM c
+)
+SELECT source,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       CAST({q(50)} AS BIGINT) AS p50_bin,
+       CAST(({q(50)} + 1) * {width} - 1 AS BIGINT) AS p50_upper,
+       CAST({q(95)} AS BIGINT) AS p95_bin,
+       CAST(({q(95)} + 1) * {width} - 1 AS BIGINT) AS p95_upper
+FROM w GROUP BY source
+"""
+
+
 def snapshot_time_travel_sql() -> str:
     """Twin of q_snapshot_time_travel: snapshot 1 holds exactly the
     even-id docs, so reading it back must aggregate exactly those."""

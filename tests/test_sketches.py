@@ -207,3 +207,65 @@ def test_cms_plan_is_jvm_side_and_broadcasts_probe_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------- histogram quantiles
+
+
+def test_hist_quantile_brackets_exact_discrete_quantile(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.sketches import (
+        HIST_WIDTH,
+        hist_quantiles,
+        hist_registers,
+    )
+
+    vals = sorted([7, 15, 16, 33, 40, 100, 101, 200, 555, 1023])
+    df = spark.createDataFrame([("k", v) for v in vals], "k string, v long")
+    out = hist_quantiles(hist_registers(df, ["k"], "v"), ["k"]).collect()[0]
+    n = len(vals)
+    for p, lo_col, up_col in ((50, "p50_bin", "p50_upper"), (95, "p95_bin", "p95_upper")):
+        exact = vals[(n * p + 99) // 100 - 1]  # discrete ceil-rank rule
+        lo = out[lo_col] * HIST_WIDTH
+        assert lo <= exact <= out[up_col]  # one-bin-width bracket
+    assert out["n_docs"] == n
+
+
+def test_hist_registers_merge_and_clamp(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.sketches import (
+        HIST_BINS,
+        hist_registers,
+    )
+
+    df = spark.createDataFrame(
+        [("k", -5), ("k", 0), ("k", 10**9)], "k string, v long"
+    )
+    regs = {r["bin"]: r["cnt"] for r in hist_registers(df, ["k"], "v").collect()}
+    assert regs[0] == 2  # negatives clamp into bin 0
+    assert regs[HIST_BINS - 1] == 1  # overflow absorbs into last bin
+    # merge = groupBy sum: two halves equal the whole
+    a = hist_registers(df.where("v <= 0"), ["k"], "v")
+    b = hist_registers(df.where("v > 0"), ["k"], "v")
+    merged = {
+        r["bin"]: r["cnt"]
+        for r in a.unionByName(b)
+        .groupBy("k", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert merged == regs
+
+
+def test_hist_quantile_window_is_bounded_by_bins(spark):
+    """The cumulative window runs over the AGGREGATED register table:
+    partitions hold at most HIST_BINS rows however many input rows a
+    key has."""
+    from medical_and_charity_document_extraction_system_spark.operators.sketches import (
+        HIST_BINS,
+        hist_registers,
+    )
+
+    df = spark.createDataFrame(
+        [("k", i % 500) for i in range(5000)], "k string, v long"
+    )
+    regs = hist_registers(df, ["k"], "v")
+    assert regs.groupBy("k").count().collect()[0]["count"] <= HIST_BINS
