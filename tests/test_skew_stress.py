@@ -95,3 +95,30 @@ def test_pagerank_dominant_host_within_budget(spark):
     # the hub dominates every spoke
     assert ranks[0] > max(v for k, v in ranks.items() if k != 0) * 100
     assert elapsed < BUDGET_SEC, f"dominant-host pagerank took {elapsed:.0f}s"
+
+
+def test_bpe_wide_vocab_within_budget(spark):
+    """BPE training cost must track VOCABULARY size, not corpus size:
+    20k distinct words (every round re-folds the full word table)
+    through 4 merge rounds inside the budget, and the learned merges
+    must equal the Python twin's on the same counts."""
+    import time
+
+    from medical_and_charity_document_extraction_system_spark.operators.bpe import (
+        bpe_train,
+        bpe_train_python,
+        word_counts,
+    )
+
+    rows = [
+        (i, " ".join(f"w{j:05d}x" for j in range(i % 40, i % 40 + 25)))
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    t0 = time.monotonic()
+    merges, _ = bpe_train(df, 4)
+    elapsed = time.monotonic() - t0
+    wc = {r["word"]: r["cnt"] for r in word_counts(df).collect()}
+    pm, _ = bpe_train_python(wc, 4)
+    assert merges == pm
+    assert elapsed < BUDGET_SEC, f"wide-vocab bpe took {elapsed:.0f}s"
