@@ -1276,6 +1276,26 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocation_lift(_docs(spark, sf_dir))
 
 
+_BPE_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _bpe_trained(spark: SparkSession, sf_dir: str):
+    """BPE training shared by bpe_train and bpe_segment (the
+    _EXTRACT_CACHE pattern): both queries need the same 12-round fit,
+    and the trained word table is localCheckpointed so reuse is safe
+    across the session's lifetime."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _BPE_CACHE.get(key)
+    if got is None:
+        from medical_and_charity_document_extraction_system_spark.operators.bpe import (
+            bpe_train,
+        )
+
+        got = bpe_train(_docs(spark, sf_dir))
+        _BPE_CACHE[key] = got
+    return got
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/bpe.py — Sennrich
     et al. 2016): 12 merge rounds over the word-frequency table (the
@@ -1286,11 +1306,10 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count DESC, left, right) tie-break, or the greedy leftmost apply
     scan fails the gate."""
     from medical_and_charity_document_extraction_system_spark.operators.bpe import (
-        bpe_train,
         merge_table_df,
     )
 
-    merges, _ = bpe_train(_docs(spark, sf_dir))
+    merges, _ = _bpe_trained(spark, sf_dir)
     return merge_table_df(spark, merges)
 
 
@@ -1301,12 +1320,11 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ONE join on word — the merge loop never reruns over documents.
     Oracle re-derives the word->subtoken map via the Python twin."""
     from medical_and_charity_document_extraction_system_spark.operators.bpe import (
-        bpe_train,
         segment_counts,
     )
 
     docs = _docs(spark, sf_dir)
-    _, wt = bpe_train(docs)
+    _, wt = _bpe_trained(spark, sf_dir)
     return segment_counts(docs, wt)
 
 
