@@ -1203,6 +1203,37 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, benchmark_ngrams(bench))
 
 
+def q_ann_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8-quantized similarity search (operators/similarity.py
+    ann_topk_sq8): per-dimension affine uint8 quantization (4x
+    memory cut at 10^12 vectors) and top-10 by EXACT integer dot
+    product against the quantized vec_id=0 query. The (min, scale)
+    params are derived once driver-side and shared with the oracle
+    as literals; after quantization every score is bigint arithmetic
+    — no float fold anywhere in the ranking."""
+    from medical_and_charity_document_extraction_system_spark.operators.similarity import (
+        ann_topk_sq8,
+        sq8_params_from_minmax,
+        sq8_quantize_vec,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    corpus = emb.where("vec_id <> 0")
+    dim = len(emb.where(F.col("vec_id") == 0).first().embedding)
+    e = lambda i: F.element_at(F.col("embedding"), i + 1)  # noqa: E731
+    stats = corpus.agg(
+        *[F.min(e(i)).alias(f"mn{i}") for i in range(dim)],
+        *[F.max(e(i)).alias(f"mx{i}") for i in range(dim)],
+    ).first()
+    params = sq8_params_from_minmax(
+        [float(stats[f"mn{i}"]) for i in range(dim)],
+        [float(stats[f"mx{i}"]) for i in range(dim)],
+    )
+    q = emb.where(F.col("vec_id") == 0).first().embedding
+    q_ints = sq8_quantize_vec([float(x) for x in q], params)
+    return ann_topk_sq8(corpus, params, q_ints, k=10)
+
+
 def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable histogram quantiles (operators/sketches.py —
     hist_registers/hist_quantiles): per-source p50/p95 document
@@ -2213,6 +2244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "stream_cms_sketch": q_stream_cms_sketch,
         "hist_quantiles": q_hist_quantiles,
+        "ann_topk_sq8": q_ann_topk_sq8,
         "c4_filter": q_c4_filter,
         "ccnet_buckets": q_ccnet_buckets,
         "sequence_packing": q_sequence_packing,
@@ -2426,6 +2458,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # streamed epoch-delta merge must equal the one-shot sketch
         "stream_cms_sketch": oracles.cms_heavy_hitters_sql(),
         "hist_quantiles": oracles.hist_quantiles_sql(),
+        "ann_topk_sq8": oracles.ann_topk_sq8_sql(sf_dir),
         # centroid literals re-derived from the target sf_dir (IVF trick)
         "semdedup": oracles.semdedup_sql(sf_dir),
         # the streamed upsert must land on the batch-merge construction

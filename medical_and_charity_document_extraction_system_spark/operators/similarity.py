@@ -603,3 +603,85 @@ def semantic_dedup(
             | (F.col("max_prev_cos") <= F.lit(threshold))
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization: the memory side of similarity search. A
+# float32 embedding column at 10^12 rows is the storage bottleneck;
+# per-dimension affine quantization to uint8 cuts it 4x and turns
+# scoring into EXACT INTEGER dot products (SIMD-friendly on a real
+# cluster, and — for this repo — free of every float-fold hazard:
+# once quantized, ranking is bigint arithmetic both engines agree on
+# bit-for-bit). The only floats are the per-dim (min, scale) params,
+# computed ONCE driver-side and shared with the SQL twin as literals
+# (the DSIR discipline), and the floor(t + 0.5) rounding — floor, not
+# round(), because round() half-way semantics differ across engines.
+
+
+def sq8_params_from_minmax(
+    mins: list[float], maxs: list[float]
+) -> list[tuple[float, float]]:
+    """Per-dimension (min, scale) with scale = 255/(max-min); a
+    constant dimension gets scale 0 (quantizes to 0 everywhere).
+    Pure Python so the oracle builder derives the IDENTICAL doubles
+    from duckdb-side min/max (which are exact data values)."""
+    out = []
+    for mn, mx in zip(mins, maxs):
+        rng = mx - mn
+        out.append((mn, (255.0 / rng) if rng > 0 else 0.0))
+    return out
+
+
+def sq8_quantize_vec(
+    vec: list[float], params: list[tuple[float, float]]
+) -> list[int]:
+    """Python-side quantizer for the query vector — the same
+    floor((x-mn)*s + 0.5) clamp the column expression applies."""
+    import math
+
+    out = []
+    for x, (mn, s) in zip(vec, params):
+        q = math.floor((float(x) - mn) * s + 0.5)
+        out.append(max(0, min(255, int(q))))
+    return out
+
+
+def sq8_quantize_col(
+    vec_col: str, params: list[tuple[float, float]]
+) -> list[Column]:
+    """One uint8-valued integer Column per dimension: floor((x-mn)*s
+    + 0.5) clamped to [0, 255]. The (mn, s) literals are Python
+    doubles — identical to the oracle's quoted-repr literals."""
+    cols = []
+    for i, (mn, s) in enumerate(params):
+        t = (
+            F.element_at(F.col(vec_col), i + 1).cast("double") - F.lit(mn)
+        ) * F.lit(s)
+        q = F.floor(t + F.lit(0.5)).cast("long")
+        cols.append(F.least(F.greatest(q, F.lit(0)), F.lit(255)))
+    return cols
+
+
+def ann_topk_sq8(
+    emb: DataFrame,
+    params: list[tuple[float, float]],
+    q_ints: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by EXACT integer dot product between the SQ8-quantized
+    corpus and the pre-quantized query. The whole score is one
+    codegen'd projection (64 element_at + integer multiply-adds per
+    row — max term 255*255*64 < 2^23, nowhere near overflow), then a
+    TakeOrdered; no shuffle other than the top-k reduction."""
+    qcols = sq8_quantize_col(vec_col, params)
+    dot = None
+    for qc, qi in zip(qcols, q_ints):
+        term = qc * F.lit(int(qi)).cast("long")
+        dot = term if dot is None else dot + term
+    return (
+        emb.select(F.col(id_col), dot.alias("dot_q"))
+        .orderBy(F.col("dot_q").desc(), id_col)
+        .limit(k)
+    )

@@ -1126,6 +1126,63 @@ FROM r GROUP BY source
 """
 
 
+def ann_topk_sq8_sql(
+    sf_dir: str = "/root/testdata/sf0.01", k: int = 10
+) -> str:
+    """Twin of q_ann_topk_sq8: per-dim (min, scale) re-derived from
+    the same parquet with duckdb, run through the SAME Python helpers
+    (sq8_params_from_minmax / sq8_quantize_vec) so every double
+    literal is identical by construction; the ranking itself is
+    integer arithmetic. floor(t + 0.5), never round() — round()'s
+    half-way semantics differ across engines."""
+    import duckdb
+
+    from .operators.similarity import (
+        sq8_params_from_minmax,
+        sq8_quantize_vec,
+    )
+
+    con = duckdb.connect()
+    dim = con.sql(
+        f"SELECT len(embedding) FROM '{sf_dir}/embeddings.parquet' "
+        "WHERE vec_id = 0"
+    ).fetchone()[0]
+    mm = con.sql(
+        "SELECT "
+        + ", ".join(
+            f"min(embedding[{i + 1}]), max(embedding[{i + 1}])"
+            for i in range(dim)
+        )
+        + f" FROM '{sf_dir}/embeddings.parquet' WHERE vec_id <> 0"
+    ).fetchone()
+    qvec = con.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' WHERE vec_id = 0"
+    ).fetchone()[0]
+    con.close()
+    params = sq8_params_from_minmax(
+        [float(mm[2 * i]) for i in range(dim)],
+        [float(mm[2 * i + 1]) for i in range(dim)],
+    )
+    q_ints = sq8_quantize_vec([float(x) for x in qvec], params)
+
+    def term(i: int) -> str:
+        mn, s = params[i]
+        qexpr = (
+            f"least(greatest(CAST(floor((CAST(embedding[{i + 1}] AS DOUBLE) "
+            f"- CAST('{mn!r}' AS DOUBLE)) * CAST('{s!r}' AS DOUBLE) "
+            f"+ 0.5) AS BIGINT), 0), 255)"
+        )
+        return f"{qexpr} * {q_ints[i]}"
+
+    dot = " + ".join(term(i) for i in range(dim))
+    return f"""
+SELECT vec_id, CAST({dot} AS BIGINT) AS dot_q
+FROM embeddings WHERE vec_id <> 0
+ORDER BY dot_q DESC, vec_id
+LIMIT {k}
+"""
+
+
 def hist_quantiles_sql(bins: int = 64, width: int = 16) -> str:
     """Twin of q_hist_quantiles: identical integer bin assignment,
     cumulative bin counts, and the float-free ceil threshold

@@ -243,3 +243,67 @@ def test_ivf_pruned_oracle_generalizes_across_sf(spark):
     want = [(int(a), float(b)) for a, b in con.sql(ann_topk_ivf_sql(sf_dir=sf)).fetchall()]
     con.close()
     assert got == want
+
+
+# ------------------------------------------------------------ SQ8 ANN
+
+
+def test_sq8_quantize_endpoints_and_constant_dim():
+    from medical_and_charity_document_extraction_system_spark.operators.similarity import (
+        sq8_params_from_minmax,
+        sq8_quantize_vec,
+    )
+
+    params = sq8_params_from_minmax([0.0, 5.0], [1.0, 5.0])
+    assert params[1][1] == 0.0  # constant dim -> scale 0
+    assert sq8_quantize_vec([0.0, 5.0], params) == [0, 0]  # min -> 0
+    assert sq8_quantize_vec([1.0, 5.0], params) == [255, 0]  # max -> 255
+    assert sq8_quantize_vec([0.5, 5.0], params) == [128, 0]  # floor(127.5+0.5)
+    # outliers clamp (params may come from a sample at real scale)
+    assert sq8_quantize_vec([9.9, 5.0], params) == [255, 0]
+    assert sq8_quantize_vec([-9.9, 5.0], params) == [0, 0]
+
+
+def test_sq8_topk_recovers_planted_neighbor(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.similarity import (
+        ann_topk_sq8,
+        sq8_params_from_minmax,
+        sq8_quantize_vec,
+    )
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.rand(50, 8).astype("float32")
+    # unit-normalize: integer dot then ranks like cosine, so the
+    # planted near-copy must win (raw SQ8 scoring is MIPS semantics)
+    base = (base / np.linalg.norm(base, axis=1, keepdims=True)).astype("float32")
+    q = base[13] + 0.001  # vector 13 is (nearly) the query itself
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(base)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    mins = base.min(axis=0).tolist()
+    maxs = base.max(axis=0).tolist()
+    params = sq8_params_from_minmax([float(x) for x in mins], [float(x) for x in maxs])
+    q_ints = sq8_quantize_vec([float(x) for x in q], params)
+    top = ann_topk_sq8(df, params, q_ints, k=5).collect()
+    assert top[0]["vec_id"] == 13  # the planted neighbor wins
+    # integer scores, descending with deterministic tie-break
+    dots = [r["dot_q"] for r in top]
+    assert dots == sorted(dots, reverse=True)
+    assert all(isinstance(d, int) for d in dots)
+
+
+def test_sq8_scores_partitioning_invariant(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.similarity import (
+        ann_topk_sq8,
+        sq8_params_from_minmax,
+        sq8_quantize_vec,
+    )
+
+    rows = [(i, [float((i * j) % 7) for j in range(4)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    params = sq8_params_from_minmax([0.0] * 4, [6.0] * 4)
+    q_ints = sq8_quantize_vec([3.0, 1.0, 4.0, 1.0], params)
+    a = [tuple(r) for r in ann_topk_sq8(df, params, q_ints, 10).collect()]
+    b = [tuple(r) for r in ann_topk_sq8(df.repartition(8), params, q_ints, 10).collect()]
+    assert a == b
