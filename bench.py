@@ -94,6 +94,8 @@ CATALOG_QUERIES = [
     "quality_classifier",
     "bpe_train",
     "collocations",
+    "hist_quantiles",
+    "ann_topk_sq8",
 ]
 
 
