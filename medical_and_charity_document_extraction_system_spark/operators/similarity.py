@@ -685,3 +685,156 @@ def ann_topk_sq8(
         .orderBy(F.col("dot_q").desc(), id_col)
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou et al. 2011): the codebook side of
+# similarity search. SQ8 (above) compresses per dimension; PQ splits
+# the vector into M subvectors and snaps each to one of K learned
+# centroids — 64 float32 dims become M=8 uint4 codes (32x smaller),
+# and query scoring (ADC) is M table lookups per row. The repo's
+# determinism rules shape the implementation:
+#
+# - codebooks come from a plain-L2 deterministic Lloyd
+#   (kmeans_l2_fit — NOT the spherical kmeans_fit: PQ quantizes
+#   subvector geometry, normalizing subvectors would distort it) over
+#   a bounded ordered sample, so the oracle builder re-derives
+#   identical codebooks from the same parquet;
+# - encoding is a numpy argmin per Arrow batch (the semdedup GEMM
+#   pattern); the oracle derives codes independently in SQL from the
+#   same centroid literals, and the builder ASSERTS every row's
+#   top-2 distance margin so BLAS-vs-fold rounding cannot flip a code;
+# - the ADC distance table is quantized to int64 at 2^40 fixed point
+#   (the DSIR discipline): per-row scores are exact integer sums of M
+#   table entries — order-free — and the exported double is one
+#   power-of-two descale.
+
+PQ_M = 8  # subvectors
+PQ_K = 16  # centroids per subvector
+PQ_FP_BITS = 40
+PQ_FP_SCALE = 1 << PQ_FP_BITS
+
+
+def kmeans_l2_fit(
+    mat: np.ndarray, n_clusters: int, iters: int = 10, seed: int = LSH_SEED
+) -> np.ndarray:
+    """Plain (non-spherical) deterministic Lloyd for PQ codebooks:
+    same seeded-sorted init as kmeans_fit, L2 assignment, arithmetic-
+    mean update, empty clusters keep their previous centroid."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)
+    cent = mat[np.sort(idx)].astype(np.float64).copy()
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def pq_train(
+    mat: np.ndarray, m: int = PQ_M, k: int = PQ_K
+) -> list[np.ndarray]:
+    """One codebook per subvector slice. ``mat`` is the bounded
+    training sample (rows ordered by id — the semdedup convention);
+    dim must divide evenly into m slices."""
+    n, dim = mat.shape
+    assert dim % m == 0, (dim, m)
+    sub = dim // m
+    return [
+        kmeans_l2_fit(mat[:, j * sub : (j + 1) * sub].astype(np.float64), k)
+        for j in range(m)
+    ]
+
+
+def pq_codes_np(mat: np.ndarray, codebooks: list[np.ndarray]) -> np.ndarray:
+    """(n, m) int32 codes — argmin L2 per subvector (first index wins
+    ties; the builder's margin assert makes ties impossible)."""
+    m = len(codebooks)
+    sub = mat.shape[1] // m
+    cols = []
+    for j, cb in enumerate(codebooks):
+        s = mat[:, j * sub : (j + 1) * sub].astype(np.float64)
+        d2 = ((s[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+        cols.append(np.argmin(d2, axis=1).astype(np.int32))
+    return np.stack(cols, axis=1)
+
+
+def pq_code_margins(mat: np.ndarray, codebooks: list[np.ndarray]) -> float:
+    """Smallest top-2 assignment gap across all rows and subvectors —
+    the builder asserts this clears 1e-9 before trusting that numpy
+    argmin and the SQL fold-order argmin agree."""
+    m = len(codebooks)
+    sub = mat.shape[1] // m
+    worst = float("inf")
+    for j, cb in enumerate(codebooks):
+        s = mat[:, j * sub : (j + 1) * sub].astype(np.float64)
+        d2 = ((s[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+        top2 = np.sort(d2, axis=1)[:, :2]
+        worst = min(worst, float((top2[:, 1] - top2[:, 0]).min()))
+    return worst
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[np.ndarray],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, code array<int>) via one numpy argmin per Arrow batch."""
+    cbs = [cb.copy() for cb in codebooks]
+
+    @F.pandas_udf("array<int>")
+    def _enc(vecs: pd.Series) -> pd.Series:
+        mat = np.array([list(v) for v in vecs], dtype=np.float64)
+        codes = pq_codes_np(mat, cbs)
+        return pd.Series(list(codes.tolist()))
+
+    return df.select(
+        F.col(id_col), _enc(F.col(vec_col).cast("array<double>")).alias("code")
+    )
+
+
+def pq_distance_table_fp(
+    query_vec: list[float],
+    codebooks: list[np.ndarray],
+    fp_scale: int = PQ_FP_SCALE,
+) -> list[list[int]]:
+    """ADC table ||q_j - c||^2 per (subvector, centroid), quantized
+    to int64 fixed point. Shared by the entry query and the oracle
+    builder so both engines hold the same literals."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    m = len(codebooks)
+    sub = len(q) // m
+    out = []
+    for j, cb in enumerate(codebooks):
+        d2 = ((q[j * sub : (j + 1) * sub][None, :] - cb) ** 2).sum(axis=1)
+        out.append([int(round(float(d) * fp_scale)) for d in d2])
+    return out
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    dtab_fp: list[list[int]],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k NEAREST by the exact-integer ADC score: per row, sum the
+    M fixed-point table entries its codes select — M element_at
+    lookups into literal arrays, zero joins, order-free bigint adds."""
+    score = None
+    for j, row in enumerate(dtab_fp):
+        arr = F.array(*[F.lit(v).cast("long") for v in row])
+        term = F.element_at(arr, F.element_at(F.col("code"), j + 1) + 1)
+        score = term if score is None else score + term
+    return (
+        encoded.select(
+            F.col(id_col),
+            score.cast("long").alias("adc_fp"),
+            (score.cast("double") / F.lit(float(PQ_FP_SCALE))).alias("adc"),
+        )
+        .orderBy("adc_fp", id_col)
+        .limit(k)
+    )

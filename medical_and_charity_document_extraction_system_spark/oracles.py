@@ -1183,6 +1183,83 @@ LIMIT {k}
 """
 
 
+def ann_topk_pq_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    k: int = 10,
+    sample_rows: int = 10000,
+) -> str:
+    """Full oracle for q_ann_topk_pq. Codebooks are a pure function of
+    the embeddings table (deterministic L2 Lloyd over the sample_rows
+    smallest corpus ids — the SAME sample the entry query collects),
+    so the builder reruns pq_train on the parquet, asserts every
+    corpus row's top-2 assignment margin (numpy argmin vs the SQL
+    fold-order argmin cannot disagree past 1e-9), and emits centroids
+    + the int64 fixed-point ADC table as literals. Codes are derived
+    IN SQL (row_number over the centroid cross join); the per-row
+    score is SUM over 8 bigint table entries — order-free."""
+    import duckdb
+    import numpy as np
+
+    from .operators.similarity import (
+        PQ_FP_SCALE,
+        PQ_K,
+        PQ_M,
+        pq_code_margins,
+        pq_distance_table_fp,
+        pq_train,
+    )
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "WHERE vec_id <> 0 ORDER BY vec_id"
+    ).fetchall()
+    qvec = con.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' WHERE vec_id = 0"
+    ).fetchone()[0]
+    con.close()
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    codebooks = pq_train(mat[:sample_rows])
+    assert pq_code_margins(mat, codebooks) > 1e-9, "PQ assignment near-tie"
+    dtab = pq_distance_table_fp([float(x) for x in qvec], codebooks)
+
+    sub = mat.shape[1] // PQ_M
+    cb_rows = ",\n".join(
+        f"({j}, {c}, [{', '.join(repr(float(x)) for x in codebooks[j][c])}])"
+        for j in range(PQ_M)
+        for c in range(PQ_K)
+    )
+    dt_rows = ",\n".join(
+        f"({j}, {c}, {dtab[j][c]})" for j in range(PQ_M) for c in range(PQ_K)
+    )
+    d2 = " + ".join(
+        f"((e.v[cb.j*{sub}+{t + 1}] - cb.c[{t + 1}])"
+        f" * (e.v[cb.j*{sub}+{t + 1}] - cb.c[{t + 1}]))"
+        for t in range(sub)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id <> 0),
+cb0(j, cid, craw) AS (VALUES {cb_rows}),
+cb AS (SELECT j, cid, list_transform(craw, x -> CAST(x AS DOUBLE)) AS c FROM cb0),
+codes AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT e.vec_id, cb.j, cb.cid,
+           row_number() OVER (PARTITION BY e.vec_id, cb.j
+                              ORDER BY ({d2}) ASC, cb.cid) AS rn
+    FROM e CROSS JOIN cb
+  ) WHERE rn = 1
+),
+dt(j, cid, dfp) AS (VALUES {dt_rows}),
+s AS (SELECT vec_id, sum(dfp) AS adc_fp
+      FROM codes JOIN dt USING (j, cid) GROUP BY vec_id)
+SELECT vec_id, CAST(adc_fp AS BIGINT) AS adc_fp,
+       CAST(adc_fp AS DOUBLE) / CAST('{float(PQ_FP_SCALE)!r}' AS DOUBLE) AS adc
+FROM s ORDER BY adc_fp, vec_id
+LIMIT {k}
+"""
+
+
 def hist_quantiles_sql(bins: int = 64, width: int = 16) -> str:
     """Twin of q_hist_quantiles: identical integer bin assignment,
     cumulative bin counts, and the float-free ceil threshold

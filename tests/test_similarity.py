@@ -307,3 +307,71 @@ def test_sq8_scores_partitioning_invariant(spark):
     a = [tuple(r) for r in ann_topk_sq8(df, params, q_ints, 10).collect()]
     b = [tuple(r) for r in ann_topk_sq8(df.repartition(8), params, q_ints, 10).collect()]
     assert a == b
+
+
+# ------------------------------------------------------------- PQ ANN
+
+
+def test_pq_roundtrip_quality_and_determinism(spark):
+    import numpy as np
+
+    from medical_and_charity_document_extraction_system_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_code_margins,
+        pq_codes_np,
+        pq_distance_table_fp,
+        pq_encode,
+        pq_train,
+    )
+
+    rng = np.random.RandomState(3)
+    # 4 well-separated blobs in 16 dims -> PQ must keep blob members
+    # nearest to a query from their own blob
+    centers = rng.rand(4, 16) * 10
+    base = np.vstack([c + rng.rand(25, 16) * 0.1 for c in centers]).astype(
+        "float64"
+    )
+    codebooks = pq_train(base, m=4, k=4)
+    assert pq_code_margins(base, codebooks) > 1e-9
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(base)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # distributed encoding equals the numpy reference
+    # (float32 storage: quantize the same float32-rounded values)
+    mat32 = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    want = pq_codes_np(mat32, codebooks).tolist()
+    got = {
+        r["vec_id"]: list(r["code"]) for r in pq_encode(df, codebooks).collect()
+    }
+    assert [got[i] for i in range(len(rows))] == want
+    # ADC top-10 for a blob-0 query is all blob-0 members
+    q = centers[0] + 0.05
+    dtab = pq_distance_table_fp([float(x) for x in q], codebooks)
+    top = pq_adc_topk(pq_encode(df, codebooks), dtab, k=10).collect()
+    assert all(r["vec_id"] < 25 for r in top)
+    # integer scores ascend with deterministic tie-break
+    fps = [r["adc_fp"] for r in top]
+    assert fps == sorted(fps)
+    # partitioning cannot move a single integer score
+    top8 = pq_adc_topk(pq_encode(df.repartition(8), codebooks), dtab, k=10).collect()
+    assert [tuple(r) for r in top8] == [tuple(r) for r in top]
+
+
+def test_pq_distance_table_is_fixed_point_int(spark):
+    import numpy as np
+
+    from medical_and_charity_document_extraction_system_spark.operators.similarity import (
+        PQ_FP_SCALE,
+        pq_distance_table_fp,
+        pq_train,
+    )
+
+    rng = np.random.RandomState(5)
+    mat = rng.rand(40, 8)
+    cbs = pq_train(mat, m=2, k=4)
+    dtab = pq_distance_table_fp([0.5] * 8, cbs)
+    assert len(dtab) == 2 and all(len(r) == 4 for r in dtab)
+    assert all(isinstance(v, int) and v >= 0 for r in dtab for v in r)
+    # descale recovers the float distance to within half an ulp step
+    q = np.array([0.5] * 4)
+    d0 = float(((q - cbs[0][0]) ** 2).sum())
+    assert abs(dtab[0][0] / PQ_FP_SCALE - d0) <= 1.0 / PQ_FP_SCALE
