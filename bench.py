@@ -96,6 +96,7 @@ CATALOG_QUERIES = [
     "collocations",
     "hist_quantiles",
     "ann_topk_sq8",
+    "ann_topk_pq",
 ]
 
 
