@@ -211,9 +211,18 @@ def main() -> None:
         # 5.6s vs its 1.9s steady state). A long-running cluster job
         # amortizes worker start over hours; the headline metric is
         # sustained docs/sec, so warm first, then time.
+        def _clear_training_caches() -> None:
+            # session-scoped model caches (BPE merges, SQ8 params, PQ
+            # codebooks) memoize driver-side training across catalog
+            # queries; a timed run must pay the REAL end-to-end cost,
+            # not a cache hit from its own warmup
+            for cache_name in ("_BPE_CACHE", "_SQ8_CACHE", "_PQ_CACHE"):
+                getattr(entry_mod, cache_name, {}).clear()
+
         qs[name](spark, SF_DIR).count()
         best_q = None
         for _ in range(2):
+            _clear_training_caches()
             t0 = time.time()
             qs[name](spark, SF_DIR).count()
             dt = time.time() - t0
