@@ -45,19 +45,6 @@ from .dsir import FP_SCALE, _bucket
 NB_BUCKETS = 256
 
 
-def _token_bucket_counts(
-    df: DataFrame, text_col: str, m: int
-) -> dict[int, int]:
-    rows = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("t"))
-        .select(_bucket(F.col("t"), m).alias("b"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    )
-    return {int(r.b): int(r.c) for r in rows}
-
-
 def nb_weights_from_counts(
     cp: dict[int, int],
     cn: dict[int, int],
@@ -93,16 +80,29 @@ def train_nb_classifier(
     m: int = NB_BUCKETS,
     text_col: str = "text",
 ) -> tuple[list[int], int]:
-    """Fit the NB log-odds model on a labeled DataFrame: two bounded
-    (bucket) hash-aggs plus one 2-row label count. ``label_col`` is
-    any boolean column already on ``train``."""
-    pos = train.where(F.col(label_col))
-    neg = train.where(~F.col(label_col))
-    cp = _token_bucket_counts(pos, text_col, m)
-    cn = _token_bucket_counts(neg, text_col, m)
-    n_pos = pos.count()
-    n_neg = neg.count()
-    return nb_weights_from_counts(cp, cn, n_pos, n_neg, m)
+    """Fit the NB log-odds model on a labeled DataFrame in TWO corpus
+    passes total: one (bucket, label) hash-agg over the token stream
+    (<= 2m rows collected) and one 2-row label count — not separate
+    per-class scans. ``label_col`` is any boolean column already on
+    ``train``."""
+    lab = F.col(label_col)
+    rows = (
+        train.select(lab.alias("_pos"), F.explode(tokens(F.col(text_col))).alias("t"))
+        .select("_pos", _bucket(F.col("t"), m).alias("b"))
+        .groupBy("_pos", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    cp = {int(r.b): int(r.c) for r in rows if r._pos}
+    cn = {int(r.b): int(r.c) for r in rows if not r._pos}
+    nd = {
+        bool(r._pos): int(r.c)
+        for r in train.select(lab.alias("_pos"))
+        .groupBy("_pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    return nb_weights_from_counts(cp, cn, nd.get(True, 0), nd.get(False, 0), m)
 
 
 def nb_scores(
