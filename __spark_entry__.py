@@ -1978,6 +1978,21 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed(_host_edges(docs), iterations=4)
 
 
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the same deterministic host graph
+    as host_pagerank (operators/webgraph.hits_fixed — Kleinberg 1999,
+    L1-normalized so every round is bigint add / multiply / DIV; the
+    per-round totals are bounded 1-row collects). Oracle unrolls the
+    identical rounds as CTE pairs over the SHARED host-graph fragment,
+    so the two link-analysis twins cannot drift apart."""
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        hits_fixed,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return hits_fixed(_host_edges(docs), iterations=4)
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt politeness gate over the crawl frontier (RFC 9309):
     per-host robots bodies (deterministic shapes — exact-agent group
@@ -2291,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles": q_hist_quantiles,
         "ann_topk_sq8": q_ann_topk_sq8,
         "ann_topk_pq": q_ann_topk_pq,
+        "host_hits": q_host_hits,
         "c4_filter": q_c4_filter,
         "ccnet_buckets": q_ccnet_buckets,
         "sequence_packing": q_sequence_packing,
@@ -2506,6 +2522,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "hist_quantiles": oracles.hist_quantiles_sql(),
         "ann_topk_sq8": oracles.ann_topk_sq8_sql(sf_dir),
         "ann_topk_pq": oracles.ann_topk_pq_sql(sf_dir),
+        "host_hits": oracles.host_hits_sql(),
         # centroid literals re-derived from the target sf_dir (IVF trick)
         "semdedup": oracles.semdedup_sql(sf_dir),
         # the streamed upsert must land on the batch-merge construction

@@ -236,3 +236,69 @@ def pagerank_converged(
         if delta is not None and delta <= tol_units:
             break
     return ranks.select("node", F.col("units").alias("rank_units")), it
+
+
+def hits_fixed(
+    edges: DataFrame,
+    iterations: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) in INTEGER fixed
+    point — the link-analysis complement to pagerank_fixed. The
+    textbook algorithm L2-normalizes each round, which is float; this
+    form L1-normalizes instead (the ranking is identical — both are
+    positive rescalings of the same power iteration): per round,
+
+        auth_raw(i) = sum of hub(j) over edges j->i
+        auth(i)     = (auth_raw(i) * unit) DIV sum(auth_raw)
+        hub_raw(i)  = sum of auth(j) over edges i->j
+        hub(i)      = (hub_raw(i) * unit) DIV sum(hub_raw)
+
+    so every operation is bigint add / multiply / floor-divide —
+    bit-reproducible under any partitioning, with a finite unrolled
+    SQL twin. Overflow bound: raw sums are at most n_nodes*unit and
+    the normalize multiplies by unit, so n_nodes * unit^2 must fit in
+    int64 — fine to ~9*10^6 nodes at unit 10^6; drop unit to 10^3 for
+    a 10^12-node graph. Returns (node, auth_units, hub_units).
+
+    Scale shape: per round, two edge-list joins + two doc-keyed aggs
+    + two 1-row totals — the PageRank plan run twice; localCheckpoint
+    per round keeps the plan O(1)-tall."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _push(scores: DataFrame, from_col: str, to_col: str) -> DataFrame:
+        """raw(to) = sum of score(from) over edges, L1-renormalized."""
+        raw = (
+            e.join(scores, e[from_col] == scores["node"])
+            .groupBy(F.col(to_col).alias("node"))
+            .agg(F.sum("s").alias("raw"))
+        )
+        total = raw.agg(F.sum("raw")).collect()[0][0] or 0
+        out = nodes.join(raw, "node", "left").select(
+            "node",
+            F.expr(
+                f"(coalesce(raw, 0L) * {unit}L) DIV {max(total, 1)}L"
+            ).alias("s"),
+        )
+        return out.localCheckpoint(eager=True)
+
+    hub = nodes.select("node", F.lit(unit).cast("long").alias("s"))
+    auth = None
+    for _ in range(iterations):
+        auth = _push(hub, "src", "dst")
+        hub = _push(auth, "dst", "src")
+    return (
+        auth.select("node", F.col("s").alias("auth_units"))
+        .join(hub.select("node", F.col("s").alias("hub_units")), "node")
+    )

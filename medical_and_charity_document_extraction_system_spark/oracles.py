@@ -1803,6 +1803,66 @@ def _hidx_case(h: str) -> str:
     )
 
 
+def _host_graph_ctes() -> str:
+    """The deterministic host edge list shared by the PageRank and
+    HITS twins (each doc links its Zipf host to two derived hosts) —
+    kept ONE fragment so the two link-analysis oracles cannot drift
+    from each other's graph."""
+    return f"""dd AS (
+  SELECT doc_id, (doc_id * 131) % 100 AS h0,
+         (doc_id * 577) % 100 AS h1, (doc_id * 271) % 100 AS h2
+  FROM documents
+),
+m AS (
+  SELECT 'host' || CAST({_hidx_case('h0')} AS VARCHAR) AS src,
+         'host' || CAST({_hidx_case('h1')} AS VARCHAR) AS dst1,
+         'host' || CAST({_hidx_case('h2')} AS VARCHAR) AS dst2
+  FROM dd
+),
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst1 AS dst FROM m UNION ALL SELECT src, dst2 FROM m
+  )
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)"""
+
+
+def host_hits_sql(iterations: int = 4, unit: int = 1_000_000) -> str:
+    """Twin of q_host_hits: the same host graph (shared fragment) and
+    the same L1-normalized integer HITS update, unrolled one
+    (auth, hub) CTE pair per round. Totals are scalar subqueries;
+    greatest(total, 1) mirrors the Spark side's max(total, 1)."""
+    rounds = []
+    prev_h = "h0"
+    prev_a = None
+    for i in range(1, iterations + 1):
+        # AS MATERIALIZED: each round references its raw CTE twice
+        # (join + scalar total) — inlined, the chain re-evaluates
+        # exponentially and never finishes past ~3 rounds
+        rounds.append(f"""
+a{i}r AS MATERIALIZED (SELECT e.dst AS node, sum({prev_h}.s) AS raw
+          FROM e JOIN {prev_h} ON e.src = {prev_h}.node GROUP BY e.dst),
+a{i} AS MATERIALIZED (SELECT n.node,
+         CAST((coalesce(r.raw, 0) * {unit})
+              // greatest((SELECT coalesce(sum(raw), 0) FROM a{i}r), 1)
+              AS BIGINT) AS s
+         FROM nodes n LEFT JOIN a{i}r r USING (node)),
+h{i}r AS MATERIALIZED (SELECT e.src AS node, sum(a{i}.s) AS raw
+          FROM e JOIN a{i} ON e.dst = a{i}.node GROUP BY e.src),
+h{i} AS MATERIALIZED (SELECT n.node,
+         CAST((coalesce(r.raw, 0) * {unit})
+              // greatest((SELECT coalesce(sum(raw), 0) FROM h{i}r), 1)
+              AS BIGINT) AS s
+         FROM nodes n LEFT JOIN h{i}r r USING (node))""")
+        prev_h, prev_a = f"h{i}", f"a{i}"
+    return f"""
+WITH {_host_graph_ctes()},
+h0 AS (SELECT node, CAST({unit} AS BIGINT) AS s FROM nodes),{",".join(rounds)}
+SELECT {prev_a}.node, {prev_a}.s AS auth_units, {prev_h}.s AS hub_units
+FROM {prev_a} JOIN {prev_h} ON {prev_a}.node = {prev_h}.node
+"""
+
+
 def host_pagerank_sql(
     iterations: int = 4,
     unit: int = 1_000_000,
@@ -1831,23 +1891,7 @@ r{i} AS (
 )""")
         prev = f"r{i}"
     return f"""
-WITH dd AS (
-  SELECT doc_id, (doc_id * 131) % 100 AS h0,
-         (doc_id * 577) % 100 AS h1, (doc_id * 271) % 100 AS h2
-  FROM documents
-),
-m AS (
-  SELECT 'host' || CAST({_hidx_case('h0')} AS VARCHAR) AS src,
-         'host' || CAST({_hidx_case('h1')} AS VARCHAR) AS dst1,
-         'host' || CAST({_hidx_case('h2')} AS VARCHAR) AS dst2
-  FROM dd
-),
-e AS (
-  SELECT DISTINCT src, dst FROM (
-    SELECT src, dst1 AS dst FROM m UNION ALL SELECT src, dst2 FROM m
-  )
-),
-nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+WITH {_host_graph_ctes()},
 deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
 r0 AS (SELECT node, CAST({unit} AS BIGINT) AS units FROM nodes),{",".join(iters)}
 SELECT node, units AS rank_units FROM {prev}

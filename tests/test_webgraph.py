@@ -179,3 +179,37 @@ def test_pagerank_converged_respects_max_iter(spark):
         r.node: r.rank_units for r in pagerank_fixed(edges, iterations=2).collect()
     }
     assert {r.node: r.rank_units for r in ranks.collect()} == want
+
+
+def test_hits_hubs_and_authorities_structure(spark):
+    """A node everyone links to is the top authority; a node that
+    only links out is a pure hub (authority 0); L1 normalization
+    keeps each score vector summing to ~unit (floor losses < n)."""
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        hits_fixed,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")],
+        "src string, dst string",
+    )
+    out = {r["node"]: r for r in hits_fixed(edges, 4).collect()}
+    auth = {k: v["auth_units"] for k, v in out.items()}
+    hub = {k: v["hub_units"] for k, v in out.items()}
+    assert max(auth, key=auth.get) == "c"  # 3 in-links -> top authority
+    assert auth["d"] == 0  # no in-links
+    assert hub["c"] < min(hub["a"], hub["b"], hub["d"])  # c points at a weak authority
+    for scores in (auth, hub):
+        assert 1_000_000 - len(scores) <= sum(scores.values()) <= 1_000_000
+
+
+def test_hits_partitioning_invariant(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        hits_fixed,
+    )
+
+    rows = [(f"n{i}", f"n{(i * 7) % 23}") for i in range(60)]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    a = sorted(tuple(r) for r in hits_fixed(df, 3).collect())
+    b = sorted(tuple(r) for r in hits_fixed(df.repartition(8), 3).collect())
+    assert a == b  # integer arithmetic: bit-equal under any plan
