@@ -1184,6 +1184,24 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_decontaminate(corpus, benchmark_ngrams(bench))
 
 
+def q_containment_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment decontamination (operators/decontam.py
+    containment_decontaminate): flags corpus docs that CONTAIN >=80%
+    of any eval doc's shingles — the asymmetric complement to
+    fuzzy_decontamination's Jaccard (a short eval item quoted inside
+    a long page has near-zero Jaccard but containment ~1). Exact, no
+    LSH: every containment is one division of exact integers, so the
+    all-pairs oracle matches with no banding argument."""
+    from medical_and_charity_document_extraction_system_spark.operators.decontam import (
+        containment_decontaminate,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 17 == 3)
+    corpus = docs.where(F.col("doc_id") % 17 != 3)
+    return containment_decontaminate(corpus, bench)
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontam.py — the GPT-3 /
     Pile exact word-13-gram overlap check): docs with
@@ -2307,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_sq8": q_ann_topk_sq8,
         "ann_topk_pq": q_ann_topk_pq,
         "host_hits": q_host_hits,
+        "containment_decontamination": q_containment_decontamination,
         "c4_filter": q_c4_filter,
         "ccnet_buckets": q_ccnet_buckets,
         "sequence_packing": q_sequence_packing,
@@ -2523,6 +2542,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "ann_topk_sq8": oracles.ann_topk_sq8_sql(sf_dir),
         "ann_topk_pq": oracles.ann_topk_pq_sql(sf_dir),
         "host_hits": oracles.host_hits_sql(),
+        "containment_decontamination": oracles.containment_decontamination_sql(),
         # centroid literals re-derived from the target sf_dir (IVF trick)
         "semdedup": oracles.semdedup_sql(sf_dir),
         # the streamed upsert must land on the batch-merge construction

@@ -345,3 +345,76 @@ def bloom_decontaminate(
             ),
         )
     )
+
+
+def containment_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Containment decontamination: flag a corpus document when it
+    CONTAINS (shingle-containment >= threshold) any benchmark
+    document —
+
+        C(doc, bench) = |S(doc) ∩ S(bench)| / |S(bench)|
+
+    the asymmetric complement to fuzzy_decontaminate's Jaccard: a
+    short eval item quoted inside a long web page scores near-zero
+    Jaccard (the page's size dominates the union) but containment ~1.
+    Exact, no LSH: each containment is ONE division of exact integers
+    and max over exact doubles is order-free, so the twin matches
+    bit-for-bit with no banding argument needed.
+
+    Scale shape: the benchmark side broadcasts through both the
+    shingle join and the size join (bounded eval suite); the corpus
+    explodes its distinct shingles once and aggregates on
+    (doc, bench) then doc — no self-join, no skewable reducer key
+    (the join side is broadcast). Returns (id, n_bench_hits,
+    max_containment, contaminated); max_containment is NULL when no
+    benchmark doc reaches the threshold."""
+    from ..functions.textstats import word_shingles
+
+    bsh = bench.select(
+        F.col(id_col).alias("_bid"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("g"),
+    )
+    bsz = bench.select(
+        F.col(id_col).alias("_bid"),
+        F.size(word_shingles(F.col(text_col), shingle_k)).alias("_bsz"),
+    ).where(F.col("_bsz") > 0)
+    grams = corpus.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("g"),
+    )
+    cont = (
+        grams.join(F.broadcast(bsh), "g")
+        .groupBy(id_col, "_bid")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+        .join(F.broadcast(bsz), "_bid")
+        .select(
+            F.col(id_col),
+            (F.col("_inter").cast("double") / F.col("_bsz").cast("double")).alias(
+                "_c"
+            ),
+        )
+        .where(F.col("_c") >= threshold)
+    )
+    hits = cont.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+        F.max("_c").alias("max_containment"),
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bench_hits"), F.lit(0).cast("long")).alias(
+                "n_bench_hits"
+            ),
+            F.col("max_containment"),
+            F.col("max_containment").isNotNull().alias("contaminated"),
+        )
+    )

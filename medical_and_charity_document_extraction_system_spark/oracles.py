@@ -2630,6 +2630,35 @@ FROM corp LEFT JOIN ne USING (doc_id) LEFT JOIN nb USING (doc_id)
 """
 
 
+def containment_decontamination_sql(
+    threshold: float = 0.8, bench_mod: int = 17, bench_rem: int = 3
+) -> str:
+    """Twin of q_containment_decontamination: the same distinct-
+    shingle sets, |doc ∩ bench| / |bench| as ONE exact-int division
+    per pair, order-free max per doc. The threshold travels as a
+    quoted-repr DOUBLE (bare literals are DECIMAL in DuckDB)."""
+    thr = f"CAST('{threshold!r}' AS DOUBLE)"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+bench AS (SELECT doc_id AS bid, sh FROM s
+          WHERE doc_id % {bench_mod} = {bench_rem} AND len(sh) > 0),
+corp AS (SELECT doc_id, sh FROM s WHERE doc_id % {bench_mod} <> {bench_rem}),
+cont AS (
+  SELECT corp.doc_id, bench.bid,
+         len(list_intersect(corp.sh, bench.sh)) / len(bench.sh) AS c
+  FROM corp CROSS JOIN bench
+),
+hit AS (SELECT doc_id, count(*) AS n_bench_hits, max(c) AS max_containment
+        FROM cont WHERE c >= {thr} GROUP BY doc_id)
+SELECT corp.doc_id,
+       CAST(coalesce(n_bench_hits, 0) AS BIGINT) AS n_bench_hits,
+       max_containment,
+       max_containment IS NOT NULL AS contaminated
+FROM corp LEFT JOIN hit USING (doc_id)
+"""
+
+
 def semdedup_sql(
     sf_dir: str = "/root/testdata/sf0.01",
     threshold: float = 0.4,

@@ -197,3 +197,83 @@ def test_bloom_plan_is_jvm_side_with_broadcast_probe(spark, planted):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+# --------------------------------------------------------- containment
+
+
+@pytest.fixture(scope="module")
+def containment_planted(spark):
+    # bench doc 0: 7 tokens -> 5 distinct 3-shingles
+    bench = spark.createDataFrame([(0, _words("b", 7))], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [
+            # quotes the FULL bench doc inside 30 tokens of noise:
+            # containment 5/5 = 1.0, Jaccard ~ 5/33 -> far below 0.9
+            (1, _words("n", 15) + " " + _words("b", 7) + " " + _words("m", 15)),
+            # 6 of bench's 7 tokens -> 4 of 5 shingles = 0.8, boundary hit
+            (2, _words("b", 6) + " " + _words("t", 10)),
+            # 5 of 7 tokens -> 3 of 5 shingles = 0.6, below threshold
+            (3, _words("b", 5) + " " + _words("u", 10)),
+            # clean
+            (4, _words("q", 12)),
+            # too short for any shingle
+            (5, "a b"),
+        ],
+        ["doc_id", "text"],
+    )
+    return bench, corpus
+
+
+def test_containment_planted(spark, containment_planted):
+    from medical_and_charity_document_extraction_system_spark.operators.decontam import (
+        containment_decontaminate,
+    )
+
+    bench, corpus = containment_planted
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in containment_decontaminate(corpus, bench).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}  # every corpus doc reports
+    assert out[1]["contaminated"] and out[1]["max_containment"] == 1.0
+    assert out[1]["n_bench_hits"] == 1
+    # 4/5 = 0.8 sits exactly ON the >= threshold
+    assert out[2]["contaminated"] and out[2]["max_containment"] == 0.8
+    assert not out[3]["contaminated"] and out[3]["max_containment"] is None
+    assert not out[4]["contaminated"] and out[4]["n_bench_hits"] == 0
+    assert out[5]["max_containment"] is None  # shingle-less doc still rows
+
+
+def test_containment_catches_what_jaccard_misses(spark, containment_planted):
+    """The reason this operator exists: a short eval item quoted inside
+    a long page has near-zero Jaccard (the page's size dominates the
+    union) but containment 1.0."""
+    from medical_and_charity_document_extraction_system_spark.operators.decontam import (
+        containment_decontaminate,
+        fuzzy_decontaminate,
+    )
+
+    bench, corpus = containment_planted
+    quoter = corpus.where(F.col("doc_id") == 1)
+    jac = fuzzy_decontaminate(quoter, bench, threshold=0.9).collect()[0]
+    con = containment_decontaminate(quoter, bench).collect()[0]
+    assert not jac["contaminated"]
+    assert con["contaminated"] and con["max_containment"] == 1.0
+
+
+def test_containment_bench_side_broadcasts(spark, containment_planted):
+    from medical_and_charity_document_extraction_system_spark.operators.decontam import (
+        containment_decontaminate,
+    )
+
+    bench, corpus = containment_planted
+    plan = (
+        containment_decontaminate(corpus, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the bounded eval suite broadcasts through BOTH the shingle join
+    # and the size join; no shuffle keyed on a bench-shingle hotspot
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in plan
