@@ -80,8 +80,10 @@ CATALOG_QUERIES = [
     "ccnet_buckets",
     "sequence_packing",
     # round 5: MinHash-Jaccard eval-overlap removal (benchmark side
-    # broadcast through band + verify joins)
+    # broadcast through band + verify joins), and asymmetric shingle
+    # containment (eval item quoted inside a long page)
     "fuzzy_decontamination",
+    "containment_decontamination",
     # round 5 capstone: extract -> C4 -> Gopher -> dedup ->
     # decontaminate -> packing summary, one composed query
     "pretraining_corpus",
@@ -97,6 +99,9 @@ CATALOG_QUERIES = [
     "hist_quantiles",
     "ann_topk_sq8",
     "ann_topk_pq",
+    # late round 5: iterative HITS over the shared host graph (integer
+    # fixed point, localCheckpoint-chained rounds)
+    "host_hits",
 ]
 
 
