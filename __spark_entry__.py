@@ -985,6 +985,26 @@ def q_lm_quality_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(docs, vocab, logp_oov, bigrams, log_backoff)
 
 
+def q_lm_quality_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff TRIGRAM LM quality scoring (operators/lm.py —
+    one more Brants-2007 backoff level, the closest engine-portable
+    analog to the KenLM 5-gram filters real CCNet pipelines run):
+    positions whose (t-2, t-1, t) triple is a top-30 corpus trigram
+    score the raw trigram log-ratio; everything else backs off to
+    log(0.4) + the bigram model, which itself backs off to the
+    unigram model. Same float discipline throughout: every log is a
+    Python-computed literal, the score is one fixed-order fold, and
+    training collects are bounded by the three table sizes."""
+    from medical_and_charity_document_extraction_system_spark.operators.lm import (
+        train_trigram_lm,
+        trigram_lm_scores,
+    )
+
+    docs = _docs(spark, sf_dir)
+    model = train_trigram_lm(docs, vocab_size=30, bigram_size=30, trigram_size=30)
+    return trigram_lm_scores(docs, *model)
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition signals (operators/repetition.py — Rae et
     al. 2021 A1.1): duplicate-line fraction/char-fraction and the
@@ -2314,6 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "lm_quality_trigram": q_lm_quality_trigram,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_decontamination": q_bloom_decontamination,
         "quality_classifier": q_quality_classifier,
@@ -2520,6 +2541,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # data-derived literals (IVF/LSH trick), re-derived per sf_dir
         "lm_quality": oracles.unigram_lm_sql(sf_dir),
         "lm_quality_bigram": oracles.bigram_lm_sql(sf_dir),
+        "lm_quality_trigram": oracles.trigram_lm_sql(sf_dir),
         "c4_filter": oracles.c4_filter_sql(),
         # ccnet re-derives the unigram log-prob literals from the
         # target sf_dir (the lm_quality trick)

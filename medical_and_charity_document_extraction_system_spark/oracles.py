@@ -2294,6 +2294,128 @@ FROM cb
 """
 
 
+def trigram_lm_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    vocab_size: int = 30,
+    bigram_size: int = 30,
+    trigram_size: int = 30,
+    backoff: float = 0.4,
+) -> str:
+    """Twin of q_lm_quality_trigram: retrains the SAME stupid-backoff
+    trigram model in plain Python (parity tokenizer, Counters,
+    math.log over the identical integer counts the Spark training
+    collects) and emits every log/delta as a quoted-repr literal in
+    the SAME fixed-order fold (operators/lm.trigram_lm_fold_expr)."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from .functions.textstats import _ASCII_WS_RE
+    from .operators.lm import (
+        bigram_lm_count_exprs,
+        bigram_lm_pairs_expr,
+        trigram_lm_count_exprs,
+        trigram_lm_fold_expr,
+        trigram_lm_tris_expr,
+        unigram_lm_count_exprs,
+    )
+
+    con = duckdb.connect()
+    texts = [
+        r[0]
+        for r in con.sql(
+            f"SELECT text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+    ]
+    con.close()
+    c: Counter = Counter()
+    cb: Counter = Counter()
+    c3: Counter = Counter()
+    for t in texts:
+        toks = [w for w in _ASCII_WS_RE.split(t or "") if w]
+        c.update(toks)
+        cb.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        c3.update(
+            f"{a} {b} {d}" for a, b, d in zip(toks, toks[1:], toks[2:])
+        )
+    n, v = sum(c.values()), len(c)
+    denom = n + v + 1
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    vocab = [(t, math.log((cnt + 1) / denom)) for t, cnt in top]
+    logp_oov = math.log(1.0 / denom)
+    uni = dict(vocab)
+    log_backoff = math.log(backoff)
+    topb = sorted(cb.items(), key=lambda kv: (-kv[1], kv[0]))[:bigram_size]
+    lb = {}
+    bigrams = []
+    for p, cnt in topb:
+        t1, t2 = p.split(" ", 1)
+        lb[p] = math.log(cnt / c[t1])
+        bigrams.append((p, lb[p] - log_backoff - uni.get(t2, logp_oov)))
+    top3 = sorted(c3.items(), key=lambda kv: (-kv[1], kv[0]))[:trigram_size]
+    trigrams = []
+    for g, cnt in top3:
+        pair12, _ = g.rsplit(" ", 1)
+        _, pair23 = g.split(" ", 1)
+        t3 = pair23.split(" ", 1)[1]
+        lt = math.log(cnt / cb[pair12])
+        bscore = (
+            lb[pair23]
+            if pair23 in lb
+            else log_backoff + uni.get(t3, logp_oov)
+        )
+        trigrams.append((g, lt - log_backoff - bscore))
+
+    cnt_names = [f"c{i}" for i in range(len(vocab))]
+    big_names = [f"b{j}" for j in range(len(bigrams))]
+    tri_names = [f"t{k}" for k in range(len(trigrams))]
+    cnt_proj = ",\n         ".join(
+        f"{e} AS {nme}"
+        for e, nme in zip(unigram_lm_count_exprs(vocab, "toks"), cnt_names)
+    )
+    big_proj = ",\n         ".join(
+        f"{e} AS {nme}"
+        for e, nme in zip(bigram_lm_count_exprs(bigrams, "pairs"), big_names)
+    )
+    tri_proj = ",\n         ".join(
+        f"{e} AS {nme}"
+        for e, nme in zip(trigram_lm_count_exprs(trigrams, "tris"), tri_names)
+    )
+    score = trigram_lm_fold_expr(
+        vocab,
+        logp_oov,
+        bigrams,
+        log_backoff,
+        trigrams,
+        "n",
+        cnt_names,
+        big_names,
+        tri_names,
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+cn AS (
+  SELECT doc_id, len(toks) AS n,
+         {cnt_proj},
+         {bigram_lm_pairs_expr('toks')} AS pairs,
+         {trigram_lm_tris_expr('toks')} AS tris
+  FROM t
+),
+cb AS (
+  SELECT doc_id, n, {', '.join(cnt_names)},
+         {big_proj},
+         {tri_proj}
+  FROM cn
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CASE WHEN n > 0
+            THEN {score} / CAST(n AS DOUBLE) END AS avg_logprob
+FROM cb
+"""
+
+
 def gopher_repetition_sql() -> str:
     """Twin of q_gopher_repetition (operators/repetition.py): every
     fraction is one division of two exact integers, and the arg-max
