@@ -985,6 +985,19 @@ def q_lm_quality_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(docs, vocab, logp_oov, bigrams, log_backoff)
 
 
+def q_topic_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-taxonomy topic tagging (operators/tagging.py): ONE
+    rule table drives per-category hit counts, the tagged total, and
+    a declaration-order arg-max CASE chain (ties -> earliest
+    category, zero hits -> 'none'). Zero-shuffle staged projection;
+    integer counts + a string label, so no float discipline needed."""
+    from medical_and_charity_document_extraction_system_spark.operators.tagging import (
+        topic_tags,
+    )
+
+    return topic_tags(_docs(spark, sf_dir))
+
+
 def q_lm_quality_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid-backoff TRIGRAM LM quality scoring (operators/lm.py —
     one more Brants-2007 backoff level, the closest engine-portable
@@ -2334,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "topic_tags": q_topic_tags,
         "lm_quality_trigram": q_lm_quality_trigram,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_decontamination": q_bloom_decontamination,
@@ -2542,6 +2556,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "lm_quality": oracles.unigram_lm_sql(sf_dir),
         "lm_quality_bigram": oracles.bigram_lm_sql(sf_dir),
         "lm_quality_trigram": oracles.trigram_lm_sql(sf_dir),
+        "topic_tags": oracles.topic_tags_sql(),
         "c4_filter": oracles.c4_filter_sql(),
         # ccnet re-derives the unigram log-prob literals from the
         # target sf_dir (the lm_quality trick)

@@ -2294,6 +2294,30 @@ FROM cb
 """
 
 
+def topic_tags_sql() -> str:
+    """Twin of q_topic_tags: the SAME rule table
+    (operators/tagging.TAXONOMY) compiled to DuckDB — per-keyword
+    counts over the token array, per-category integer sums, and the
+    identical declaration-order arg-max CASE chain."""
+    from .operators.tagging import TAXONOMY, topic_tags_sql_exprs
+
+    cat_exprs, tagged, case = topic_tags_sql_exprs(TAXONOMY, "toks")
+    cols = ", ".join(f"n_{cat}" for cat, _ in TAXONOMY)
+    proj = ",\n         ".join(cat_exprs)
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id,
+         {proj}
+  FROM t
+)
+SELECT doc_id, {cols},
+       {tagged} AS n_tagged,
+       {case} AS top_topic
+FROM c
+"""
+
+
 def trigram_lm_sql(
     sf_dir: str = "/root/testdata/sf0.01",
     vocab_size: int = 30,
