@@ -985,6 +985,18 @@ def q_lm_quality_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(docs, vocab, logp_oov, bigrams, log_backoff)
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report (operators/report.py): doc /
+    token / char totals, distinct languages, exact-duplicate count
+    and basis-point rate, mean tokens x100 — ONE map-side-combinable
+    aggregation, every rate an exact integer division."""
+    from medical_and_charity_document_extraction_system_spark.operators.report import (
+        corpus_report,
+    )
+
+    return corpus_report(_docs(spark, sf_dir))
+
+
 def q_topic_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword-taxonomy topic tagging (operators/tagging.py): ONE
     rule table drives per-category hit counts, the tagged total, and
@@ -2347,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "corpus_report": q_corpus_report,
         "topic_tags": q_topic_tags,
         "lm_quality_trigram": q_lm_quality_trigram,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -2557,6 +2570,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "lm_quality_bigram": oracles.bigram_lm_sql(sf_dir),
         "lm_quality_trigram": oracles.trigram_lm_sql(sf_dir),
         "topic_tags": oracles.topic_tags_sql(),
+        "corpus_report": oracles.corpus_report_sql(),
         "c4_filter": oracles.c4_filter_sql(),
         # ccnet re-derives the unigram log-prob literals from the
         # target sf_dir (the lm_quality trick)

@@ -2294,6 +2294,36 @@ FROM cb
 """
 
 
+def corpus_report_sql() -> str:
+    """Twin of q_corpus_report (operators/report.py): one grouped
+    aggregation; every rate is an exact integer division, so no float
+    discipline is needed. DuckDB sum() returns HUGEINT — cast back to
+    BIGINT before the arithmetic."""
+    return f"""
+WITH b AS (
+  SELECT source, lang,
+         len({_TOKS}) AS ntok,
+         length(text) AS nchr,
+         md5(text) AS fp
+  FROM documents
+),
+a AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         CAST(sum(nchr) AS BIGINT) AS n_chars,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_texts
+  FROM b GROUP BY source
+)
+SELECT source, n_docs, n_tokens, n_chars, n_langs, n_unique_texts,
+       n_docs - n_unique_texts AS dup_docs,
+       ((n_docs - n_unique_texts) * 10000) // n_docs AS dup_bp,
+       (n_tokens * 100) // n_docs AS mean_tokens_x100
+FROM a
+"""
+
+
 def topic_tags_sql() -> str:
     """Twin of q_topic_tags: the SAME rule table
     (operators/tagging.TAXONOMY) compiled to DuckDB — per-keyword
