@@ -985,6 +985,40 @@ def q_lm_quality_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(docs, vocab, logp_oov, bigrams, log_backoff)
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed as-of join (operators/asof.py — the temporal
+    operator Spark lacks; DuckDB's native ASOF JOIN is the twin):
+    each click event matched to the user's latest view at-or-before
+    its timestamp (classic attribution). Union-window form: ONE
+    shuffle on user_id, no join node; right-side ties at the same
+    instant are removed by a deterministic min_by rule in both
+    engines. Timestamps travel as unix_micros bigints."""
+    from medical_and_charity_document_extraction_system_spark.operators.asof import (
+        asof_join,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view")
+    j = asof_join(
+        clicks, views, key_col="user_id", ts_col="ts",
+        right_cols=("event_id", "value"), right_id_col="event_id",
+    )
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    r_ts_us = F.unix_micros(F.col("r_ts").cast("timestamp"))
+    return j.select(
+        "event_id",
+        "user_id",
+        ts_us.alias("ts_us"),
+        r_ts_us.alias("r_ts_us"),
+        "r_event_id",
+        "r_value",
+        (ts_us - r_ts_us).alias("age_us"),
+    )
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health report (operators/report.py): doc /
     token / char totals, distinct languages, exact-duplicate count
@@ -2359,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "asof_join": q_asof_join,
         "corpus_report": q_corpus_report,
         "topic_tags": q_topic_tags,
         "lm_quality_trigram": q_lm_quality_trigram,
@@ -2571,6 +2606,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "lm_quality_trigram": oracles.trigram_lm_sql(sf_dir),
         "topic_tags": oracles.topic_tags_sql(),
         "corpus_report": oracles.corpus_report_sql(),
+        "asof_join": oracles.asof_join_sql(),
         "c4_filter": oracles.c4_filter_sql(),
         # ccnet re-derives the unigram log-prob literals from the
         # target sf_dir (the lm_quality trick)

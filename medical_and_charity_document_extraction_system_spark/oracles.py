@@ -2294,6 +2294,38 @@ FROM cb
 """
 
 
+def asof_join_sql() -> str:
+    """Twin of q_asof_join: DuckDB's native ASOF LEFT JOIN against
+    the same min_by-deduplicated right side. ASOF picks the greatest
+    right ts satisfying ts_left >= ts_right — exactly the
+    union-window semantics (right rows sort before ts-equal left
+    rows)."""
+    return """
+WITH c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+v0 AS (
+  SELECT user_id, ts,
+         min_by(event_id, event_id) AS r_event_id,
+         min_by(value, event_id) AS r_value
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+),
+j AS (
+  SELECT c.event_id, c.user_id, c.ts,
+         v0.ts AS r_ts, v0.r_event_id, v0.r_value
+  FROM c ASOF LEFT JOIN v0
+    ON c.user_id = v0.user_id AND c.ts >= v0.ts
+)
+SELECT event_id, user_id,
+       epoch_us(ts) AS ts_us,
+       epoch_us(r_ts) AS r_ts_us,
+       r_event_id, r_value,
+       epoch_us(ts) - epoch_us(r_ts) AS age_us
+FROM j
+"""
+
+
 def corpus_report_sql() -> str:
     """Twin of q_corpus_report (operators/report.py): one grouped
     aggregation; every rate is an exact integer division, so no float
