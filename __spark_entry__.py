@@ -985,6 +985,45 @@ def q_lm_quality_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(docs, vocab, logp_oov, bigrams, log_backoff)
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed range join (operators/rangejoin.py): every click
+    inside the 30-minute window after an error by the same user —
+    incident attribution. Bin-bucketed equi-join on (user_id, 30-min
+    bin), never a nested-loop: each interval expands to <= 2 bins, a
+    point has exactly one, so pairs emit exactly once. All arithmetic
+    exact int64 microseconds; the twin is DuckDB's native BETWEEN
+    (IEJoin) plan."""
+    from medical_and_charity_document_extraction_system_spark.operators.rangejoin import (
+        range_join_bins,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        us.alias("click_ts_us"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        us.alias("start_us"),
+        (us + F.lit(1_800_000_000).cast("long")).alias("end_us"),
+    )
+    j = range_join_bins(
+        clicks, errors, key_col="user_id", ts_col="click_ts_us",
+        start_col="start_us", end_col="end_us",
+    )
+    return j.select(
+        "click_id",
+        "error_id",
+        "user_id",
+        "click_ts_us",
+        F.col("start_us").alias("error_ts_us"),
+        (F.col("click_ts_us") - F.col("start_us")).alias("delta_us"),
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed as-of join (operators/asof.py — the temporal
     operator Spark lacks; DuckDB's native ASOF JOIN is the twin):
@@ -2393,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "range_join": q_range_join,
         "asof_join": q_asof_join,
         "corpus_report": q_corpus_report,
         "topic_tags": q_topic_tags,
@@ -2607,6 +2647,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "topic_tags": oracles.topic_tags_sql(),
         "corpus_report": oracles.corpus_report_sql(),
         "asof_join": oracles.asof_join_sql(),
+        "range_join": oracles.range_join_sql(),
         "c4_filter": oracles.c4_filter_sql(),
         # ccnet re-derives the unigram log-prob literals from the
         # target sf_dir (the lm_quality trick)

@@ -2294,6 +2294,28 @@ FROM cb
 """
 
 
+def range_join_sql() -> str:
+    """Twin of q_range_join: the plain BETWEEN join (DuckDB plans it
+    as its native IEJoin); the Spark side's bin bucketing must emit
+    exactly the same pair set."""
+    return """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_ts_us
+  FROM events WHERE event_type = 'click'
+),
+e AS (
+  SELECT event_id AS error_id, user_id, epoch_us(ts) AS error_ts_us
+  FROM events WHERE event_type = 'error'
+)
+SELECT c.click_id, e.error_id, c.user_id,
+       c.click_ts_us, e.error_ts_us,
+       c.click_ts_us - e.error_ts_us AS delta_us
+FROM c JOIN e
+  ON c.user_id = e.user_id
+ AND c.click_ts_us BETWEEN e.error_ts_us AND e.error_ts_us + 1800000000
+"""
+
+
 def asof_join_sql() -> str:
     """Twin of q_asof_join: DuckDB's native ASOF LEFT JOIN against
     the same min_by-deduplicated right side. ASOF picks the greatest
