@@ -102,6 +102,15 @@ CATALOG_QUERIES = [
     # late round 5: iterative HITS over the shared host graph (integer
     # fixed point, localCheckpoint-chained rounds)
     "host_hits",
+    # final round 5: trigram stupid-backoff LM scoring, keyword-
+    # taxonomy tagging, the per-source corpus report, and the two
+    # temporal operators (union-window as-of join, bin-bucketed
+    # range join)
+    "lm_quality_trigram",
+    "topic_tags",
+    "corpus_report",
+    "asof_join",
+    "range_join",
 ]
 
 
