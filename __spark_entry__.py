@@ -985,6 +985,22 @@ def q_lm_quality_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(docs, vocab, logp_oov, bigrams, log_backoff)
 
 
+def q_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs-above-threshold similarity join
+    (operators/sparsesim.shingle_jaccard_pairs, Vernica et al. 2010):
+    word-3-gram shingle postings self-joined on the gram, per-pair
+    co-occurrence counts via a map-side-combinable hash-agg, Jaccard
+    >= 1/2 gated by integer cross-multiplication — no banding miss
+    probability to argue (the MinHash path's complement), no
+    quadratic pair materialization. The df=1 posting prune is pure
+    optimization; the oracle replays the join without it."""
+    from medical_and_charity_document_extraction_system_spark.operators.sparsesim import (
+        shingle_jaccard_pairs,
+    )
+
+    return shingle_jaccard_pairs(_docs(spark, sf_dir), t_num=1, t_den=2)
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed range join (operators/rangejoin.py): every click
     inside the 30-minute window after an error by the same user —
@@ -2129,6 +2145,23 @@ def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits_fixed(_host_edges(docs), iterations=4)
 
 
+def q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the SAME deterministic host graph as
+    host_pagerank / host_hits: 4 rounds of deterministic synchronous
+    label propagation (operators/webgraph.label_propagation — argmax
+    neighbor label, ties to the smallest label, so the update is a
+    pure function of the graph). Per round: one neighbor equi-join +
+    one (node, label) hash-agg + one agg-side argmax (NEVER a
+    row_number window over all nodes). Oracle unrolls the identical
+    rounds over the shared host-graph fragment."""
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        label_propagation,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return label_propagation(_host_edges(docs), iterations=4)
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt politeness gate over the crawl frontier (RFC 9309):
     per-host robots bodies (deterministic shapes — exact-agent group
@@ -2432,6 +2465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
+        "host_communities": q_host_communities,
         "range_join": q_range_join,
         "asof_join": q_asof_join,
         "corpus_report": q_corpus_report,
@@ -2569,6 +2604,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     centroids, bm25 idf/avgdl) and must re-derive them from the same
     parquet the Spark query reads, or they only match at sf0.01."""
     return {
+        "shingle_jaccard_pairs": oracles.shingle_jaccard_pairs_sql(),
+        "host_communities": oracles.host_communities_sql(),
         "extraction_doc_records": oracles.extraction_doc_records_sql(),
         # batch/streaming/WARC parity: every ingestion shape must match
         # the same construction oracle the batch plan matches

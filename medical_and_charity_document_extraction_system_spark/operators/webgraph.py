@@ -302,3 +302,72 @@ def hits_fixed(
         auth.select("node", F.col("s").alias("auth_units"))
         .join(hub.select("node", F.col("s").alias("hub_units")), "node")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al.
+    2007) — community detection over the host graph, the third
+    link-analysis member after PageRank and HITS. The textbook
+    algorithm breaks argmax ties randomly and updates asynchronously;
+    both are non-reproducible on a cluster, so this form is (a)
+    synchronous (every round reads the previous round's labels only)
+    and (b) tie-broken by SMALLEST label — the update is a pure
+    function of the graph, bit-identical under any partitioning:
+
+        label'(v) = argmax over l of |{u in N(v) : label(u) = l}|,
+                    ties -> min l; N(v) from the UNDIRECTED edge list
+                    (self-loops dropped — a node does not vote for
+                    itself). Nodes whose ONLY edges are self-loops
+                    have no neighbors and are excluded entirely.
+
+    Plan shape per round: one edge-list equi-join on the neighbor key
+    + one (node, label) hash-agg (map-side combinable) + one per-node
+    argmax via min(struct(-count, label)) — an agg, NEVER a
+    row_number window over nodes (the window twin would funnel a hub
+    node's candidate labels through one task; the agg form combines
+    map-side). localCheckpoint every 5 rounds cuts the iterative
+    lineage exactly as pagerank_fixed does. Fixed K rounds keeps the
+    SQL twin finite (unrolled CTEs).
+
+    Returns (node, label) — label is the community representative
+    (the smallest node id string that won the vote).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    ud = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = ud.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for it in range(iterations):
+        votes = (
+            ud.join(
+                labels.select(F.col("node").alias("dst"), "label"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        winner = votes.groupBy("node").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("w")
+        ).select("node", F.col("w.label").alias("new_label"))
+        labels = (
+            labels.join(winner, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+        )
+        if (it + 1) % 5 == 0 and (it + 1) < iterations:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

@@ -290,6 +290,30 @@ WHERE len(a.sh) > 0 AND len(b.sh) > 0
 """
 
 
+def shingle_jaccard_pairs_sql(t_num: int = 1, t_den: int = 2) -> str:
+    """Twin of operators/sparsesim.shingle_jaccard_pairs (exact mode):
+    same word-3-gram shingle sets, posting self-join on the gram,
+    per-pair co-occurrence count, integer cross-multiplied threshold,
+    ONE exact-integer division for the reported Jaccard. The Spark
+    side's df=1 prune is a pure optimization (a df-1 gram cannot
+    co-occur), so the twin omits it and results are identical."""
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+p AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz, unnest(sh) AS gram FROM s),
+pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+         CAST(count(*) AS BIGINT) AS overlap
+  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, sz_a, sz_b, overlap,
+       overlap / (sz_a + sz_b - overlap) AS jaccard
+FROM pr
+WHERE overlap * {t_den} >= {t_num} * (sz_a + sz_b - overlap)
+"""
+
+
 _DOT = (
     "list_reduce(list_transform(generate_series(1, {n}), i -> {a}[i] * {b}[i]),"
     " (x, y) -> x + y)"
@@ -1895,6 +1919,46 @@ WITH {_host_graph_ctes()},
 deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
 r0 AS (SELECT node, CAST({unit} AS BIGINT) AS units FROM nodes),{",".join(iters)}
 SELECT node, units AS rank_units FROM {prev}
+"""
+
+
+def host_communities_sql(iterations: int = 4) -> str:
+    """Twin of q_host_communities: the SAME shared host-graph
+    fragment, made undirected with self-loops dropped, then the same
+    deterministic synchronous label-propagation rounds unrolled —
+    per-node argmax expressed as row_number() ORDER BY c DESC, label
+    (identical selection rule to the Spark side's
+    min(struct(-c, label))). MATERIALIZED: each round's labels are
+    referenced twice (vote join + isolated-node fallback), so inlined
+    CTEs would re-evaluate the chain exponentially."""
+    rounds = []
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        rounds.append(f"""
+c{i} AS MATERIALIZED (
+  SELECT ud.src AS node, {prev}.label, count(*) AS c
+  FROM ud JOIN {prev} ON ud.dst = {prev}.node GROUP BY 1, 2
+),
+p{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM c{i}) WHERE rn = 1
+),
+l{i} AS MATERIALIZED (
+  SELECT {prev}.node, coalesce(p{i}.label, {prev}.label) AS label
+  FROM {prev} LEFT JOIN p{i} USING (node)
+)""")
+        prev = f"l{i}"
+    return f"""
+WITH {_host_graph_ctes()},
+ud AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
+  ) WHERE src <> dst
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM ud),{",".join(rounds)}
+SELECT node, label FROM {prev}
 """
 
 

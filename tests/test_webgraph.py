@@ -213,3 +213,57 @@ def test_hits_partitioning_invariant(spark):
     a = sorted(tuple(r) for r in hits_fixed(df, 3).collect())
     b = sorted(tuple(r) for r in hits_fixed(df.repartition(8), 3).collect())
     assert a == b  # integer arithmetic: bit-equal under any plan
+
+
+def _lp(spark, edges, iterations=4):
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {
+        r.node: r.label
+        for r in label_propagation(df, iterations=iterations).collect()
+    }
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    # two triangles joined by one bridge edge: each converges to its
+    # smallest member's label, the bridge does not merge them
+    tri1 = [("a1", "a2"), ("a2", "a3"), ("a1", "a3")]
+    tri2 = [("b1", "b2"), ("b2", "b3"), ("b1", "b3")]
+    got = _lp(spark, tri1 + tri2 + [("a3", "b1")], iterations=6)
+    assert got["a1"] == got["a2"] == got["a3"] == "a1"
+    # LPA labels are identifiers, not necessarily members: the b-clique
+    # converges to the stale label its bridge neighbor carried
+    assert got["b1"] == got["b2"] == got["b3"]
+    # the two triangles do not share one label
+    assert got["b1"] != got["a1"]
+
+
+def test_label_propagation_tie_breaks_to_min_label(spark):
+    # c has neighbors a and b (one vote each): min label wins
+    got = _lp(spark, [("a", "c"), ("b", "c")], iterations=1)
+    assert got["c"] == "a"
+
+
+def test_label_propagation_drops_self_loop_only_nodes(spark):
+    got = _lp(spark, [("a", "b"), ("z", "z")], iterations=2)
+    assert "z" not in got and {"a", "b"} <= set(got)
+
+
+def test_label_propagation_partitioning_invariant(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        label_propagation,
+    )
+
+    edges = [
+        (f"n{i}", f"n{(i * 7) % 23}") for i in range(40)
+    ] + [("n1", "n40"), ("n40", "n41")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = {r.node: r.label for r in label_propagation(df, 4).collect()}
+    b = {
+        r.node: r.label
+        for r in label_propagation(df.repartition(13), 4).collect()
+    }
+    assert a == b and len(a) > 0
