@@ -1745,6 +1745,35 @@ def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("doc_id", F.md5("text").alias("fp"))
 
 
+def q_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental read between two snapshots (Iceberg changelog scan
+    / Delta CDF, plans/snapstore.SnapshotTable.changelog): commit the
+    corpus, MERGE the same revision+insert batch q_snapshot_merge
+    uses, then ask for the row-level diff — updates must emit BOTH
+    pre- and post-image, rows that merely moved files during the
+    copy-on-write rewrite must emit NOTHING (content-compared with a
+    null-safe struct equality). Only files added/removed between the
+    manifests are scanned, so CDC cost tracks churn, not table size.
+    Oracle constructs the expected change set directly from the base
+    table arithmetic."""
+    from medical_and_charity_document_extraction_system_spark.plans.snapstore import (
+        SnapshotTable,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    t = SnapshotTable(spark, f"{_stage_dir('snapcdc_')}/tbl")
+    s1 = t.commit(docs.repartition(4, "doc_id"), "append")
+    revised = docs.where("doc_id % 10 = 0").select(
+        "doc_id", F.concat("text", F.lit(" [rev2]")).alias("text")
+    )
+    inserted = docs.where("doc_id % 50 = 0").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias("text"),
+    )
+    s2 = t.merge(revised.unionByName(inserted), "doc_id")
+    return t.changelog(s1, s2, "doc_id")
+
+
 def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Iceberg-shaped sink exercised end-to-end
     (plans/snapstore.py): even-id docs committed as snapshot 1, odd
@@ -2467,6 +2496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 (never driver-attested) ---
         "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
         "host_communities": q_host_communities,
+        "snapshot_changelog": q_snapshot_changelog,
         "range_join": q_range_join,
         "asof_join": q_asof_join,
         "corpus_report": q_corpus_report,
@@ -2606,6 +2636,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     return {
         "shingle_jaccard_pairs": oracles.shingle_jaccard_pairs_sql(),
         "host_communities": oracles.host_communities_sql(),
+        "snapshot_changelog": oracles.snapshot_changelog_sql(),
         "extraction_doc_records": oracles.extraction_doc_records_sql(),
         # batch/streaming/WARC parity: every ingestion shape must match
         # the same construction oracle the batch plan matches

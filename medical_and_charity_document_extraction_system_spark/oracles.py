@@ -2117,6 +2117,26 @@ FROM documents WHERE doc_id % 50 = 0
 """
 
 
+def snapshot_changelog_sql() -> str:
+    """Twin of q_snapshot_changelog: the row-level diff the CDC scan
+    must produce for q_snapshot_merge's batch — every tenth doc emits
+    an update pre-image AND post-image, every fiftieth a shifted-key
+    insert, nothing else (the 450 untouched rows are rewritten into
+    new files by the copy-on-write merge, and the content compare
+    must suppress them all)."""
+    return """
+SELECT 'update_before' AS change_type, doc_id, text
+FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT 'update_after' AS change_type, doc_id, text || ' [rev2]' AS text
+FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT 'insert' AS change_type, doc_id + 100000 AS doc_id,
+       'new doc ' || CAST(doc_id AS VARCHAR) AS text
+FROM documents WHERE doc_id % 50 = 0
+"""
+
+
 def cms_heavy_hitters_sql() -> str:
     """Twin of q_cms_heavy_hitters: every Count-Min cell recomputed
     from md5 scratch (the "row:term" prefix family), one-shot build —

@@ -225,3 +225,88 @@ def test_merge_rejects_duplicate_update_keys(spark, docs, tmp_path):
     # store unchanged: no partial snapshot published
     assert t.current_snapshot_id() == 1
     assert t.read().count() == 20
+
+
+def _changes(t, s1, s2, key="doc_id"):
+    return {
+        (r.change_type, r[key]): r for r in t.changelog(s1, s2, key).collect()
+    }
+
+
+def test_changelog_insert_update_delete(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    s1 = t.commit(base, "append")
+    # overwrite: 1 kept identical, 2 revised, 3 deleted, 4 inserted
+    after = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "doc_id long, text string"
+    )
+    s2 = t.commit(after, "overwrite")
+    got = _changes(t, s1, s2)
+    assert set(got) == {
+        ("update_before", 2),
+        ("update_after", 2),
+        ("insert", 4),
+        ("delete", 3),
+    }
+    assert got[("update_before", 2)].text == "b"
+    assert got[("update_after", 2)].text == "B"
+    assert got[("delete", 3)].text == "c"
+    assert got[("insert", 4)].text == "d"
+
+
+def test_changelog_merge_suppresses_moved_rows(spark, docs, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    d = docs.select("doc_id", "text")
+    s1 = t.commit(d.repartition(3, "doc_id"), "append")
+    from pyspark.sql import functions as F
+
+    upd = d.where("doc_id % 20 = 0").select(
+        "doc_id", F.concat("text", F.lit("!")).alias("text")
+    )
+    s2 = t.merge(upd, "doc_id")
+    out = t.changelog(s1, s2, "doc_id")
+    n_upd = upd.count()
+    by_type = {r.change_type: r.cnt for r in out.groupBy(
+        F.col("change_type")).agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # ONLY updates: the merge rewrote whole files, but unchanged rows
+    # carried into new files must not surface as changes
+    assert by_type == {"update_before": n_upd, "update_after": n_upd}
+
+
+def test_changelog_identical_snapshots_and_compact(spark, docs, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    s1 = t.commit(docs.select("doc_id", "text").repartition(4), "append")
+    same = t.changelog(s1, s1, "doc_id")
+    assert same.count() == 0
+    assert same.columns == ["change_type", "doc_id", "text"]
+    # compact rewrites every file; content is unchanged -> zero changes
+    s2 = t.compact(target_files=1)
+    assert t.changelog(s1, s2, "doc_id").count() == 0
+
+
+def test_changelog_file_granular_scan(spark, tmp_path):
+    # only files added/removed between the manifests are read: with a
+    # merge touching one of two files, the untouched file must not
+    # appear in the plan's scan
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    right = spark.createDataFrame([(11, "x"), (12, "y")], "doc_id long, text string")
+    t.commit(left, "append")
+    s2 = t.commit(right, "append")
+    files_before = set(t._manifest(s2)["files"])
+    from pyspark.sql import functions as F
+
+    s3 = t.merge(
+        spark.createDataFrame([(1, "A")], "doc_id long, text string"), "doc_id"
+    )
+    cl = t.changelog(s2, s3, "doc_id")
+    scanned = cl._jdf.queryExecution().executedPlan().toString()
+    untouched = sorted(files_before & set(t._manifest(s3)["files"]))
+    assert untouched, "merge should have carried the unmatched file"
+    for f in untouched:
+        assert f not in scanned
+    got = {(r.change_type, r.doc_id) for r in cl.collect()}
+    assert got == {("update_before", 1), ("update_after", 1)}
