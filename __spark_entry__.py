@@ -2191,6 +2191,21 @@ def q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(_host_edges(docs), iterations=4)
 
 
+def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle counts over the shared host graph
+    (operators/webgraph.triangle_counts): degree-oriented wedge join
+    (Suri & Vassilvitskii 2011) so a hub's wedge fan-out is bounded
+    by O(sqrt(m)) out-degree — the plan that survives power-law
+    graphs. Pure integer counting; the oracle replays the identical
+    orientation and joins over the shared host-graph fragment."""
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        triangle_counts,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return triangle_counts(_host_edges(docs))
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt politeness gate over the crawl frontier (RFC 9309):
     per-host robots bodies (deterministic shapes — exact-agent group
@@ -2497,6 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
         "host_communities": q_host_communities,
         "snapshot_changelog": q_snapshot_changelog,
+        "host_triangles": q_host_triangles,
         "range_join": q_range_join,
         "asof_join": q_asof_join,
         "corpus_report": q_corpus_report,
@@ -2637,6 +2653,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "shingle_jaccard_pairs": oracles.shingle_jaccard_pairs_sql(),
         "host_communities": oracles.host_communities_sql(),
         "snapshot_changelog": oracles.snapshot_changelog_sql(),
+        "host_triangles": oracles.host_triangles_sql(),
         "extraction_doc_records": oracles.extraction_doc_records_sql(),
         # batch/streaming/WARC parity: every ingestion shape must match
         # the same construction oracle the batch plan matches

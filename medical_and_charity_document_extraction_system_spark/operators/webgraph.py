@@ -371,3 +371,91 @@ def label_propagation(
         if (it + 1) % 5 == 0 and (it + 1) < iterations:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over the undirected simple graph —
+    the local-clustering signal (spam farms and link rings are
+    triangle-dense; editorial link neighborhoods are sparse).
+
+    The naive three-way edge self-join explodes on hubs: a degree-d
+    node contributes d*(d-1)/2 wedges, so one 10^6-degree host alone
+    yields 5*10^11 join rows — the "curse of the last reducer" (Suri
+    & Vassilvitskii, WWW 2011). The fix is their degree orientation:
+    direct every edge from the endpoint with smaller (degree, node)
+    rank to the larger, then build wedges only from each node's
+    OUT-neighbors. Every node's out-degree is bounded by O(sqrt(m))
+    on any graph, so the wedge fan-out per node is O(m) total no
+    matter how skewed the degree distribution is; each triangle is
+    generated exactly once (its lowest-rank corner builds the wedge,
+    the closing edge is oriented low->high by construction).
+
+    All joins are equi-joins on node keys (AQE-splittable), counts
+    are integers, ties in the rank break on the node id — the result
+    is a pure function of the edge set. Returns (node, triangles)
+    for every node of the simple graph (0 for triangle-free nodes).
+    """
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    ud = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        ud.select(F.col("a").alias("node"))
+        .union(ud.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    deg = (
+        ud.select(F.col("a").alias("node"))
+        .union(ud.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        ud.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+    ).localCheckpoint(eager=True)
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (
+            (F.col("o1.ddst") < F.col("o2.ddst"))
+            | (
+                (F.col("o1.ddst") == F.col("o2.ddst"))
+                & (F.col("o1.dst") < F.col("o2.dst"))
+            )
+        ),
+    ).select(
+        F.col("o1.src").alias("u"),
+        F.col("o1.dst").alias("v"),
+        F.col("o2.dst").alias("w"),
+    )
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    )
+    corner = (
+        closed.select(F.col("u").alias("node"))
+        .union(closed.select(F.col("v").alias("node")))
+        .union(closed.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return nodes.join(corner, "node", "left").select(
+        "node", F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles")
+    )

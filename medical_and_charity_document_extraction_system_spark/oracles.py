@@ -1962,6 +1962,54 @@ SELECT node, label FROM {prev}
 """
 
 
+def host_triangles_sql() -> str:
+    """Twin of q_host_triangles: the shared host graph canonicalized
+    to undirected simple edges, the SAME degree orientation ((deg,
+    node) rank, ties on the id), wedges from out-neighbors only,
+    closed against the oriented edge list — each triangle found once
+    at its minimum-rank corner, then fanned out to its three
+    corners."""
+    return f"""
+WITH {_host_graph_ctes()},
+ud AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE src <> dst
+),
+un AS (SELECT a AS node FROM ud UNION SELECT b FROM ud),
+dg AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM ud UNION ALL SELECT b FROM ud
+  ) GROUP BY node
+),
+wd AS (
+  SELECT ud.a, ud.b, dga.deg AS da, dgb.deg AS db
+  FROM ud JOIN dg dga ON ud.a = dga.node JOIN dg dgb ON ud.b = dgb.node
+),
+o AS MATERIALIZED (
+  SELECT CASE WHEN (da < db) OR (da = db AND a < b) THEN a ELSE b END AS src,
+         CASE WHEN (da < db) OR (da = db AND a < b) THEN b ELSE a END AS dst,
+         CASE WHEN (da < db) OR (da = db AND a < b) THEN db ELSE da END AS ddst
+  FROM wd
+),
+wg AS (
+  SELECT o1.src AS u, o1.dst AS v, o2.dst AS wn
+  FROM o o1 JOIN o o2 ON o1.src = o2.src
+   AND ((o1.ddst < o2.ddst) OR (o1.ddst = o2.ddst AND o1.dst < o2.dst))
+),
+tr AS MATERIALIZED (
+  SELECT u, v, wn FROM wg JOIN o ON wg.v = o.src AND wg.wn = o.dst
+),
+c AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT u AS node FROM tr UNION ALL SELECT v FROM tr
+    UNION ALL SELECT wn FROM tr
+  ) GROUP BY node
+)
+SELECT un.node, CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles
+FROM un LEFT JOIN c USING (node)
+"""
+
+
 def mojibake_repair_sql() -> str:
     """Twin of q_mojibake_repair: the same accent-suffix plant, the
     same doc_id %% 7 corruption, and the same ONE-rule-table repair

@@ -267,3 +267,57 @@ def test_label_propagation_partitioning_invariant(spark):
         for r in label_propagation(df.repartition(13), 4).collect()
     }
     assert a == b and len(a) > 0
+
+
+def _tri(spark, edges):
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        triangle_counts,
+    )
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r.node: r.triangles for r in triangle_counts(df).collect()}
+
+
+def test_triangle_counts_hand_computed(spark):
+    # K4 on {a,b,c,d}: every node is in C(3,2)=3 triangles; e hangs off
+    k4 = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+    ]
+    got = _tri(spark, k4 + [("d", "e")])
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 0}
+
+
+def test_triangle_counts_ignores_direction_dupes_selfloops(spark):
+    # same triangle given with mixed directions, duplicates, self-loop
+    edges = [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+        ("a", "b"), ("a", "a"),
+    ]
+    got = _tri(spark, edges)
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_counts_triangle_free(spark):
+    got = _tri(spark, [("a", "b"), ("b", "c"), ("c", "d")])  # a path
+    assert set(got.values()) == {0}
+
+
+def test_triangle_counts_partitioning_invariant(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        triangle_counts,
+    )
+
+    edges = [
+        (f"n{i}", f"n{j}")
+        for i in range(10)
+        for j in range(i + 1, 10)
+        if (i + j) % 3 != 0
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    b = {
+        r.node: r.triangles
+        for r in triangle_counts(df.repartition(11)).collect()
+    }
+    assert a == b and sum(a.values()) > 0
