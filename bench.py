@@ -111,6 +111,14 @@ CATALOG_QUERIES = [
     "corpus_report",
     "asof_join",
     "range_join",
+    # continuation round 5: exact posting-join similarity (the
+    # LSH-free complement), label-propagation communities and
+    # degree-oriented triangle counts over the shared host graph,
+    # and the snapshot CDC scan (commit + merge + changelog)
+    "shingle_jaccard_pairs",
+    "host_communities",
+    "host_triangles",
+    "snapshot_changelog",
 ]
 
 
