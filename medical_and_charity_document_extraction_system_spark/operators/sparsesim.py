@@ -65,9 +65,24 @@ def shingle_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles_fast(k)(F.col(text_col)).alias("sh")
     )
+    # cache the exploded postings: they feed the gram-df agg AND both
+    # sides of the pair self-join — uncached, the Arrow shingle UDF
+    # re-runs over the whole corpus once per reference (8 ArrowEval
+    # sites in the uncached plan; same rationale as the MinHash
+    # signature cache in operators/dedup.py). Also fan out first: a
+    # single-file corpus would otherwise shingle on one core.
+    sc = df.sparkSession.sparkContext
+    width = sc.defaultParallelism
+    n_files = len(df.inputFiles())
+    if (0 < n_files < width) or df.rdd.getNumPartitions() < width:
+        df = df.repartition(width)
+        sh = df.select(
+            F.col(id_col).alias("id"),
+            word_shingles_fast(k)(F.col(text_col)).alias("sh"),
+        )
     posts = sh.select(
         "id", F.size("sh").cast("long").alias("sz"), F.explode("sh").alias("gram")
-    )
+    ).cache()
     gdf = posts.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_df"))
     cond = F.col("gram_df") >= 2
     if max_df is not None:
