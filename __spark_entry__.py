@@ -1745,6 +1745,32 @@ def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("doc_id", F.md5("text").alias("fp"))
 
 
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion near-dup dedup (streaming/stream.py
+    incremental_dedup_stream): the corpus arrives as 4 micro-batch
+    epochs (8 files, 2 per trigger); each epoch emits its pairs
+    against everything ingested before it and adds its signatures to
+    the epoch-partitioned store. The UNION of the per-epoch pair
+    outputs must equal the one-shot all-pairs truth — the SAME oracle
+    as minhash_near_dup, because the incremental invariant holds for
+    any batch slicing. Replay-idempotent with no tag protocol: both
+    sinks are epoch-keyed dirs and each batch deduplicates against
+    the partition-pruned epoch<N store slice."""
+    from medical_and_charity_document_extraction_system_spark.streaming import (
+        incremental_dedup_stream,
+    )
+
+    base = _stage_dir("stream_dedup_")
+    inp, store, pairs, ck = (
+        f"{base}/in", f"{base}/store", f"{base}/pairs", f"{base}/ck",
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs.repartition(8).write.mode("overwrite").parquet(inp)
+    q = incremental_dedup_stream(spark, inp, store, pairs, ck)
+    q.awaitTermination()
+    return spark.read.parquet(pairs).select("id_a", "id_b", "jaccard")
+
+
 def q_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental read between two snapshots (Iceberg changelog scan
     / Delta CDF, plans/snapstore.SnapshotTable.changelog): commit the
@@ -2513,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_communities": q_host_communities,
         "snapshot_changelog": q_snapshot_changelog,
         "host_triangles": q_host_triangles,
+        "stream_incremental_dedup": q_stream_incremental_dedup,
         "range_join": q_range_join,
         "asof_join": q_asof_join,
         "corpus_report": q_corpus_report,
@@ -2654,6 +2681,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "host_communities": oracles.host_communities_sql(),
         "snapshot_changelog": oracles.snapshot_changelog_sql(),
         "host_triangles": oracles.host_triangles_sql(),
+        # streaming epoch-union must equal the one-shot all-pairs truth
+        "stream_incremental_dedup": oracles.minhash_near_dup_sql(),
         "extraction_doc_records": oracles.extraction_doc_records_sql(),
         # batch/streaming/WARC parity: every ingestion shape must match
         # the same construction oracle the batch plan matches

@@ -387,3 +387,89 @@ def read_cms_registers(spark: SparkSession, registers_dir: str):
     return deltas.groupBy("row", "bucket").agg(
         F.sum("cell").cast("long").alias("cell")
     )
+
+
+def incremental_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.9,
+    available_now: bool = True,
+    max_files_per_trigger: int = 2,
+) -> StreamingQuery:
+    """Streaming near-duplicate detection against a growing signature
+    store — the continuous-ingestion form of the dedup layer: each
+    micro-batch (a recrawl drop) emits its near-dup pairs against
+    everything ingested before it, then adds its own signatures to
+    the store. The union of every epoch's pairs equals the one-shot
+    all-pairs truth for ANY batch slicing (the incremental invariant
+    operators/dedup.incremental_minhash_near_dup pins: old-vs-old
+    pairs were emitted by earlier epochs, batch-internal and
+    batch-vs-store pairs are emitted now, and a doc never re-enters a
+    later batch).
+
+    Replay-deterministic by construction, with NO tag protocol:
+    both outputs are epoch-keyed subdirectories (``epoch=N``), and
+    the store state a batch deduplicates against is the PARTITION-
+    PRUNED ``epoch < N`` slice — so a crashed-and-replayed epoch
+    recomputes from exactly the state its first attempt saw, even if
+    that attempt already wrote this epoch's signatures. Contrast with
+    recrawl_merge_stream, whose shared-table sink needs epoch tags.
+
+    Per-epoch cost is O(batch x bands) candidates + verification
+    shingling over candidate ids only — corpus-size-independent, the
+    property that makes the plan survive a petabyte-scale backlog.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import (
+        incremental_minhash_near_dup,
+        minhash_signatures,
+    )
+
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+
+    def commit_batch(batch_df, epoch_id: int) -> None:
+        jpath = jvm_path(store_dir)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            stored = (
+                spark.read.parquet(store_dir)
+                .where(F.col("epoch") < epoch_id)
+                .select("doc_id", "band_keys", "text_md5")
+            )
+        else:
+            stored = spark.createDataFrame(
+                [], "doc_id bigint, band_keys array<bigint>, text_md5 string"
+            )
+        corpus = spark.read.parquet(input_dir)
+        pairs = incremental_minhash_near_dup(
+            batch_df, stored, corpus, threshold=threshold
+        )
+        pairs.select("id_a", "id_b", "jaccard").write.mode("overwrite").parquet(
+            f"{pairs_dir}/epoch={epoch_id}"
+        )
+        sigs = minhash_signatures(batch_df).join(
+            batch_df.select(
+                "doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5")
+            ),
+            "doc_id",
+        )
+        sigs.write.mode("overwrite").parquet(f"{store_dir}/epoch={epoch_id}")
+
+    writer = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

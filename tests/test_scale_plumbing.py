@@ -331,3 +331,57 @@ def test_streaming_cms_matches_one_shot_and_is_idempotent(spark, tmp_path):
         for r in read_cms_registers(spark, regs).collect()
     }
     assert merged2 == one_shot
+
+
+def test_streaming_incremental_dedup_matches_one_shot(spark, tmp_path):
+    """Epoch-sliced near-dup dedup: the union of per-epoch pair
+    outputs equals the one-shot all-pairs result for this slicing,
+    each batch only deduplicates against strictly earlier epochs
+    (partition-pruned store slice), and a replay over the same
+    checkpoint adds nothing."""
+    import glob
+
+    from medical_and_charity_document_extraction_system_spark.operators.dedup import (
+        minhash_near_dup,
+    )
+    from medical_and_charity_document_extraction_system_spark.streaming import (
+        incremental_dedup_stream,
+    )
+
+    base = "word another token fill pad extra more lines of text here "
+    rows = [(i, base * 3 + f"tail{i // 10}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    inp, store, pairs, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "store"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ck"),
+    )
+    docs.repartition(6).write.parquet(inp)
+    incremental_dedup_stream(spark, inp, store, pairs, ck).awaitTermination()
+    epoch_dirs = glob.glob(f"{pairs}/epoch=*")
+    assert len(epoch_dirs) >= 2  # genuinely incremental
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in spark.read.parquet(pairs)
+        .select("id_a", "id_b", "jaccard")
+        .collect()
+    }
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_near_dup(spark.read.parquet(inp)).collect()
+    }
+    assert got == want and len(want) > 0
+    # every pair emitted exactly once across epochs
+    n_rows = spark.read.parquet(pairs).count()
+    assert n_rows == len(got)
+    # replay: no new files -> no new epochs, identical union
+    incremental_dedup_stream(spark, inp, store, pairs, ck).awaitTermination()
+    assert sorted(glob.glob(f"{pairs}/epoch=*")) == sorted(epoch_dirs)
+    got2 = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in spark.read.parquet(pairs)
+        .select("id_a", "id_b", "jaccard")
+        .collect()
+    }
+    assert got2 == want
