@@ -1556,6 +1556,23 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_counts(docs, wt)
 
 
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit diagnostic (operators/bpe.fertility_by_group):
+    subtokens-per-word under the corpus-trained BPE, rolled up per
+    source — the signal that flags a source the vocabulary shreds
+    (wrong language / mojibake / code). Reuses the session-cached
+    12-round training; fertility is ONE exact integer division per
+    group. Oracle re-derives the word->subtoken map via the Python
+    twin and rolls up the same way."""
+    from medical_and_charity_document_extraction_system_spark.operators.bpe import (
+        fertility_by_group,
+    )
+
+    docs = _docs(spark, sf_dir)
+    _, wt = _bpe_trained(spark, sf_dir)
+    return fertility_by_group(docs, wt)
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supervised quality classifier (operators/classifier.py — the
     DCLM/fastText model-filter analog as closed-form NB log-odds over
@@ -2540,6 +2557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_changelog": q_snapshot_changelog,
         "host_triangles": q_host_triangles,
         "stream_incremental_dedup": q_stream_incremental_dedup,
+        "bpe_fertility": q_bpe_fertility,
         "range_join": q_range_join,
         "asof_join": q_asof_join,
         "corpus_report": q_corpus_report,
@@ -2777,6 +2795,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "quality_classifier": oracles.nb_classifier_sql(sf_dir),
         "bpe_train": oracles.bpe_train_sql(sf_dir),
         "bpe_segment": oracles.bpe_segment_sql(sf_dir),
+        "bpe_fertility": oracles.bpe_fertility_sql(sf_dir),
         "collocations": oracles.collocations_sql(),
         # streamed epoch-delta merge must equal the one-shot sketch
         "stream_cms_sketch": oracles.cms_heavy_hitters_sql(),

@@ -205,3 +205,35 @@ def bpe_train_python(
                     i += 1
             syms[w] = out
     return merges, syms
+
+
+def fertility_by_group(
+    corpus: DataFrame,
+    word_table: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer fertility (subtokens per word) rolled up per group —
+    the standard tokenizer-fit diagnostic: a source whose fertility
+    is far above the corpus mean is being shredded by the vocabulary
+    (wrong language, mojibake, code) and inflates its effective
+    token cost in training. One join on the vocabulary-sized word
+    table + one group agg; the fertility itself is ONE exact integer
+    division per group (the oracle-portable float discipline).
+
+    Returns (group, n_words, n_subtokens, fertility)."""
+    per_doc = segment_counts(corpus, word_table, text_col, id_col)
+    j = corpus.select(F.col(id_col), F.col(group_col)).join(per_doc, id_col)
+    g = j.groupBy(group_col).agg(
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_subtokens").cast("long").alias("n_subtokens"),
+    )
+    return g.select(
+        group_col,
+        "n_words",
+        "n_subtokens",
+        F.when(
+            F.col("n_words") > 0, F.col("n_subtokens") / F.col("n_words")
+        ).alias("fertility"),
+    )

@@ -3194,6 +3194,46 @@ FROM t LEFT JOIN a USING (doc_id)
 """
 
 
+def bpe_fertility_sql(
+    sf_dir: str = "/root/testdata/sf0.01", n_merges: int = 12
+) -> str:
+    """Twin of q_bpe_fertility: the same re-derived word->subtoken
+    map as bpe_segment_sql, rolled up per source; fertility is the
+    ONE exact integer division (NULL-guarded for empty groups in both
+    engines)."""
+    from .operators.bpe import bpe_train_python
+
+    _, syms = bpe_train_python(_bpe_word_counts(sf_dir), n_merges)
+    if not syms:
+        seg = (
+            "SELECT CAST(NULL AS VARCHAR) AS word, "
+            "CAST(NULL AS BIGINT) AS n_sub WHERE FALSE"
+        )
+    else:
+        rows = ",\n".join(f"({_sq(w)}, {len(ss)})" for w, ss in syms.items())
+        seg = (
+            "SELECT word, CAST(n_sub AS BIGINT) AS n_sub "
+            f"FROM (VALUES {rows}) AS s(word, n_sub)"
+        )
+    return f"""
+WITH seg AS ({seg}),
+t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+w AS (SELECT doc_id, source, unnest(toks) AS word FROM t),
+g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(n_sub) AS BIGINT) AS n_subtokens
+  FROM w JOIN seg USING (word) GROUP BY source
+),
+srcs AS (SELECT DISTINCT source FROM documents)
+SELECT srcs.source,
+       CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(n_subtokens, 0) AS BIGINT) AS n_subtokens,
+       CASE WHEN coalesce(n_words, 0) > 0
+            THEN n_subtokens / n_words END AS fertility
+FROM srcs LEFT JOIN g USING (source)
+"""
+
+
 def nb_classifier_sql(
     sf_dir: str = "/root/testdata/sf0.01",
     m: int = 256,

@@ -91,3 +91,28 @@ def test_merge_table_schema(spark):
     mt = merge_table_df(spark, merges)
     assert mt.columns == ["rank", "left_sym", "right_sym", "pair_count"]
     assert mt.collect()[0]["pair_count"] == 2
+
+
+def test_fertility_by_group_hand_computed(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.bpe import (
+        bpe_train,
+        fertility_by_group,
+    )
+
+    rows = [
+        (1, "aaaa aaaa", "s1"),   # frequent word: merged, few pieces
+        (2, "aaaa bcde", "s1"),
+        (3, "bcde fghi", "s2"),   # rare words: stay near char-level
+        (4, "", "s2"),            # empty doc still counts for its group
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    _, wt = bpe_train(df, n_merges=6)
+    out = {r.source: r for r in fertility_by_group(df, wt).collect()}
+    assert set(out) == {"s1", "s2"}
+    # exact accounting: fertility = total subtokens / total words
+    for r in out.values():
+        assert r.fertility == r.n_subtokens / r.n_words
+    # 'aaaa' is the most frequent word -> fully merged before the rare
+    # words, so s1 (three 'aaaa' of four words) beats s2 on fertility
+    assert out["s1"].fertility < out["s2"].fertility
+    assert out["s1"].n_words == 4 and out["s2"].n_words == 2

@@ -122,3 +122,30 @@ def test_bpe_wide_vocab_within_budget(spark):
     pm, _ = bpe_train_python(wc, 4)
     assert merges == pm
     assert elapsed < BUDGET_SEC, f"wide-vocab bpe took {elapsed:.0f}s"
+
+
+def test_shingle_jaccard_max_df_bounds_boilerplate_blowup(spark):
+    """One boilerplate shingle shared by EVERY doc would alone emit
+    n^2/2 join rows in exact mode; with max_df it is excluded from
+    the join and the query completes within budget, emitting only the
+    genuinely-similar pairs (which share plenty of under-cap grams)."""
+    import time
+
+    from medical_and_charity_document_extraction_system_spark.operators.sparsesim import (
+        shingle_jaccard_pairs,
+    )
+
+    boiler = "copyright footer terms"
+    rows = []
+    for i in range(4000):
+        # 40 groups of 100 near-identical docs + the global boilerplate
+        body = " ".join(f"g{i % 40}w{j}" for j in range(12))
+        rows.append((i, f"{body} {boiler}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+    t0 = time.monotonic()
+    out = shingle_jaccard_pairs(df, t_num=1, t_den=2, max_df=200)
+    n = out.count()
+    elapsed = time.monotonic() - t0
+    # each group of 100 identical docs -> C(100,2) pairs
+    assert n == 40 * 100 * 99 // 2
+    assert elapsed < BUDGET_SEC, f"capped similarity join took {elapsed:.0f}s"
