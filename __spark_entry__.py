@@ -2535,6 +2535,35 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) 1-hour window with a 15-minute slide — the
+    overlapping-window member of the temporal family (tumbling and
+    session windows are already covered). Built with the native
+    F.window(ts, '1 hour', '15 minutes'): each event lands in exactly
+    4 windows on the 15-minute epoch grid. Window starts are emitted
+    as epoch MICROSECONDS (tz-free; the session tz is pinned UTC so
+    unix_micros == DuckDB epoch_us), values summed as decimal for an
+    order-free sum. Oracle expands each event's 4 grid starts with a
+    generate_series cross join."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = F.window(F.col("ts").cast("timestamp"), "1 hour", "15 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -2558,6 +2587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_triangles": q_host_triangles,
         "stream_incremental_dedup": q_stream_incremental_dedup,
         "bpe_fertility": q_bpe_fertility,
+        "events_hopping": q_events_hopping,
         "range_join": q_range_join,
         "asof_join": q_asof_join,
         "corpus_report": q_corpus_report,
@@ -2796,6 +2826,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "bpe_train": oracles.bpe_train_sql(sf_dir),
         "bpe_segment": oracles.bpe_segment_sql(sf_dir),
         "bpe_fertility": oracles.bpe_fertility_sql(sf_dir),
+        "events_hopping": oracles.events_hopping_sql(),
         "collocations": oracles.collocations_sql(),
         # streamed epoch-delta merge must equal the one-shot sketch
         "stream_cms_sketch": oracles.cms_heavy_hitters_sql(),

@@ -408,6 +408,25 @@ FROM events GROUP BY 1, 2
 """
 
 
+def events_hopping_sql() -> str:
+    """Twin of q_events_hopping: each event's 4 hopping-window starts
+    are the 15-minute grid floor minus k slides (k = 0..3 — exactly
+    the windows Spark's F.window(1h, 15m) assigns), in epoch
+    microseconds so no timezone or formatting is involved."""
+    return """
+WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+x AS (
+  SELECT us - (us % 900000000) - k * 900000000 AS window_start_us,
+         event_type, value
+  FROM e CROSS JOIN generate_series(0, 3) AS t(k)
+)
+SELECT window_start_us, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM x GROUP BY 1, 2
+"""
+
+
 def nation_revenue_sql() -> str:
     """Join twin: money summed as DECIMAL(18,2) (exact, order-free),
     one final cast to double — same convention as events_tumbling."""
