@@ -2535,6 +2535,23 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-3 documents by (n_chars DESC, doc_id ASC) —
+    the curation primitive "keep each host's k best docs", computed
+    WITHOUT a per-group window over raw rows (operators/topk.
+    grouped_topk): per-(group, score) class counts, a window over the
+    aggregated class table only (<= distinct scores per group), and a
+    boundary-ties window bounded by the tied rows. Oracle is the
+    plain row_number form — same answer, different (non-scalable)
+    plan."""
+    from medical_and_charity_document_extraction_system_spark.operators.topk import (
+        grouped_topk,
+    )
+
+    docs = _docs(spark, sf_dir).select("source", "doc_id", "n_chars")
+    return grouped_topk(docs, "source", "n_chars", "doc_id", k=3)
+
+
 def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping (sliding) 1-hour window with a 15-minute slide — the
     overlapping-window member of the temporal family (tumbling and
@@ -2588,6 +2605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_incremental_dedup": q_stream_incremental_dedup,
         "bpe_fertility": q_bpe_fertility,
         "events_hopping": q_events_hopping,
+        "source_topk": q_source_topk,
         "range_join": q_range_join,
         "asof_join": q_asof_join,
         "corpus_report": q_corpus_report,
@@ -2827,6 +2845,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "bpe_segment": oracles.bpe_segment_sql(sf_dir),
         "bpe_fertility": oracles.bpe_fertility_sql(sf_dir),
         "events_hopping": oracles.events_hopping_sql(),
+        "source_topk": oracles.source_topk_sql(),
         "collocations": oracles.collocations_sql(),
         # streamed epoch-delta merge must equal the one-shot sketch
         "stream_cms_sketch": oracles.cms_heavy_hitters_sql(),

@@ -408,6 +408,21 @@ FROM events GROUP BY 1, 2
 """
 
 
+def source_topk_sql(k: int = 3) -> str:
+    """Twin of q_source_topk: the textbook row_number window — the
+    Spark side must land on the identical row set through its
+    agg+join threshold plan (ties broken by doc_id ASC in both)."""
+    return f"""
+SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= {k}
+"""
+
+
 def events_hopping_sql() -> str:
     """Twin of q_events_hopping: each event's 4 hopping-window starts
     are the 15-minute grid floor minus k slides (k = 0..3 — exactly
