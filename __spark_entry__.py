@@ -2552,6 +2552,22 @@ def q_source_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_topk(docs, "source", "n_chars", "doc_id", k=3)
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quota sampling: exactly 5 docs per source, the
+    bottom-5 by md5-hash rank of the id (operators/sampling.
+    stratified_sample) — same rows on any run/engine/partitioning,
+    and incrementally stable (bottom-k sketches merge: new data can
+    displace members but never reshuffle survivors). Selection runs
+    through grouped_topk's class-count threshold plan, not a raw-row
+    window. Oracle is the plain hash-ranked row_number."""
+    from medical_and_charity_document_extraction_system_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = _docs(spark, sf_dir).select("source", "doc_id", "lang")
+    return stratified_sample(docs, "source", "doc_id", k=5)
+
+
 def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping (sliding) 1-hour window with a 15-minute slide — the
     overlapping-window member of the temporal family (tumbling and
@@ -2606,6 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": q_bpe_fertility,
         "events_hopping": q_events_hopping,
         "source_topk": q_source_topk,
+        "stratified_sample": q_stratified_sample,
         "range_join": q_range_join,
         "asof_join": q_asof_join,
         "corpus_report": q_corpus_report,
@@ -2846,6 +2863,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "bpe_fertility": oracles.bpe_fertility_sql(sf_dir),
         "events_hopping": oracles.events_hopping_sql(),
         "source_topk": oracles.source_topk_sql(),
+        "stratified_sample": oracles.stratified_sample_sql(),
         "collocations": oracles.collocations_sql(),
         # streamed epoch-delta merge must equal the one-shot sketch
         "stream_cms_sketch": oracles.cms_heavy_hitters_sql(),

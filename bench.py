@@ -119,6 +119,12 @@ CATALOG_QUERIES = [
     "host_communities",
     "host_triangles",
     "snapshot_changelog",
+    # continuation round 5, second batch: tokenizer fertility (reuses
+    # the session BPE training), hopping windows, per-group top-k
+    "bpe_fertility",
+    "events_hopping",
+    "source_topk",
+    "stratified_sample",
 ]
 
 

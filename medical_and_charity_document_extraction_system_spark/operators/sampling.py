@@ -59,3 +59,30 @@ def assign_split(
     last = labels[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """EXACTLY k rows per group (fewer if the group is smaller),
+    chosen by md5-hash rank of the key — a deterministic quota sample:
+    the same rows on every run, every engine, every partitioning
+    (unlike df.sampleBy, whose strata are approximate AND
+    partitioning-dependent). The per-group selection reuses
+    operators/topk.grouped_topk's class-count threshold plan, so no
+    per-group window ever runs over raw rows; the hash makes score
+    collisions (the boundary-ties path) vanishingly rare.
+
+    The "pick the k lowest-hash keys per group" rule is also
+    incrementally stable: adding new rows can only displace current
+    members, never reshuffle survivors (bottom-k sketches merge)."""
+    from .topk import grouped_topk
+
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    tagged = df.withColumn("_rank", -h)  # top-k of -hash == bottom-k of hash
+    return grouped_topk(tagged, group_col, "_rank", key_col, k).drop("_rank")

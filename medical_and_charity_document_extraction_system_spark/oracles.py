@@ -423,6 +423,21 @@ SELECT source, doc_id, n_chars FROM (
 """
 
 
+def stratified_sample_sql(k: int = 5) -> str:
+    """Twin of q_stratified_sample: bottom-k md5-hash rank per source
+    (same 15-hex-digit bigint hash both engines), ties on doc_id."""
+    h = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    return f"""
+SELECT source, doc_id, lang FROM (
+  SELECT source, doc_id, lang,
+         row_number() OVER (
+           PARTITION BY source ORDER BY {h}, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= {k}
+"""
+
+
 def events_hopping_sql() -> str:
     """Twin of q_events_hopping: each event's 4 hopping-window starts
     are the 15-minute grid floor minus k slides (k = 0..3 — exactly

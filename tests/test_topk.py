@@ -91,3 +91,37 @@ def test_no_raw_row_window(spark):
         # class window: (grp, score DESC) — no id. boundary window:
         # (grp, score, id ASC) — no DESC. The hazard spec has BOTH.
         assert not ("id#" in head and "DESC" in head), head
+
+
+def test_stratified_sample_exact_quota_and_stability(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    rows = [(f"g{i % 3}", i) for i in range(60)] + [("tiny", 999)]
+    df = spark.createDataFrame(rows, "grp string, id long")
+    out = stratified_sample(df, "grp", "id", k=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.grp, set()).add(r.id)
+    assert {g: len(v) for g, v in got.items()} == {
+        "g0": 4, "g1": 4, "g2": 4, "tiny": 1
+    }
+    # incremental stability: sampling a superset never reshuffles the
+    # survivors — members can only be displaced, not replaced laterally
+    bigger = df.union(
+        spark.createDataFrame([(f"g{i % 3}", 1000 + i) for i in range(30)],
+                              "grp string, id long")
+    )
+    got2 = {}
+    for r in stratified_sample(bigger, "grp", "id", k=4).collect():
+        got2.setdefault(r.grp, set()).add(r.id)
+    for g in ("g0", "g1", "g2"):
+        # every member of the superset sample that comes from the
+        # original rows must have been in the original sample
+        assert {i for i in got2[g] if i < 1000} <= got[g]
+    # rerun-identity
+    again = {}
+    for r in stratified_sample(df, "grp", "id", k=4).collect():
+        again.setdefault(r.grp, set()).add(r.id)
+    assert again == got
