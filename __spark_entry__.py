@@ -2552,6 +2552,33 @@ def q_source_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_topk(docs, "source", "n_chars", "doc_id", k=3)
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle over the events stream (operators/cohorts.
+    cohort_retention): users bucketed by epoch DAY of first activity,
+    counted per (cohort, age). Integer-only (epoch-microsecond floor
+    division, session tz pinned UTC); no window anywhere — distinct +
+    two user-keyed aggs + one join."""
+    from medical_and_charity_document_extraction_system_spark.operators.cohorts import (
+        cohort_retention,
+    )
+
+    return cohort_retention(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered first-touch funnel view -> click -> purchase
+    (operators/cohorts.funnel_stages): stage i = users with a step-i
+    event strictly after their earliest continuing step-(i-1) event.
+    One filter + user-keyed join + min-agg per step; per-user state
+    shrinks monotonically. Oracle chains the identical per-step
+    CTEs."""
+    from medical_and_charity_document_extraction_system_spark.operators.cohorts import (
+        funnel_stages,
+    )
+
+    return funnel_stages(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic quota sampling: exactly 5 docs per source, the
     bottom-5 by md5-hash rank of the id (operators/sampling.
@@ -2623,6 +2650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hopping": q_events_hopping,
         "source_topk": q_source_topk,
         "stratified_sample": q_stratified_sample,
+        "cohort_retention": q_cohort_retention,
+        "funnel_stages": q_funnel_stages,
         "range_join": q_range_join,
         "asof_join": q_asof_join,
         "corpus_report": q_corpus_report,
@@ -2864,6 +2893,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "events_hopping": oracles.events_hopping_sql(),
         "source_topk": oracles.source_topk_sql(),
         "stratified_sample": oracles.stratified_sample_sql(),
+        "cohort_retention": oracles.cohort_retention_sql(),
+        "funnel_stages": oracles.funnel_stages_sql(),
         "collocations": oracles.collocations_sql(),
         # streamed epoch-delta merge must equal the one-shot sketch
         "stream_cms_sketch": oracles.cms_heavy_hitters_sql(),

@@ -438,6 +438,46 @@ SELECT source, doc_id, lang FROM (
 """
 
 
+def cohort_retention_sql(bucket_us: int = 86_400_000_000) -> str:
+    """Twin of q_cohort_retention: epoch-day buckets by integer floor
+    division, first bucket per user, (cohort, age) counts over the
+    distinct (user, bucket) activity set."""
+    return f"""
+WITH e AS (
+  SELECT user_id AS u, epoch_us(ts) // {bucket_us} AS bucket FROM events
+),
+a AS (SELECT DISTINCT u, bucket FROM e),
+f AS (SELECT u, min(bucket) AS cohort FROM a GROUP BY u)
+SELECT cohort, bucket - cohort AS age, CAST(count(*) AS BIGINT) AS n_active
+FROM a JOIN f USING (u) GROUP BY 1, 2
+"""
+
+
+def funnel_stages_sql(steps: tuple[str, ...] = ("view", "click", "purchase")) -> str:
+    """Twin of q_funnel_stages: per-step CTEs — stage i keeps users
+    with a step-i event strictly after their earliest stage-(i-1)
+    time (min over continuing events)."""
+    ctes = [
+        f"""s1 AS (
+  SELECT user_id AS u, min(epoch_us(ts)) AS t
+  FROM events WHERE event_type = '{steps[0]}' GROUP BY 1
+)"""
+    ]
+    for i, step in enumerate(steps[1:], 2):
+        ctes.append(f"""s{i} AS (
+  SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t
+  FROM events e JOIN s{i - 1} ON e.user_id = s{i - 1}.u
+   AND epoch_us(e.ts) > s{i - 1}.t
+  WHERE e.event_type = '{step}' GROUP BY 1
+)""")
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS stage, '{step}' AS step, "
+        f"CAST((SELECT count(*) FROM s{i}) AS BIGINT) AS n_users"
+        for i, step in enumerate(steps, 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
 def events_hopping_sql() -> str:
     """Twin of q_events_hopping: each event's 4 hopping-window starts
     are the 15-minute grid floor minus k slides (k = 0..3 — exactly
