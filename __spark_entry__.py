@@ -1001,6 +1001,25 @@ def q_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_jaccard_pairs(_docs(spark, sf_dir), t_num=1, t_den=2)
 
 
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Levenshtein similarity join (operators/editsim.py) over a
+    short key — the 24-char document prefix stands in for the
+    title/name/field-value keys this metric is for. Lossless
+    candidates from two equi-join paths (positional q-gram count
+    filter for long strings, FastSS deletion neighborhoods for short
+    ones), exact distance only on survivors; no cartesian anywhere.
+    The oracle is the plain all-pairs SQL — the candidate machinery
+    must be invisible in the result."""
+    from medical_and_charity_document_extraction_system_spark.operators.editsim import (
+        edit_distance_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 24).alias("s")
+    )
+    return edit_distance_pairs(docs, "doc_id", "s", max_dist=4, q=3)
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed range join (operators/rangejoin.py): every click
     inside the 30-minute window after an error by the same user —
@@ -2641,6 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "edit_distance_pairs": q_edit_distance_pairs,
         "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
         "host_communities": q_host_communities,
         "snapshot_changelog": q_snapshot_changelog,
@@ -2895,6 +2915,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "stratified_sample": oracles.stratified_sample_sql(),
         "cohort_retention": oracles.cohort_retention_sql(),
         "funnel_stages": oracles.funnel_stages_sql(),
+        "edit_distance_pairs": oracles.edit_distance_pairs_sql(),
         "collocations": oracles.collocations_sql(),
         # streamed epoch-delta merge must equal the one-shot sketch
         "stream_cms_sketch": oracles.cms_heavy_hitters_sql(),

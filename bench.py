@@ -125,6 +125,13 @@ CATALOG_QUERIES = [
     "events_hopping",
     "source_topk",
     "stratified_sample",
+    # continuation round 5, third batch: event-analytics staples —
+    # retention triangle and the ordered first-touch funnel
+    "cohort_retention",
+    "funnel_stages",
+    # continuation round 5: exact Levenshtein similarity join
+    # (q-gram count filter + FastSS deletion neighborhoods)
+    "edit_distance_pairs",
 ]
 
 

@@ -438,6 +438,24 @@ SELECT source, doc_id, lang FROM (
 """
 
 
+def edit_distance_pairs_sql(max_dist: int = 4, prefix_len: int = 24) -> str:
+    """Twin of q_edit_distance_pairs: the straightforward all-pairs
+    Levenshtein join (DuckDB's levenshtein == Spark's: unit-cost
+    character DP). The Spark side's q-gram/deletion candidate
+    machinery is lossless, so the naive form IS the spec."""
+    return f"""
+WITH t AS (
+  SELECT doc_id AS id, substring(text, 1, {prefix_len}) AS s
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM t a JOIN t b
+  ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= {max_dist}
+WHERE levenshtein(a.s, b.s) <= {max_dist}
+"""
+
+
 def cohort_retention_sql(bucket_us: int = 86_400_000_000) -> str:
     """Twin of q_cohort_retention: epoch-day buckets by integer floor
     division, first bucket per user, (cohort, age) counts over the
