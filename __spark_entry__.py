@@ -1020,6 +1020,22 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_pairs(docs, "doc_id", "s", max_dist=4, q=3)
 
 
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing rows-frame stats per user (operators/rolling.py):
+    count / exact-decimal sum / max of value over each event's 3
+    predecessors + itself, frame-ordered by the TOTAL (epoch_us,
+    event_id) key. One shuffle on user_id, sliding-buffer frame —
+    never materializes the partition. Decimal sum keeps the result
+    independent of accumulation order (events_tumbling precedent)."""
+    from medical_and_charity_document_extraction_system_spark.operators.rolling import (
+        rolling_event_stats,
+    )
+
+    return rolling_event_stats(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), n_preceding=3
+    )
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed range join (operators/rangejoin.py): every click
     inside the 30-minute window after an error by the same user —
@@ -2661,6 +2677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in round 5 (never driver-attested) ---
         "edit_distance_pairs": q_edit_distance_pairs,
+        "events_rolling": q_events_rolling,
         "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
         "host_communities": q_host_communities,
         "snapshot_changelog": q_snapshot_changelog,
@@ -2916,6 +2933,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "cohort_retention": oracles.cohort_retention_sql(),
         "funnel_stages": oracles.funnel_stages_sql(),
         "edit_distance_pairs": oracles.edit_distance_pairs_sql(),
+        "events_rolling": oracles.events_rolling_sql(),
         "collocations": oracles.collocations_sql(),
         # streamed epoch-delta merge must equal the one-shot sketch
         "stream_cms_sketch": oracles.cms_heavy_hitters_sql(),

@@ -132,6 +132,8 @@ CATALOG_QUERIES = [
     # continuation round 5: exact Levenshtein similarity join
     # (q-gram count filter + FastSS deletion neighborhoods)
     "edit_distance_pairs",
+    # continuation round 5: trailing rows-frame stats per user
+    "events_rolling",
 ]
 
 

@@ -1,0 +1,64 @@
+"""Rolling (sliding rows-frame) aggregates per key.
+
+The last member of the temporal family next to tumbling/hopping
+windows (time-bucketed), sessionization (gap-based), and the as-of /
+range joins (cross-stream): a per-entity trailing statistic — "this
+user's activity vs their last N events" — the standard feature shape
+for rate-anomaly and engagement scoring.
+
+Determinism: the frame order must be a TOTAL order or the frame
+contents are partition-dependent — ``(ts, id)`` with a unique id
+column is required, not optional. Sums run over ``decimal(18,2)``
+(exact, order-free — the events_tumbling precedent); min/max of
+doubles are order-free comparisons; counts are integers. Nothing
+depends on float accumulation order, so the DuckDB twin is the same
+window spelled in SQL.
+
+Scale shape: one shuffle on the entity key, then a linear pass per
+partition — rows-frames never materialize the whole partition (Spark
+keeps a sliding buffer of ``n_preceding + 1`` rows). The skew story is
+sessionize's: a pathological single entity serializes its own
+partition only; AQE cannot split a window, so callers with known
+whale keys should pre-filter or cap them (documented, as for
+user_sessions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rolling_event_stats(
+    events: DataFrame,
+    n_preceding: int = 3,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per event: count / exact-decimal sum / max of ``value`` over the
+    trailing ``n_preceding`` events of the same key plus the current
+    row, ordered by (epoch micros, id). Returns
+    (event_id, user_id, us, n_window, roll_sum, roll_max)."""
+    if n_preceding < 1:
+        raise ValueError("n_preceding must be >= 1")
+    base = events.select(
+        F.col(id_col).alias("event_id"),
+        F.col(key_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(value_col).cast("decimal(18,2)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-n_preceding, 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_window"),
+        F.sum("v").over(w).cast("double").alias("roll_sum"),
+        F.max("v").over(w).cast("double").alias("roll_max"),
+    )

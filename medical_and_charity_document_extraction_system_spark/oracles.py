@@ -438,6 +438,21 @@ SELECT source, doc_id, lang FROM (
 """
 
 
+def events_rolling_sql(n_preceding: int = 3) -> str:
+    """Twin of q_events_rolling: the same rows-frame window in SQL.
+    The (epoch_us, event_id) order is total, the sum is exact decimal,
+    min/max are order-free — nothing for engines to disagree on."""
+    return f"""
+SELECT event_id, user_id, epoch_us(ts) AS us,
+       CAST(count(*) OVER w AS BIGINT) AS n_window,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+       CAST(max(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN {n_preceding} PRECEDING AND CURRENT ROW)
+"""
+
+
 def edit_distance_pairs_sql(max_dist: int = 4, prefix_len: int = 24) -> str:
     """Twin of q_edit_distance_pairs: the straightforward all-pairs
     Levenshtein join (DuckDB's levenshtein == Spark's: unit-cost
