@@ -1020,6 +1020,21 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_pairs(docs, "doc_id", "s", max_dist=4, q=3)
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (operators/winnow.py): one selected
+    hash per window of w=4 consecutive char-5-gram hashes — any shared
+    substring >= 8 chars yields a shared fingerprint. Selection is a
+    single integer min over combined (hash<<20 | reversed-pos) values,
+    so the rightmost-min tie rule costs nothing and the DuckDB twin is
+    the same arithmetic under a rows-frame window min. Pure per-doc
+    array HOFs (staged), zero shuffles."""
+    from medical_and_charity_document_extraction_system_spark.operators.winnow import (
+        winnow_fingerprints,
+    )
+
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
 def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing rows-frame stats per user (operators/rolling.py):
     count / exact-decimal sum / max of value over each event's 3
@@ -2677,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in round 5 (never driver-attested) ---
         "edit_distance_pairs": q_edit_distance_pairs,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "events_rolling": q_events_rolling,
         "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
         "host_communities": q_host_communities,
@@ -2933,6 +2949,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "cohort_retention": oracles.cohort_retention_sql(),
         "funnel_stages": oracles.funnel_stages_sql(),
         "edit_distance_pairs": oracles.edit_distance_pairs_sql(),
+        "winnow_fingerprints": oracles.winnow_fingerprints_sql(),
         "events_rolling": oracles.events_rolling_sql(),
         "collocations": oracles.collocations_sql(),
         # streamed epoch-delta merge must equal the one-shot sketch

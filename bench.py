@@ -134,6 +134,9 @@ CATALOG_QUERIES = [
     "edit_distance_pairs",
     # continuation round 5: trailing rows-frame stats per user
     "events_rolling",
+    # continuation round 5: MOSS winnowing fingerprints (per-doc
+    # array HOFs, zero shuffles)
+    "winnow_fingerprints",
 ]
 
 

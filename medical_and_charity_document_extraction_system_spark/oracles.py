@@ -438,6 +438,36 @@ SELECT source, doc_id, lang FROM (
 """
 
 
+def winnow_fingerprints_sql(k: int = 5, w: int = 4) -> str:
+    """Twin of q_winnow_fingerprints: identical combined-integer
+    arithmetic (40-bit md5 gram hash << 20 | reversed 1-based pos),
+    window minima via a rows-frame window, short docs via a global
+    min. Rightmost-min ties fall out of the integer encoding."""
+    mod, top = 1 << 20, (1 << 20) - 1
+    return f"""
+WITH t AS (
+  SELECT doc_id, text AS s, length(text) AS n FROM documents
+  WHERE text IS NOT NULL AND length(text) >= {k} AND length(text) < {top}
+),
+j AS (SELECT doc_id, s, n, unnest(generate_series(1, n - {k - 1})) AS j FROM t),
+h AS (SELECT doc_id, n, j,
+        CAST(('0x' || substr(md5(substr(s, j, {k})), 1, 10)) AS BIGINT)
+          * {mod} + ({top} - j) AS c
+      FROM j),
+w1 AS (SELECT doc_id, j,
+        min(c) OVER (PARTITION BY doc_id ORDER BY j
+                     ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS c
+       FROM h WHERE n - {k - 1} > {w}),
+sel AS (
+  SELECT DISTINCT doc_id, c FROM w1 WHERE j >= {w}
+  UNION
+  SELECT doc_id, min(c) AS c FROM h WHERE n - {k - 1} <= {w} GROUP BY doc_id
+)
+SELECT doc_id, CAST({top} - (c % {mod}) AS BIGINT) AS pos, c // {mod} AS fp
+FROM sel
+"""
+
+
 def events_rolling_sql(n_preceding: int = 3) -> str:
     """Twin of q_events_rolling: the same rows-frame window in SQL.
     The (epoch_us, event_id) order is total, the sum is exact decimal,
