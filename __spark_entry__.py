@@ -1005,11 +1005,11 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Levenshtein similarity join (operators/editsim.py) over a
     short key — the 24-char document prefix stands in for the
     title/name/field-value keys this metric is for. Lossless
-    candidates from two equi-join paths (positional q-gram count
-    filter for long strings, FastSS deletion neighborhoods for short
-    ones), exact distance only on survivors; no cartesian anywhere.
-    The oracle is the plain all-pairs SQL — the candidate machinery
-    must be invisible in the result."""
+    candidates from two equi-join paths (PassJoin pigeonhole segments
+    for segmentable strings, FastSS deletion neighborhoods for <= d
+    chars), banded-threshold exact distance on survivors; no cartesian
+    anywhere. The oracle is the plain all-pairs SQL — the candidate
+    machinery must be invisible in the result."""
     from medical_and_charity_document_extraction_system_spark.operators.editsim import (
         edit_distance_pairs,
     )
@@ -1017,7 +1017,20 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.substring("text", 1, 24).alias("s")
     )
-    return edit_distance_pairs(docs, "doc_id", "s", max_dist=4, q=3)
+    return edit_distance_pairs(docs, "doc_id", "s", max_dist=4)
+
+
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-distinctive terms (operators/keywords.py) — the
+    cluster-labeling step of topic pipelines (BERTopic c-TF-IDF),
+    scored by LIFT instead of a log form so the rank key is one
+    division of exact int64 cross products. One corpus scan, two
+    re-aggregations, grouped_topk thresholds (no raw-row window)."""
+    from medical_and_charity_document_extraction_system_spark.operators.keywords import (
+        distinctive_terms,
+    )
+
+    return distinctive_terms(_docs(spark, sf_dir), top_k=5, min_count=3)
 
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2692,6 +2705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in round 5 (never driver-attested) ---
         "edit_distance_pairs": q_edit_distance_pairs,
+        "distinctive_terms": q_distinctive_terms,
         "winnow_fingerprints": q_winnow_fingerprints,
         "events_rolling": q_events_rolling,
         "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
@@ -2949,6 +2963,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "cohort_retention": oracles.cohort_retention_sql(),
         "funnel_stages": oracles.funnel_stages_sql(),
         "edit_distance_pairs": oracles.edit_distance_pairs_sql(),
+        "distinctive_terms": oracles.distinctive_terms_sql(),
         "winnow_fingerprints": oracles.winnow_fingerprints_sql(),
         "events_rolling": oracles.events_rolling_sql(),
         "collocations": oracles.collocations_sql(),

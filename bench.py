@@ -137,6 +137,9 @@ CATALOG_QUERIES = [
     # continuation round 5: MOSS winnowing fingerprints (per-doc
     # array HOFs, zero shuffles)
     "winnow_fingerprints",
+    # continuation round 5: class-distinctive terms (c-TF-IDF analog,
+    # integer lift + grouped_topk)
+    "distinctive_terms",
 ]
 
 

@@ -6,59 +6,54 @@ repo (shingle Jaccard in operators/sparsesim.py, MinHash banding in
 operators/dedup.py): Jaccard treats a document as a bag of grams and is
 insensitive to order; Levenshtein is the right metric for SHORT keys —
 titles, names, URLs, OCR'd field values — where single-character noise
-is the dominant corruption (the reference repo's extracted field values,
-e.g. patient/donor names from OCR spans, are exactly this shape; see
-/root/reference/backend/app/services/extraction... field parsing).
+is the dominant corruption (the reference repo's extracted field
+values, e.g. patient/donor names from OCR spans, are exactly this
+shape).
 
 Candidate generation is LOSSLESS (no false negatives), two paths:
 
-- **Long strings** (``len >= q*(d+1)``): positional q-gram posting join
-  (Gravano et al., VLDB 2001 count filtering). If ``ed(a,b) <= d`` and
-  ``max(|a|,|b|) >= q*(d+1)`` then a and b share at least
-  ``max(|a|,|b|) - q + 1 - q*d >= 1`` positional q-grams within
-  position shift ``d``. Postings join on ``(gram, pos DIV (d+1))``
-  with the probe side emitted to the 3 adjacent buckets — a hot gram
-  is split across position buckets instead of landing in one reduce
-  task, and each (pos_a, pos_b) pair matches in exactly one bucket, so
-  counting join rows never double-counts. Pairs below the count
-  threshold are pruned BEFORE any string comparison.
-- **Short strings** (``len < q*(d+1)``, where the gram guarantee does
-  not hold): deletion-neighborhood join (FastSS, Bocek et al. 2007).
-  If ``ed(a,b) <= d`` the two strings share a common subsequence
-  reachable by deleting at most ``d`` characters from each, so the
-  up-to-``d``-deletions variant sets intersect. Variants are generated
-  by ``d`` rounds of JVM ``transform``+``explode`` (no Python), each
-  round deduplicated; neighborhood size is bounded by C(q*(d+1), d) —
-  a constant, because only short strings enter this path.
+- **Segment path** (PassJoin — Li, Deng, Feng, VLDB 2011 pigeonhole
+  partitioning), for every pair whose lexicographically-assignable
+  "build" string has ``len >= d+1``: split each string into ``d+1``
+  contiguous segments (as even as possible). Within edit distance
+  ``d`` at most ``d`` segments are touched by edits, so at least one
+  segment of the build string appears VERBATIM in the probe string,
+  shifted by at most ``d`` positions. The join key is
+  ``(build_len, segment_index, segment_content)`` — an exact match on
+  a ~``len/(d+1)``-char substring, far more selective than any q-gram
+  scheme (a first cut with 3-gram count filtering produced ~48M join
+  rows at sf0.1 on this corpus's 375-gram vocabulary; the segment join
+  produces ~1.6M). Probe emission is pure runtime arithmetic — three
+  chained JVM explodes (candidate build length, segment index,
+  position window) with the candidate-length explode immediately
+  pruned by an equi-join against the tiny DISTINCT-build-lengths
+  table (broadcast by AQE) — no data-derived literals, no driver
+  collect.
+- **Short path** (``len <= d``, where a ``d+1``-way split is
+  impossible): deletion-neighborhood join (FastSS, Bocek et al.
+  2007) — strings within distance ``d`` share a member of their
+  up-to-``d``-deletions variant sets. Only strings of at most ``d``
+  characters enter this path, so the neighborhood size is trivially
+  bounded.
 
-Survivor pairs from both paths are distinct-unioned, the strings are
-joined back by id (the pair shuffle carries ids only), and the exact
-``levenshtein(a, b) <= d`` post-filter runs once per candidate.
-Spark's ``levenshtein`` and DuckDB's agree (plain unit-cost DP over
-characters), so the oracle twin is the straightforward all-pairs SQL.
+Both paths carry the (short) strings through the postings, so
+verification is a filter on the joined row — no join-back. The exact
+check uses Spark's banded ``levenshtein(a, b, threshold)`` (O(len*d)
+with early abort, returns -1 past the threshold); DuckDB's plain
+``levenshtein`` agrees on the survivors, so the oracle twin is the
+straightforward all-pairs SQL.
 
-Scale shape: both candidate paths are equi-joins on bounded-width keys
-(gram×bucket, deletion variant) — AQE-splittable; no window, no
-cross join (a plan test pins the absence of BroadcastNestedLoopJoin).
-The count filter is what keeps a 10^10-row key table feasible: on
-24-char keys at d=4/q=3 a surviving pair must share >= 10 positional
-grams, so near-miss pairs never reach the verify join.
+Scale shape: equi-joins on selective bounded-width keys only —
+AQE-splittable, no window, no cross join (a plan test pins the absence
+of BroadcastNestedLoopJoin). Posting volume is O(d) rows per string on
+the build side and O(d^2 * |distinct lengths within +-d|) on the probe
+side — independent of corpus size per string.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-
-def _positional_grams(q: int):
-    """struct(pos, gram) array over 1..len-q+1 (callers guarantee
-    len >= q, so the sequence stop is >= 1 — no descending-sequence
-    hazard)."""
-    return F.expr(
-        f"transform(sequence(1, length(s) - {q} + 1),"
-        f" i -> struct(i AS pos, substring(s, i, {q}) AS gram))"
-    )
 
 
 def _one_deletion_variants():
@@ -76,102 +71,133 @@ def edit_distance_pairs(
     id_col: str,
     str_col: str,
     max_dist: int,
-    q: int = 3,
 ) -> DataFrame:
     """All pairs (id_a < id_b) whose strings are within Levenshtein
     distance ``max_dist``, with the exact distance. Returns
     (id_a, id_b, dist) — bigint, bigint, bigint."""
     if max_dist < 1:
         raise ValueError("max_dist must be >= 1 (use exact_dedup for 0)")
-    if q < 2:
-        raise ValueError("q must be >= 2")
     d = max_dist
-    short_cut = q * (d + 1)  # len below this -> deletion path
+    nseg = d + 1
 
     s = (
         df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
         .where(F.col("s").isNotNull())
         .withColumn("l", F.length("s"))
-        .cache()  # feeds postings (2 sides), variants, and the verify join
+        .cache()  # feeds build postings, probe postings, and variants
     )
 
-    # ---- long path: positional q-gram postings, count-filtered ----
-    postings = (
-        s.where(F.col("l") >= q)
-        .select("id", "l", F.explode(_positional_grams(q)).alias("pg"))
-        .select("id", "l", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
-    )
-    bucket = F.expr(f"CAST(pos - 1 AS BIGINT) DIV {d + 1}")
-    build = postings.select(
-        F.col("id").alias("id_a"),
-        F.col("l").alias("l_a"),
-        F.col("pos").alias("pos_a"),
-        "gram",
-        bucket.alias("bkt"),
-    )
-    probe = (
-        postings.select(
+    # ---- segment path (PassJoin) ----
+    # segment i of a length-l string: base = l DIV nseg, rem = l % nseg,
+    # len_i = base + (i < rem), start_i = 1 + i*base + min(i, rem)
+    build = (
+        s.where(F.col("l") >= nseg)
+        .select("id", "s", "l", F.explode(F.sequence(F.lit(0), F.lit(d))).alias("i"))
+        .select(
             F.col("id").alias("id_b"),
-            F.col("l").alias("l_b"),
-            F.col("pos").alias("pos_b"),
-            "gram",
-            bucket.alias("b0"),
+            F.col("s").alias("s_b"),
+            F.col("l").alias("lb"),
+            "i",
+            F.expr(
+                f"substring(s, 1 + i * (l DIV {nseg}) + least(i, l % {nseg}),"
+                f" l DIV {nseg} + IF(i < l % {nseg}, 1, 0))"
+            ).alias("c"),
         )
-        .withColumn("k", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-        .select("id_b", "l_b", "pos_b", "gram", (F.col("b0") + F.col("k")).alias("bkt"))
     )
-    gram_pairs = (
-        build.join(probe, ["gram", "bkt"])
-        .where(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.col("pos_a") - F.col("pos_b")) <= d)
-            & (F.abs(F.col("l_a") - F.col("l_b")) <= d)
+    build_lengths = (
+        s.where(F.col("l") >= nseg).select(F.col("l").alias("lb")).distinct()
+    )
+    # probe: candidate build length lb in [max(d+1, l-d), l+d], pruned
+    # immediately against the lengths that actually exist; then the
+    # segment index and the +-d position window (clamped to the string)
+    probe = (
+        s.select(
+            "id",
+            "s",
+            "l",
+            F.explode(
+                F.sequence(F.greatest(F.lit(nseg), F.col("l") - d), F.col("l") + d)
+            ).alias("lb"),
         )
-        .groupBy("id_a", "id_b", "l_a", "l_b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        # count filter: lossless for pairs with max(len) >= q*(d+1);
-        # smaller pairs are the deletion path's job, so greatest(.,1)
-        # never drops anything the gram path is responsible for
-        .where(
-            F.col("cnt")
-            >= F.greatest(
-                F.greatest("l_a", "l_b") - F.lit(q - 1) - F.lit(q * d), F.lit(1)
-            )
+        .join(build_lengths, "lb")
+        .select(
+            "id", "s", "l", "lb",
+            F.explode(F.sequence(F.lit(0), F.lit(d))).alias("i"),
         )
-        .select("id_a", "id_b")
+        .withColumn("len_i", F.expr(f"lb DIV {nseg} + IF(i < lb % {nseg}, 1, 0)"))
+        .withColumn(
+            "st", F.expr(f"1 + i * (lb DIV {nseg}) + least(i, lb % {nseg})")
+        )
+        # window [max(1, st-d), min(l - len_i + 1, st + d)]; empty -> drop
+        .withColumn("p_lo", F.greatest(F.lit(1), F.col("st") - d))
+        .withColumn("p_hi", F.least(F.col("l") - F.col("len_i") + 1, F.col("st") + d))
+        .where(F.col("p_hi") >= F.col("p_lo"))  # sequence must not descend
+        .select(
+            F.col("id").alias("id_p"),
+            F.col("s").alias("s_p"),
+            "lb",
+            "i",
+            F.explode(F.sequence("p_lo", "p_hi")).alias("p"),
+            "len_i",
+        )
+        .select(
+            "id_p", "s_p", "lb", "i",
+            F.expr("substring(s_p, p, len_i)").alias("c"),
+        )
+        .distinct()  # multiple p can yield the same content
+    )
+    seg_pairs = (
+        build.join(probe, ["lb", "i", "c"])
+        .where(F.col("id_b") != F.col("id_p"))
+        .select(
+            F.least("id_b", "id_p").alias("id_a"),
+            F.greatest("id_b", "id_p").alias("id_b2"),
+            # levenshtein is symmetric: orientation doesn't matter
+            F.col("s_b").alias("s_a"),
+            F.col("s_p").alias("s_b3"),
+        )
+        .select(
+            "id_a",
+            F.col("id_b2").alias("id_b"),
+            "s_a",
+            F.col("s_b3").alias("s_b"),
+        )
     )
 
-    # ---- short path: up-to-d-deletions neighborhood join ----
-    variants = s.where(F.col("l") < short_cut).select("id", F.col("s").alias("v"))
-    frontier = variants
+    # ---- short path: both strings <= d chars ----
+    variants = s.where(F.col("l") <= d).select("id", "s", F.col("s").alias("v"))
+    frontier = variants.select("id", "v")
     for _ in range(d):
         frontier = (
             frontier.where(F.length("v") >= 1)  # sequence(1,0) descends
             .select("id", F.explode(_one_deletion_variants()).alias("v"))
             .distinct()
         )
-        variants = variants.unionByName(frontier)
+        variants = variants.unionByName(
+            frontier.join(s.select("id", "s"), "id").select("id", "s", "v")
+        )
     variants = variants.distinct()
-    va = variants.select(F.col("id").alias("id_a"), "v")
-    vb = variants.select(F.col("id").alias("id_b"), "v")
+    va = variants.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"), "v")
+    vb = variants.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"), "v")
     del_pairs = (
         va.join(vb, "v")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .select("id_a", "id_b", "s_a", "s_b")
     )
 
-    # ---- verify: exact distance on the deduped candidate set ----
-    cand = gram_pairs.unionByName(del_pairs).distinct()
-    sa = s.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
-    sb = s.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    # ---- verify: banded exact distance on the candidate rows ----
+    # (strings ride the postings, so no join-back; duplicates collapse
+    # in the final distinct over the tiny surviving set)
+    cand = seg_pairs.unionByName(del_pairs)
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.withColumn(
+            "dist", F.levenshtein("s_a", "s_b", d).cast("long")
+        )
+        .where((F.col("dist") >= 0) & (F.col("dist") <= d))
         .select(
             F.col("id_a").cast("long").alias("id_a"),
             F.col("id_b").cast("long").alias("id_b"),
-            F.levenshtein("s_a", "s_b").cast("long").alias("dist"),
+            "dist",
         )
-        .where(F.col("dist") <= d)
+        .distinct()
     )

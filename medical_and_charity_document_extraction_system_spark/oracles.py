@@ -438,6 +438,31 @@ SELECT source, doc_id, lang FROM (
 """
 
 
+def distinctive_terms_sql(top_k: int = 5, min_count: int = 3) -> str:
+    """Twin of q_distinctive_terms: same lift arithmetic (exact int64
+    cross products, ONE division), textbook row_number top-k. DuckDB
+    sum() returns HUGEINT — cast to BIGINT before the products."""
+    return f"""
+WITH tok AS (
+  SELECT source AS cls, unnest({_TOKS}) AS t
+  FROM documents WHERE text IS NOT NULL
+),
+tc AS (SELECT cls, t, CAST(count(*) AS BIGINT) AS n_tc FROM tok GROUP BY 1, 2),
+tt AS (SELECT t, CAST(sum(n_tc) AS BIGINT) AS n_t FROM tc GROUP BY 1),
+ct AS (SELECT cls, CAST(sum(n_tc) AS BIGINT) AS n_c FROM tc GROUP BY 1),
+tot AS (SELECT CAST(sum(n_tc) AS BIGINT) AS n FROM tc),
+s AS (
+  SELECT cls, t, n_tc,
+         CAST(n_tc * n AS DOUBLE) / CAST(n_t * n_c AS DOUBLE) AS lift
+  FROM tc JOIN tt USING (t) JOIN ct USING (cls) CROSS JOIN tot
+  WHERE n_tc >= {min_count}
+),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY cls ORDER BY lift DESC, t ASC) AS rn FROM s)
+SELECT cls AS source, t AS term, n_tc, lift FROM r WHERE rn <= {top_k}
+"""
+
+
 def winnow_fingerprints_sql(k: int = 5, w: int = 4) -> str:
     """Twin of q_winnow_fingerprints: identical combined-integer
     arithmetic (40-bit md5 gram hash << 20 | reversed 1-based pos),

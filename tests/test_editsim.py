@@ -29,27 +29,27 @@ def _brute(strings, d):
     return out
 
 
-def _run(spark, strings, d, q=3):
+def _run(spark, strings, d):
     df = spark.createDataFrame(
         list(enumerate(strings)), "id long, s string"
     )
-    got = edit_distance_pairs(df, "id", "s", max_dist=d, q=q)
+    got = edit_distance_pairs(df, "id", "s", max_dist=d)
     return {(r.id_a, r.id_b, r.dist) for r in got.collect()}
 
 
 # deterministic mix: long near-dups, short strings (deletion path),
-# a long/short boundary pair, empty string, repeated chars
+# segment-boundary lengths, empty string, repeated chars
 _STRINGS = [
     "the quick brown fox jumps",   # 0
     "the quick brown fox jumped",  # 1: dist 2 from 0
     "the quick brown fox",         # 2
-    "cat",                         # 3  short
-    "cart",                        # 4  short, dist 1 from cat
-    "ct",                          # 5  short, dist 1 from cat
-    "",                            # 6  empty
+    "cat",                         # 3
+    "cart",                        # 4  dist 1 from cat
+    "ct",                          # 5  dist 1 from cat
+    "",                            # 6  empty (short path)
     "ab",                          # 7  dist 2 from empty
-    "aaaaaaaaaaaa",                # 8  12 chars (short at d=4,q=3)
-    "aaaaaaaaaaaaaaa",             # 9  15 chars (long at d=4,q=3)
+    "aaaaa",                       # 8  exactly d+1 at d=4 (smallest segmentable)
+    "aaaaaaaa",                    # 9
     "zzzzzzzzzzzzzzzz",            # 10 unrelated
     "the quick brown fax jumps",   # 11: dist 1 from 0
 ]
@@ -61,26 +61,38 @@ def test_matches_brute_force(spark, d):
 
 
 def test_deletion_path_only_pair(spark):
-    # both strings shorter than q*(d+1): only the FastSS path can
-    # surface them — pins the short path is live, not dead code
-    got = _run(spark, ["abcd", "abxd"], d=2, q=3)
+    # both strings at most d chars: only the FastSS path can surface
+    # them (no d+1-way segmentation exists) — pins the short path live
+    got = _run(spark, ["ab", "b"], d=2)
     assert got == {(0, 1, 1)}
 
 
-def test_long_short_boundary_pair(spark):
-    # one side above, one below the q*(d+1) cut: must come through the
-    # gram path (short side still emits grams since len >= q)
-    a = "abcdefghijklmno"   # 15 = q*(d+1) at q=3,d=4
-    b = "abcdefghijk"       # 11 chars, dist 4
-    got = _run(spark, [a, b], d=4, q=3)
-    assert got == {(0, 1, 4)}
+def test_short_long_boundary_pair(spark):
+    # one side <= d, one side >= d+1: the segment path must cover it
+    # (the longer string is segmentable; the shorter one probes)
+    got = _run(spark, ["abc", "a"], d=2)
+    assert got == {(0, 1, 2)}
+
+
+def test_uneven_segment_layout(spark):
+    # lengths not divisible by d+1 exercise the base/remainder layout;
+    # substitution in every-but-one segment still caught (pigeonhole)
+    a = "abcdefghijk"      # 11 chars, d=2 -> segments 4/4/3
+    b = "XbcdefghijZ"      # touches segments 0 and 2; segment 1 intact
+    got = _run(spark, [a, b], d=2)
+    assert got == {(0, 1, 2)}
 
 
 def test_no_cartesian_in_plan(spark):
     df = spark.createDataFrame(
         list(enumerate(_STRINGS)), "id long, s string"
     )
-    plan = edit_distance_pairs(df, "id", "s", max_dist=4)._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        edit_distance_pairs(df, "id", "s", max_dist=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
@@ -89,8 +101,6 @@ def test_rejects_bad_params(spark):
     df = spark.createDataFrame([(0, "x")], "id long, s string")
     with pytest.raises(ValueError):
         edit_distance_pairs(df, "id", "s", max_dist=0)
-    with pytest.raises(ValueError):
-        edit_distance_pairs(df, "id", "s", max_dist=2, q=1)
 
 
 def test_unicode_is_character_based(spark):
