@@ -1033,6 +1033,19 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinctive_terms(_docs(spark, sf_dir), top_k=5, min_count=3)
 
 
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords (operators/keywords.textrank_keywords):
+    integer fixed-point PageRank over the corpus-wide union of
+    per-document word-adjacency graphs ((doc <tab> word) nodes), top-3
+    per doc via grouped_topk. Reuses pagerank_fixed — bit-reproducible
+    units, unrolled-CTE twin, no float anywhere."""
+    from medical_and_charity_document_extraction_system_spark.operators.keywords import (
+        textrank_keywords,
+    )
+
+    return textrank_keywords(_docs(spark, sf_dir), top_k=3)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS winnowing fingerprints (operators/winnow.py): one selected
     hash per window of w=4 consecutive char-5-gram hashes — any shared
@@ -2706,6 +2719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 (never driver-attested) ---
         "edit_distance_pairs": q_edit_distance_pairs,
         "distinctive_terms": q_distinctive_terms,
+        "textrank_keywords": q_textrank_keywords,
         "winnow_fingerprints": q_winnow_fingerprints,
         "events_rolling": q_events_rolling,
         "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
@@ -2964,6 +2978,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "funnel_stages": oracles.funnel_stages_sql(),
         "edit_distance_pairs": oracles.edit_distance_pairs_sql(),
         "distinctive_terms": oracles.distinctive_terms_sql(),
+        "textrank_keywords": oracles.textrank_keywords_sql(),
         "winnow_fingerprints": oracles.winnow_fingerprints_sql(),
         "events_rolling": oracles.events_rolling_sql(),
         "collocations": oracles.collocations_sql(),

@@ -140,6 +140,9 @@ CATALOG_QUERIES = [
     # continuation round 5: class-distinctive terms (c-TF-IDF analog,
     # integer lift + grouped_topk)
     "distinctive_terms",
+    # continuation round 5: TextRank keywords (integer PageRank over
+    # the per-doc word-adjacency union graph)
+    "textrank_keywords",
 ]
 
 

@@ -38,6 +38,9 @@ from medical_and_charity_document_extraction_system_spark.functions.textstats im
 from medical_and_charity_document_extraction_system_spark.operators.topk import (
     grouped_topk,
 )
+from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+    pagerank_fixed,
+)
 
 
 def distinctive_terms(
@@ -88,3 +91,59 @@ def distinctive_terms(
         "n_tc",
         "lift",
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+    iterations: int = 4,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    PageRank over each document's word-adjacency graph (co-occurrence
+    window 2, undirected, self-loops dropped), top ``top_k`` words per
+    document by rank.
+
+    The per-document graphs are NOT iterated per document: every
+    (doc, word) pair becomes one node — ``doc_id <tab> word``, the tab
+    can never appear in a whitespace token — of a single corpus-wide
+    graph fed to the shared integer fixed-point ``pagerank_fixed``
+    (operators/webgraph.py). Disjoint components rank independently
+    and the teleport share is a global constant, so within-document
+    order equals the per-document computation's. Rank units are exact
+    int64 — the unrolled-CTE oracle lands on identical units, and the
+    per-doc top-k (grouped_topk, ties word ASC) is deterministic.
+
+    Documents with fewer than 2 distinct adjacent words contribute no
+    nodes (a one-word text has no co-occurrence graph — standard
+    TextRank behavior; callers wanting a fallback can union in term
+    counts). Scale: node degree is bounded by document length, so no
+    hot reducer exists by construction; iteration cost is K joins
+    co-keyed on the node."""
+    toks = tokens(F.col(text_col))
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    pair = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+    )
+    pairs = (
+        df.select(F.col(id_col).alias("doc"), F.explode(pair).alias("p"))
+        .select("doc", "p.x", "p.y")
+        .where(F.col("x") != F.col("y"))
+    )
+
+    def node(w):
+        return F.concat_ws("\t", F.col("doc").cast("string"), w)
+
+    fwd = pairs.select(node(F.col("x")).alias("src"), node(F.col("y")).alias("dst"))
+    rev = pairs.select(node(F.col("y")).alias("src"), node(F.col("x")).alias("dst"))
+    ranks = pagerank_fixed(fwd.union(rev), iterations=iterations)
+    parts = F.split(F.col("node"), "\t", 2)
+    scored = ranks.select(
+        parts.getItem(0).cast("long").alias(id_col),
+        parts.getItem(1).alias("word"),
+        "rank_units",
+    )
+    return grouped_topk(scored, id_col, "rank_units", "word", k=top_k)

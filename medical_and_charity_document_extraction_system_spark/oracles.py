@@ -2075,6 +2075,22 @@ def host_pagerank_sql(
     iteration. Integer //-division and bigint sums are
     order-independent, so the twin lands on identical units without
     any float-fold care."""
+    rounds, prev = _pagerank_round_ctes(iterations, unit, d_num, d_den)
+    return f"""
+WITH {_host_graph_ctes()},
+deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+r0 AS (SELECT node, CAST({unit} AS BIGINT) AS units FROM nodes),{rounds}
+SELECT node, units AS rank_units FROM {prev}
+"""
+
+
+def _pagerank_round_ctes(
+    iterations: int, unit: int, d_num: int, d_den: int
+) -> tuple[str, str]:
+    """Unrolled integer-fixed-point PageRank rounds over CTEs named
+    ``e`` (src, dst — distinct), ``nodes`` (node), ``deg`` (src, od)
+    and ``r0``. Returns (cte_sql_fragment, final_cte_name) — shared
+    by the host-graph and TextRank twins."""
     base = unit - (d_num * unit) // d_den
     iters = []
     prev = "r0"
@@ -2091,11 +2107,44 @@ r{i} AS (
   FROM nodes n LEFT JOIN i{i} USING (node)
 )""")
         prev = f"r{i}"
+    return ",".join(iters), prev
+
+
+def textrank_keywords_sql(
+    top_k: int = 3,
+    iterations: int = 4,
+    unit: int = 1_000_000,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> str:
+    """Twin of q_textrank_keywords: the per-document word-adjacency
+    graph ((doc <tab> word) nodes — a tab can never appear in a
+    whitespace token), the SAME unrolled integer PageRank rounds as
+    the host twin, textbook row_number top-k per doc."""
+    rounds, prev = _pagerank_round_ctes(iterations, unit, d_num, d_den)
     return f"""
-WITH {_host_graph_ctes()},
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE text IS NOT NULL),
+ix AS (SELECT doc_id, toks, unnest(range(1, greatest(len(toks), 1))) AS i FROM t),
+bp AS (SELECT doc_id, toks[i] AS x, toks[i + 1] AS y FROM ix
+       WHERE toks[i] <> toks[i + 1]),
+e AS (
+  SELECT doc_id || chr(9) || x AS src, doc_id || chr(9) || y AS dst FROM bp
+  UNION
+  SELECT doc_id || chr(9) || y, doc_id || chr(9) || x FROM bp
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
 deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
-r0 AS (SELECT node, CAST({unit} AS BIGINT) AS units FROM nodes),{",".join(iters)}
-SELECT node, units AS rank_units FROM {prev}
+r0 AS (SELECT node, CAST({unit} AS BIGINT) AS units FROM nodes),{rounds},
+scored AS (
+  SELECT CAST(split_part(node, chr(9), 1) AS BIGINT) AS doc_id,
+         split_part(node, chr(9), 2) AS word,
+         units AS rank_units
+  FROM {prev}
+),
+rk AS (SELECT *, row_number() OVER (
+         PARTITION BY doc_id ORDER BY rank_units DESC, word) AS rn
+       FROM scored)
+SELECT doc_id, word, rank_units FROM rk WHERE rn <= {top_k}
 """
 
 
