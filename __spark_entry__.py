@@ -1033,6 +1033,40 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinctive_terms(_docs(spark, sf_dir), top_k=5, min_count=3)
 
 
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash per page image (operators/phash.py): integer
+    block-mean gradient bits over the decoded payload — the image leg
+    of the dedup layer. Oracle: golden-fixture literals (the same
+    exact-integer kernel on the driver); pytest carries the planted
+    gradient/perturbation oracle (tests/test_phash.py)."""
+    from medical_and_charity_document_extraction_system_spark.operators.multimodal import (
+        attach_page_images,
+    )
+    from medical_and_charity_document_extraction_system_spark.operators.phash import (
+        image_dhash,
+    )
+
+    docs = _docs(spark, sf_dir).where("doc_id < 200")
+    return image_dhash(attach_page_images(docs))
+
+
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs (operators/phash.dhash_near_dup):
+    banded hamming join over the dHashes — pigeonhole 5-band
+    candidates, exact bit_count verify, never all-pairs. Oracle IS the
+    all-pairs form over the same hash literals."""
+    from medical_and_charity_document_extraction_system_spark.operators.multimodal import (
+        attach_page_images,
+    )
+    from medical_and_charity_document_extraction_system_spark.operators.phash import (
+        dhash_near_dup,
+        image_dhash,
+    )
+
+    docs = _docs(spark, sf_dir).where("doc_id < 200")
+    return dhash_near_dup(image_dhash(attach_page_images(docs)), max_hamming=4)
+
+
 def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keywords (operators/keywords.textrank_keywords):
     integer fixed-point PageRank over the corpus-wide union of
@@ -2720,6 +2754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "distinctive_terms": q_distinctive_terms,
         "textrank_keywords": q_textrank_keywords,
+        "image_dhash": q_image_dhash,
+        "image_near_dup": q_image_near_dup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "events_rolling": q_events_rolling,
         "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
@@ -2979,6 +3015,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "edit_distance_pairs": oracles.edit_distance_pairs_sql(),
         "distinctive_terms": oracles.distinctive_terms_sql(),
         "textrank_keywords": oracles.textrank_keywords_sql(),
+        "image_dhash": oracles.image_dhash_sql(),
+        "image_near_dup": oracles.image_near_dup_sql(),
         "winnow_fingerprints": oracles.winnow_fingerprints_sql(),
         "events_rolling": oracles.events_rolling_sql(),
         "collocations": oracles.collocations_sql(),

@@ -143,6 +143,9 @@ CATALOG_QUERIES = [
     # continuation round 5: TextRank keywords (integer PageRank over
     # the per-doc word-adjacency union graph)
     "textrank_keywords",
+    # continuation round 5: perceptual image dedup (integer dHash +
+    # banded hamming join)
+    "image_near_dup",
 ]
 
 

@@ -438,6 +438,45 @@ SELECT source, doc_id, lang FROM (
 """
 
 
+def _dhash_rows(n: int = 200) -> tuple[tuple[int, int], ...]:
+    """Expected (media_id, dhash) for the synthetic page images —
+    the image_preprocess golden-fixture pattern: the same integer
+    dHash kernel run once single-process on the driver."""
+    from .operators.multimodal import render_page_image
+    from .operators.phash import dhash64_np
+
+    return tuple((i, dhash64_np(render_page_image(i))) for i in range(n))
+
+
+def image_dhash_sql(n: int = 200) -> str:
+    """Twin of q_image_dhash: driver-computed dHash literals (exact
+    integer kernel — no float to disagree on) joined to documents."""
+    vals = ",\n".join(f"({i}, {h})" for i, h in _dhash_rows(n))
+    return f"""
+SELECT CAST(v.media_id AS BIGINT) AS media_id,
+       CAST(v.dhash AS BIGINT) AS dhash,
+       CAST(NULL AS VARCHAR) AS error
+FROM (VALUES {vals}) v(media_id, dhash)
+JOIN documents d ON d.doc_id = v.media_id
+"""
+
+
+def image_near_dup_sql(max_hamming: int = 4, n: int = 200) -> str:
+    """Twin of q_image_near_dup: all-pairs bit_count(xor) over the
+    same dhash literals — the Spark side's banded candidates must be
+    invisible in the result."""
+    vals = ",\n".join(f"({i}, {h})" for i, h in _dhash_rows(n))
+    return f"""
+WITH h0 AS (SELECT * FROM (VALUES {vals}) v(media_id, dhash)),
+h AS (SELECT CAST(h0.media_id AS BIGINT) AS id, CAST(h0.dhash AS BIGINT) AS dh
+      FROM h0 JOIN documents d ON d.doc_id = h0.media_id)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.id < b.id
+WHERE bit_count(xor(a.dh, b.dh)) <= {max_hamming}
+"""
+
+
 def distinctive_terms_sql(top_k: int = 5, min_count: int = 3) -> str:
     """Twin of q_distinctive_terms: same lift arithmetic (exact int64
     cross products, ONE division), textbook row_number top-k. DuckDB
