@@ -1033,6 +1033,32 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinctive_terms(_docs(spark, sf_dir), top_k=5, min_count=3)
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile of the documents table
+    (operators/report.table_profile): ONE scan, stack() unpivot to
+    (column, rendered value), single hash-agg — row/null/distinct
+    counts and lexicographic min/max of the string form per column.
+    The ANALYZE/data-quality pass of a table build."""
+    from medical_and_charity_document_extraction_system_spark.operators.report import (
+        table_profile,
+    )
+
+    return table_profile(_docs(spark, sf_dir))
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user activity matrix (operators/report.
+    pivot_event_stats): a real .pivot() with an EXPLICIT value list
+    (no schema-inference job), count + exact-decimal sum per event
+    type. The twin is conditional FILTER aggregation — the relational
+    meaning of the pivot."""
+    from medical_and_charity_document_extraction_system_spark.operators.report import (
+        pivot_event_stats,
+    )
+
+    return pivot_event_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual dHash per page image (operators/phash.py): integer
     block-mean gradient bits over the decoded payload — the image leg
@@ -2755,6 +2781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinctive_terms": q_distinctive_terms,
         "textrank_keywords": q_textrank_keywords,
         "image_dhash": q_image_dhash,
+        "table_profile": q_table_profile,
+        "events_pivot": q_events_pivot,
         "image_near_dup": q_image_near_dup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "events_rolling": q_events_rolling,
@@ -3016,6 +3044,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "distinctive_terms": oracles.distinctive_terms_sql(),
         "textrank_keywords": oracles.textrank_keywords_sql(),
         "image_dhash": oracles.image_dhash_sql(),
+        "table_profile": oracles.table_profile_sql(),
+        "events_pivot": oracles.events_pivot_sql(),
         "image_near_dup": oracles.image_near_dup_sql(),
         "winnow_fingerprints": oracles.winnow_fingerprints_sql(),
         "events_rolling": oracles.events_rolling_sql(),

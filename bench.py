@@ -146,6 +146,10 @@ CATALOG_QUERIES = [
     # continuation round 5: perceptual image dedup (integer dHash +
     # banded hamming join)
     "image_near_dup",
+    # continuation round 5: one-scan column profiler and the wide
+    # per-user pivot matrix
+    "table_profile",
+    "events_pivot",
 ]
 
 

@@ -62,3 +62,73 @@ def corpus_report(
         F.expr("(n_docs - n_unique_texts) * 10000 DIV n_docs").alias("dup_bp"),
         F.expr("n_tokens * 100 DIV n_docs").alias("mean_tokens_x100"),
     )
+
+
+def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Column-level data profile (the ANALYZE/data-quality pass a
+    pipeline runs on every new table): one row per column with row /
+    null / distinct counts and the lexicographic min/max of the
+    RENDERED value (every column is cast to string first, so the
+    schema is uniform and the profile is engine-portable — numeric
+    columns profile their decimal rendering, which is the documented
+    semantics, not an accident).
+
+    Plan shape: ONE scan. The stack() unpivot turns k columns into
+    (column, value) rows inside the same projection — no Expand from
+    stacking count-distincts, no per-column pass — then a single
+    hash-agg keyed by column name (k keys total, trivially balanced:
+    count-distinct's two-phase partial agg does the heavy lifting on
+    the value side)."""
+    cols = df.columns if columns is None else columns
+    if not cols:
+        raise ValueError("no columns to profile")
+    pairs = ", ".join(
+        f"'{c}', CAST(`{c}` AS STRING)" for c in cols
+    )
+    kv = df.select(
+        F.expr(f"stack({len(cols)}, {pairs})").alias("column", "val")
+    )
+    return kv.groupBy("column").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("val")).cast("long").alias("n_nulls"),
+        F.countDistinct("val").cast("long").alias("n_distinct"),
+        F.min("val").alias("min_str"),
+        F.max("val").alias("max_str"),
+    )
+
+
+PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_event_stats(
+    events: DataFrame,
+    event_types: tuple[str, ...] = PIVOT_EVENT_TYPES,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Wide per-entity activity matrix via a real pivot: one row per
+    key, a count and an exact-decimal value sum per event type — the
+    feature-matrix shape model trainers consume. The pivot value list
+    is EXPLICIT (deterministic output schema, no extra distinct job);
+    absent (key, type) combos yield count 0 and sum NULL — exactly
+    what conditional aggregation produces, so the twin is FILTER
+    aggs. One shuffle on the entity key."""
+    base = events.select(
+        F.col(key_col).alias("user_id"),
+        F.col(type_col).alias("etype"),
+        F.col(value_col).cast("decimal(18,2)").alias("v"),
+    )
+    wide = (
+        base.groupBy("user_id")
+        .pivot("etype", list(event_types))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sum"),
+        )
+    )
+    out = [F.col("user_id")]
+    for t in event_types:
+        out.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"n_{t}"))
+        out.append(F.col(f"{t}_sum").cast("double").alias(f"sum_{t}"))
+    return wide.select(*out)

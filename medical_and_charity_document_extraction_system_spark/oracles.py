@@ -438,6 +438,54 @@ SELECT source, doc_id, lang FROM (
 """
 
 
+def table_profile_sql() -> str:
+    """Twin of q_table_profile: UNION-ALL unpivot of the documents
+    columns to (col, rendered value), same counting aggregates.
+    String min/max is binary/lexicographic in both engines."""
+    branches = []
+    for c, needs_cast in (
+        ("doc_id", True),
+        ("text", False),
+        ("lang", False),
+        ("source", False),
+        ("n_chars", True),
+    ):
+        v = f"CAST({c} AS VARCHAR)" if needs_cast else c
+        branches.append(f"SELECT '{c}' AS col, {v} AS val FROM documents")
+    kv = "\nUNION ALL ".join(branches)
+    return f"""
+WITH kv AS ({kv})
+SELECT col AS "column",
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(val) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+       min(val) AS min_str,
+       max(val) AS max_str
+FROM kv GROUP BY col
+"""
+
+
+def events_pivot_sql(
+    event_types: tuple[str, ...] = ("click", "error", "purchase", "signup", "view"),
+) -> str:
+    """Twin of q_events_pivot: conditional (FILTER) aggregation — the
+    relational spelling of an explicit-value-list pivot. Absent combos
+    are count 0 / sum NULL in both engines."""
+    cols = []
+    for t in event_types:
+        cols.append(
+            f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+        )
+        cols.append(
+            f"CAST(sum(CAST(value AS DECIMAL(18,2)))"
+            f" FILTER (event_type = '{t}') AS DOUBLE) AS sum_{t}"
+        )
+    return f"""
+SELECT user_id, {", ".join(cols)}
+FROM events GROUP BY user_id
+"""
+
+
 def _dhash_rows(n: int = 200) -> tuple[tuple[int, int], ...]:
     """Expected (media_id, dhash) for the synthetic page images —
     the image_preprocess golden-fixture pattern: the same integer
