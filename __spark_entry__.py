@@ -1033,6 +1033,22 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinctive_terms(_docs(spark, sf_dir), top_k=5, min_count=3)
 
 
+def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship consolidation (operators/dedup.golden_records):
+    MinHash near-dup pairs -> connected components -> one canonical
+    row per component (highest n_chars, ties to smallest id) with
+    singletons covered — the master-data step after pairwise dedup.
+    Arg-max is min(struct(-q, id)) as an AGG, never a raw-row window;
+    twin = recursive closure + textbook row_number election."""
+    from medical_and_charity_document_extraction_system_spark.operators.dedup import (
+        golden_records,
+        minhash_near_dup,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return golden_records(docs, minhash_near_dup(docs, threshold=0.9))
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level data profile of the documents table
     (operators/report.table_profile): ONE scan, stack() unpivot to
@@ -2781,6 +2797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinctive_terms": q_distinctive_terms,
         "textrank_keywords": q_textrank_keywords,
         "image_dhash": q_image_dhash,
+        "golden_records": q_golden_records,
         "table_profile": q_table_profile,
         "events_pivot": q_events_pivot,
         "image_near_dup": q_image_near_dup,
@@ -3044,6 +3061,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "distinctive_terms": oracles.distinctive_terms_sql(),
         "textrank_keywords": oracles.textrank_keywords_sql(),
         "image_dhash": oracles.image_dhash_sql(),
+        "golden_records": oracles.golden_records_sql(),
         "table_profile": oracles.table_profile_sql(),
         "events_pivot": oracles.events_pivot_sql(),
         "image_near_dup": oracles.image_near_dup_sql(),

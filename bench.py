@@ -150,6 +150,9 @@ CATALOG_QUERIES = [
     # per-user pivot matrix
     "table_profile",
     "events_pivot",
+    # continuation round 5: survivorship consolidation over near-dup
+    # components (golden record)
+    "golden_records",
 ]
 
 

@@ -642,3 +642,47 @@ def ngram_jaccard_pairs(
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
     )
+
+
+def golden_records(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Survivorship consolidation ("golden record"): close the
+    near-dup pair graph into components, then elect ONE canonical row
+    per component by the survivorship rule *highest quality wins,
+    ties to the smallest id* — the master-data-management step that
+    turns pairwise dedup output into a keep-list. Rows in no pair are
+    their own singleton component, so the result covers the whole
+    table (sum of n_members == row count).
+
+    Returns (component, canonical_id, n_members, max_quality).
+
+    Plan shape: connected_components (log-diameter pointer jumping)
+    + one LEFT join of the full table against the (node, component)
+    label table + one component-keyed agg. The arg-max is
+    min(struct(-quality, id)) — an AGGREGATE, never a row_number
+    window over raw rows (the LPA-argmax rule: no whale-component
+    window task; a window would serialize the largest cluster)."""
+    comp = connected_components(pairs)
+    full = (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(quality_col).cast("long").alias("q"),
+        )
+        .join(comp, F.col("id") == F.col("node"), "left")
+        .select(
+            "id", "q", F.coalesce(F.col("component"), F.col("id")).alias("component")
+        )
+    )
+    return full.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min(F.struct((-F.col("q")).alias("nq"), F.col("id").alias("i"))).alias("_b"),
+    ).select(
+        "component",
+        F.col("_b.i").alias("canonical_id"),
+        "n_members",
+        (-F.col("_b.nq")).cast("long").alias("max_quality"),
+    )

@@ -378,7 +378,17 @@ def near_dup_components_sql(threshold: float = 0.9) -> str:
     component is the min id reachable through the undirected edges."""
     return f"""
 WITH RECURSIVE
-t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+{_near_dup_walk_ctes(threshold)}
+SELECT CAST(node AS BIGINT) AS node, CAST(min(label) AS BIGINT) AS component
+FROM walk GROUP BY node
+"""
+
+
+def _near_dup_walk_ctes(threshold: float) -> str:
+    """Shared recursive-closure fragment over the exact >=threshold
+    jaccard pair graph: defines CTEs t, s, p, e and walk(node, label).
+    Callers prepend WITH RECURSIVE."""
+    return f"""t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 s AS MATERIALIZED (SELECT doc_id, {_SHINGLES} AS sh FROM t),
 p AS MATERIALIZED (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -392,9 +402,35 @@ walk(node, label) AS (
   SELECT src, src FROM e
   UNION
   SELECT e.src, w.label FROM e JOIN walk w ON w.node = e.dst
+)"""
+
+
+def golden_records_sql(threshold: float = 0.9) -> str:
+    """Twin of q_golden_records: the same recursive closure, LEFT
+    JOIN to cover singletons, election as a textbook row_number over
+    (quality DESC, id) — identical selection to the Spark side's
+    min(struct(-q, id)) aggregate."""
+    return f"""
+WITH RECURSIVE
+{_near_dup_walk_ctes(threshold)},
+comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node),
+allrows AS (
+  SELECT d.doc_id AS id, d.n_chars AS q,
+         coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+r AS (
+  SELECT component, id, q,
+         row_number() OVER (PARTITION BY component ORDER BY q DESC, id) AS rn,
+         count(*) OVER (PARTITION BY component) AS n_members,
+         max(q) OVER (PARTITION BY component) AS mq
+  FROM allrows
 )
-SELECT CAST(node AS BIGINT) AS node, CAST(min(label) AS BIGINT) AS component
-FROM walk GROUP BY node
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(id AS BIGINT) AS canonical_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(mq AS BIGINT) AS max_quality
+FROM r WHERE rn = 1
 """
 
 
