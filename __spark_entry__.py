@@ -1033,6 +1033,22 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinctive_terms(_docs(spark, sf_dir), top_k=5, min_count=3)
 
 
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search (operators/retrieval.py): BM25 top-20 + cosine
+    top-20 fused by reciprocal-rank fusion (1/(60+r) per run — ONE
+    exact division per run, ONE addition; absent runs contribute
+    exactly 0.0). Runs are bounded TakeOrdered tables, so the rank
+    windows cover <= 20 rows; at serving scale everything keys by
+    query id."""
+    from medical_and_charity_document_extraction_system_spark.operators.retrieval import (
+        hybrid_retrieval,
+    )
+
+    return hybrid_retrieval(
+        _docs(spark, sf_dir), _embeddings(spark, sf_dir), BM25_TERMS
+    )
+
+
 def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivorship consolidation (operators/dedup.golden_records):
     MinHash near-dup pairs -> connected components -> one canonical
@@ -2797,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinctive_terms": q_distinctive_terms,
         "textrank_keywords": q_textrank_keywords,
         "image_dhash": q_image_dhash,
+        "hybrid_retrieval": q_hybrid_retrieval,
         "golden_records": q_golden_records,
         "table_profile": q_table_profile,
         "events_pivot": q_events_pivot,
@@ -3061,6 +3078,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "distinctive_terms": oracles.distinctive_terms_sql(),
         "textrank_keywords": oracles.textrank_keywords_sql(),
         "image_dhash": oracles.image_dhash_sql(),
+        "hybrid_retrieval": oracles.hybrid_retrieval_sql(tuple(BM25_TERMS), sf_dir),
         "golden_records": oracles.golden_records_sql(),
         "table_profile": oracles.table_profile_sql(),
         "events_pivot": oracles.events_pivot_sql(),

@@ -153,6 +153,8 @@ CATALOG_QUERIES = [
     # continuation round 5: survivorship consolidation over near-dup
     # components (golden record)
     "golden_records",
+    # continuation round 5: hybrid search (BM25 + cosine, RRF-fused)
+    "hybrid_retrieval",
 ]
 
 

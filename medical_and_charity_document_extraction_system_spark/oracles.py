@@ -1271,6 +1271,24 @@ def bm25_scores_sql(
     engines evaluate the identical literal-for-literal scalar tree in
     the identical left-to-right term order (no engine-side ln: Java
     Math.log and libm may differ in the last ulp)."""
+    score = _bm25_score_expr(query_terms, sf_dir, k1, b)
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id, {score} AS bm25
+FROM t
+WHERE ({score}) > 0.0
+"""
+
+
+def _bm25_score_expr(
+    query_terms: tuple[str, ...],
+    sf_dir: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """The literal-for-literal BM25 scalar tree over a ``toks`` list
+    column — shared by the standalone twin and the hybrid-retrieval
+    composite."""
     from .operators.sessions import corpus_stats_for_oracle
 
     _, avgdl, idfs = corpus_stats_for_oracle(sf_dir, list(query_terms))
@@ -1282,12 +1300,51 @@ def bm25_scores_sql(
             f"(CAST(len(toks) AS DOUBLE) / {_dlit(avgdl)})))"
         )
         terms_sql.append(f"{_dlit(idf)} * (({tf} * {_dlit(k1 + 1.0)}) / {denom})")
-    score = " + ".join(terms_sql)
+    return " + ".join(terms_sql)
+
+
+def hybrid_retrieval_sql(
+    query_terms: tuple[str, ...] = ("table", "scan", "index"),
+    sf_dir: str = "/root/testdata/sf0.01",
+    query_vec_id: int = 0,
+    n_per_run: int = 20,
+    k: int = 60,
+    top_k: int = 10,
+) -> str:
+    """Twin of q_hybrid_retrieval: the same two bounded top-N runs
+    (BM25 literal tree; left-fold cosine) ranked by row_number, RRF =
+    one division per run + one addition — bit-identical doubles, so
+    the final (rrf DESC, doc_id) LIMIT picks the same rows."""
+    score = _bm25_score_expr(query_terms, sf_dir)
     return f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
-SELECT doc_id, {score} AS bm25
-FROM t
-WHERE ({score}) > 0.0
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+lex0 AS (
+  SELECT doc_id AS id, {score} AS s FROM t WHERE ({score}) > 0.0
+  ORDER BY s DESC, id LIMIT {n_per_run}
+),
+lex AS (SELECT id, row_number() OVER (ORDER BY s DESC, id) AS r FROM lex0),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {query_vec_id}),
+vec0 AS (
+  SELECT vec_id AS id, {_cos('v', 'qv')} AS s
+  FROM e, q WHERE vec_id <> {query_vec_id}
+  ORDER BY s DESC, id LIMIT {n_per_run}
+),
+vec AS (SELECT id, row_number() OVER (ORDER BY s DESC, id) AS r FROM vec0),
+f AS (
+  SELECT coalesce(lex.id, vec.id) AS doc_id,
+         CAST(lex.r AS BIGINT) AS r_a,
+         CAST(vec.r AS BIGINT) AS r_b,
+         (CASE WHEN lex.r IS NOT NULL
+               THEN CAST('1.0' AS DOUBLE) / CAST({k} + lex.r AS DOUBLE)
+               ELSE CAST('0.0' AS DOUBLE) END
+        + CASE WHEN vec.r IS NOT NULL
+               THEN CAST('1.0' AS DOUBLE) / CAST({k} + vec.r AS DOUBLE)
+               ELSE CAST('0.0' AS DOUBLE) END) AS rrf
+  FROM lex FULL JOIN vec ON lex.id = vec.id
+)
+SELECT doc_id, r_a, r_b, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT {top_k}
 """
 
 
