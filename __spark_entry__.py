@@ -1033,6 +1033,18 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinctive_terms(_docs(spark, sf_dir), top_k=5, min_count=3)
 
 
+def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload rollup (operators/report.
+    json_field_stats): get_json_object pulls props.$.k (JVM codegen,
+    NULL on malformed — counted via n_parsed), one hash-agg of exact
+    integers per event_type."""
+    from medical_and_charity_document_extraction_system_spark.operators.report import (
+        json_field_stats,
+    )
+
+    return json_field_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid search (operators/retrieval.py): BM25 top-20 + cosine
     top-20 fused by reciprocal-rank fusion (1/(60+r) per run — ONE
@@ -2813,6 +2825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinctive_terms": q_distinctive_terms,
         "textrank_keywords": q_textrank_keywords,
         "image_dhash": q_image_dhash,
+        "events_json_stats": q_events_json_stats,
         "hybrid_retrieval": q_hybrid_retrieval,
         "golden_records": q_golden_records,
         "table_profile": q_table_profile,
@@ -3078,6 +3091,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "distinctive_terms": oracles.distinctive_terms_sql(),
         "textrank_keywords": oracles.textrank_keywords_sql(),
         "image_dhash": oracles.image_dhash_sql(),
+        "events_json_stats": oracles.events_json_stats_sql(),
         "hybrid_retrieval": oracles.hybrid_retrieval_sql(tuple(BM25_TERMS), sf_dir),
         "golden_records": oracles.golden_records_sql(),
         "table_profile": oracles.table_profile_sql(),

@@ -155,6 +155,8 @@ CATALOG_QUERIES = [
     "golden_records",
     # continuation round 5: hybrid search (BM25 + cosine, RRF-fused)
     "hybrid_retrieval",
+    # continuation round 5: JSON props extraction rollup
+    "events_json_stats",
 ]
 
 

@@ -97,6 +97,34 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     )
 
 
+def json_field_stats(
+    events: DataFrame,
+    field: str = "k",
+    json_col: str = "props",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Semi-structured payload rollup: extract an integer field from a
+    JSON string column (``get_json_object`` — JVM codegen, no Python;
+    malformed/missing JSON yields NULL, counted separately) and
+    aggregate per group. The event-properties parsing step every
+    clickstream pipeline runs before its props columns get promoted
+    to real columns. One map-side-combinable hash-agg; all outputs
+    exact integers."""
+    k = F.get_json_object(F.col(json_col), f"$.{field}").cast("long")
+    return (
+        events.select(F.col(group_col).alias("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count("k").cast("long").alias("n_parsed"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.countDistinct("k").cast("long").alias("n_distinct_k"),
+        )
+    )
+
+
 PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 

@@ -474,6 +474,27 @@ SELECT source, doc_id, lang FROM (
 """
 
 
+def events_json_stats_sql(field: str = "k") -> str:
+    """Twin of q_events_json_stats: try_cast-to-JSON + ->> extraction
+    (NULL on malformed, same as Spark's get_json_object), identical
+    integer aggregates."""
+    return f"""
+WITH p AS (
+  SELECT event_type,
+         CAST(try_cast(props AS JSON) ->> '$.{field}' AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(k) AS BIGINT) AS n_parsed,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+FROM p GROUP BY event_type
+"""
+
+
 def table_profile_sql() -> str:
     """Twin of q_table_profile: UNION-ALL unpivot of the documents
     columns to (col, rendered value), same counting aggregates.

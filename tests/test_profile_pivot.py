@@ -64,3 +64,26 @@ def test_pivot_ignores_types_outside_list(spark):
     out = pivot_event_stats(_events(spark, rows)).collect()[0]
     assert out.n_click == 1
     assert not any(c.endswith("weird") for c in out.asDict())
+
+
+def test_json_field_stats(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.report import (
+        json_field_stats,
+    )
+
+    rows = [
+        (1, datetime(2024, 1, 1), "click", 1.0, '{"k": 5}'),
+        (2, datetime(2024, 1, 1), "click", 1.0, '{"k": 7}'),
+        (3, datetime(2024, 1, 1), "click", 1.0, "not json"),
+        (4, datetime(2024, 1, 1), "view", 1.0, '{"other": 1}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, event_type string, value double,"
+        " props string",
+    )
+    out = {r.event_type: r for r in json_field_stats(df).collect()}
+    c = out["click"]
+    assert (c.n_events, c.n_parsed, c.sum_k, c.min_k, c.max_k) == (3, 2, 12, 5, 7)
+    v = out["view"]
+    assert v.n_parsed == 0 and v.sum_k is None
