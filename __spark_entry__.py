@@ -1033,6 +1033,26 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinctive_terms(_docs(spark, sf_dir), top_k=5, min_count=3)
 
 
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme evaluation (operators/dedup.candidate_eval):
+    SimHash hamming<=3 candidate pairs judged against the EXACT
+    Jaccard>=0.9 posting-join truth — the precision/recall audit every
+    approximate dedup needs per corpus. One full-outer pair join +
+    one global agg; rates are single integer divisions (bp)."""
+    from medical_and_charity_document_extraction_system_spark.operators.dedup import (
+        candidate_eval,
+        simhash_near_dup,
+    )
+    from medical_and_charity_document_extraction_system_spark.operators.sparsesim import (
+        shingle_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cand = simhash_near_dup(docs)
+    truth = shingle_jaccard_pairs(docs, t_num=9, t_den=10)
+    return candidate_eval(cand, truth)
+
+
 def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured payload rollup (operators/report.
     json_field_stats): get_json_object pulls props.$.k (JVM codegen,
@@ -2825,6 +2845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinctive_terms": q_distinctive_terms,
         "textrank_keywords": q_textrank_keywords,
         "image_dhash": q_image_dhash,
+        "dedup_eval": q_dedup_eval,
         "events_json_stats": q_events_json_stats,
         "hybrid_retrieval": q_hybrid_retrieval,
         "golden_records": q_golden_records,
@@ -3091,6 +3112,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "distinctive_terms": oracles.distinctive_terms_sql(),
         "textrank_keywords": oracles.textrank_keywords_sql(),
         "image_dhash": oracles.image_dhash_sql(),
+        "dedup_eval": oracles.dedup_eval_sql(),
         "events_json_stats": oracles.events_json_stats_sql(),
         "hybrid_retrieval": oracles.hybrid_retrieval_sql(tuple(BM25_TERMS), sf_dir),
         "golden_records": oracles.golden_records_sql(),

@@ -157,6 +157,8 @@ CATALOG_QUERIES = [
     "hybrid_retrieval",
     # continuation round 5: JSON props extraction rollup
     "events_json_stats",
+    # continuation round 5: blocking-scheme precision/recall audit
+    "dedup_eval",
 ]
 
 

@@ -686,3 +686,61 @@ def golden_records(
         "n_members",
         (-F.col("_b.nq")).cast("long").alias("max_quality"),
     )
+
+
+def candidate_eval(
+    candidates: DataFrame,
+    truth: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Confusion summary of a candidate pair set against a truth pair
+    set — the evaluation harness every approximate-dedup deployment
+    needs before trusting a blocking scheme (how much does SimHash
+    hamming<=3 agree with exact Jaccard>=0.9 on THIS corpus?).
+
+    Returns ONE row: (n_candidates, n_truth, tp, fp, fn,
+    precision_bp, recall_bp) — rates in basis points as single exact
+    integer divisions (NULL when the denominator is 0).
+
+    Plan shape: two distinct pair tables full-outer joined on the
+    composite key (AQE-splittable equi-join), then one global agg —
+    pair tables are already the small output of blocking, never the
+    corpus."""
+    c = (
+        candidates.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    t = (
+        truth.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .distinct()
+        .withColumn("_t", F.lit(1))
+    )
+    j = c.join(t, ["a", "b"], "full")
+    agg = j.agg(
+        F.sum(F.when(F.col("_c").isNotNull() & F.col("_t").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("_c").isNotNull() & F.col("_t").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(F.col("_c").isNull() & F.col("_t").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+    )
+    n_cand = F.col("tp") + F.col("fp")
+    n_truth = F.col("tp") + F.col("fn")
+    return agg.select(
+        n_cand.alias("n_candidates"),
+        n_truth.alias("n_truth"),
+        "tp",
+        "fp",
+        "fn",
+        F.expr(
+            "IF(tp + fp > 0, tp * 10000 DIV (tp + fp), NULL)"
+        ).alias("precision_bp"),
+        F.expr(
+            "IF(tp + fn > 0, tp * 10000 DIV (tp + fn), NULL)"
+        ).alias("recall_bp"),
+    )

@@ -2008,22 +2008,56 @@ def simhash_near_dup_sql(max_hamming: int = 3) -> str:
     share a (chunk, key), hamming = bit_count(xor)."""
     return f"""
 WITH {_simhash_cte()},
-chunks AS (
+{_simhash_pairs_ctes(max_hamming)}
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM spairs
+"""
+
+
+def _simhash_pairs_ctes(max_hamming: int) -> str:
+    """CTEs chunks + spairs(id_a, id_b, hamming) over the ``sh``
+    fingerprint table — shared by the standalone twin and the
+    dedup-evaluation composite."""
+    return f"""chunks AS (
   SELECT doc_id, simhash, c.chunk,
          CASE c.chunk WHEN 0 THEN lo & 65535
                       WHEN 1 THEN (lo >> 16) & 65535
                       WHEN 2 THEN hi & 65535
                       ELSE (hi >> 16) & 65535 END AS key
   FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS chunk) c
+),
+spairs AS (
+  SELECT id_a, id_b, hamming FROM (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+  )
+  WHERE hamming <= {max_hamming}
+)"""
+
+
+def dedup_eval_sql(max_hamming: int = 3, threshold: float = 0.9) -> str:
+    """Twin of q_dedup_eval: SimHash hamming<=3 candidates vs exact
+    Jaccard>=0.9 truth, full-outer joined on the pair key, confusion
+    counts + basis-point rates as single integer divisions."""
+    return f"""
+WITH RECURSIVE
+{_simhash_cte()},
+{_simhash_pairs_ctes(max_hamming)},
+{_near_dup_walk_ctes(threshold)},
+cm AS (SELECT id_a, id_b, 1 AS c FROM spairs),
+tm AS (SELECT id_a, id_b, 1 AS tr FROM p),
+j AS (SELECT c, tr FROM cm FULL JOIN tm USING (id_a, id_b)),
+a AS (
+  SELECT CAST(count(*) FILTER (c IS NOT NULL AND tr IS NOT NULL) AS BIGINT) AS tp,
+         CAST(count(*) FILTER (c IS NOT NULL AND tr IS NULL) AS BIGINT) AS fp,
+         CAST(count(*) FILTER (c IS NULL AND tr IS NOT NULL) AS BIGINT) AS fneg
+  FROM j
 )
-SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
-FROM (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         bit_count(xor(a.simhash, b.simhash)) AS hamming
-  FROM chunks a JOIN chunks b
-    ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
-)
-WHERE hamming <= {max_hamming}
+SELECT tp + fp AS n_candidates, tp + fneg AS n_truth, tp, fp, fneg AS "fn",
+       CASE WHEN tp + fp > 0 THEN tp * 10000 // (tp + fp) END AS precision_bp,
+       CASE WHEN tp + fneg > 0 THEN tp * 10000 // (tp + fneg) END AS recall_bp
+FROM a
 """
 
 
