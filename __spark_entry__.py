@@ -1033,6 +1033,25 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinctive_terms(_docs(spark, sf_dir), top_k=5, min_count=3)
 
 
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-key entity resolution end to end: PassJoin edit-distance
+    pairs over the 24-char key -> connected components -> golden-
+    record election (operators/editsim + dedup.golden_records). The
+    record-linkage composite; its oracle composes the all-pairs
+    Levenshtein edges with the shared closure + election tail."""
+    from medical_and_charity_document_extraction_system_spark.operators.dedup import (
+        golden_records,
+    )
+    from medical_and_charity_document_extraction_system_spark.operators.editsim import (
+        edit_distance_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    keys = docs.select("doc_id", F.substring("text", 1, 24).alias("s"))
+    pairs = edit_distance_pairs(keys, "doc_id", "s", max_dist=4)
+    return golden_records(docs, pairs)
+
+
 def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-scheme evaluation (operators/dedup.candidate_eval):
     SimHash hamming<=3 candidate pairs judged against the EXACT
@@ -2845,6 +2864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinctive_terms": q_distinctive_terms,
         "textrank_keywords": q_textrank_keywords,
         "image_dhash": q_image_dhash,
+        "entity_resolution": q_entity_resolution,
         "dedup_eval": q_dedup_eval,
         "events_json_stats": q_events_json_stats,
         "hybrid_retrieval": q_hybrid_retrieval,
@@ -3112,6 +3132,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "distinctive_terms": oracles.distinctive_terms_sql(),
         "textrank_keywords": oracles.textrank_keywords_sql(),
         "image_dhash": oracles.image_dhash_sql(),
+        "entity_resolution": oracles.entity_resolution_sql(),
         "dedup_eval": oracles.dedup_eval_sql(),
         "events_json_stats": oracles.events_json_stats_sql(),
         "hybrid_retrieval": oracles.hybrid_retrieval_sql(tuple(BM25_TERMS), sf_dir),

@@ -159,6 +159,8 @@ CATALOG_QUERIES = [
     "events_json_stats",
     # continuation round 5: blocking-scheme precision/recall audit
     "dedup_eval",
+    # continuation round 5: fuzzy-key entity resolution composite
+    "entity_resolution",
 ]
 
 

@@ -413,7 +413,15 @@ def golden_records_sql(threshold: float = 0.9) -> str:
     return f"""
 WITH RECURSIVE
 {_near_dup_walk_ctes(threshold)},
-comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node),
+{_survivorship_tail()}
+"""
+
+
+def _survivorship_tail() -> str:
+    """Shared closure + election fragment: expects a CTE ``walk(node,
+    label)`` over the undirected pair edges; emits the golden-record
+    SELECT (component, canonical_id, n_members, max_quality)."""
+    return """comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node),
 allrows AS (
   SELECT d.doc_id AS id, d.n_chars AS q,
          coalesce(c.component, d.doc_id) AS component
@@ -430,7 +438,31 @@ SELECT CAST(component AS BIGINT) AS component,
        CAST(id AS BIGINT) AS canonical_id,
        CAST(n_members AS BIGINT) AS n_members,
        CAST(mq AS BIGINT) AS max_quality
-FROM r WHERE rn = 1
+FROM r WHERE rn = 1"""
+
+
+def entity_resolution_sql(max_dist: int = 4, prefix_len: int = 24) -> str:
+    """Twin of q_entity_resolution: the all-pairs Levenshtein edge
+    list closed by the same recursive walk, same election tail as
+    golden_records — fuzzy-key entity resolution end to end."""
+    return f"""
+WITH RECURSIVE
+t AS (SELECT doc_id AS id, substring(text, 1, {prefix_len}) AS s
+      FROM documents WHERE text IS NOT NULL),
+p AS MATERIALIZED (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM t a JOIN t b
+    ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= {max_dist}
+  WHERE levenshtein(a.s, b.s) <= {max_dist}
+),
+e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL SELECT id_b, id_a FROM p),
+walk(node, label) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, w.label FROM e JOIN walk w ON w.node = e.dst
+),
+{_survivorship_tail()}
 """
 
 
