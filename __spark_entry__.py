@@ -1033,6 +1033,19 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinctive_terms(_docs(spark, sf_dir), top_k=5, min_count=3)
 
 
+def q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level term co-occurrence (operators/keywords.
+    term_cooccurrence) — market-basket pairs ranked by lift over
+    document frequencies (exact int64 cross products, ONE division).
+    Per-doc fan-out bounded by the distinct-term cap; doc-keyed
+    self-join + map-side-combinable pair agg; TakeOrdered top-50."""
+    from medical_and_charity_document_extraction_system_spark.operators.keywords import (
+        term_cooccurrence,
+    )
+
+    return term_cooccurrence(_docs(spark, sf_dir))
+
+
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-key entity resolution end to end: PassJoin edit-distance
     pairs over the 24-char key -> connected components -> golden-
@@ -2864,6 +2877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinctive_terms": q_distinctive_terms,
         "textrank_keywords": q_textrank_keywords,
         "image_dhash": q_image_dhash,
+        "term_cooccurrence": q_term_cooccurrence,
         "entity_resolution": q_entity_resolution,
         "dedup_eval": q_dedup_eval,
         "events_json_stats": q_events_json_stats,
@@ -3132,6 +3146,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "distinctive_terms": oracles.distinctive_terms_sql(),
         "textrank_keywords": oracles.textrank_keywords_sql(),
         "image_dhash": oracles.image_dhash_sql(),
+        "term_cooccurrence": oracles.term_cooccurrence_sql(),
         "entity_resolution": oracles.entity_resolution_sql(),
         "dedup_eval": oracles.dedup_eval_sql(),
         "events_json_stats": oracles.events_json_stats_sql(),

@@ -161,6 +161,8 @@ CATALOG_QUERIES = [
     "dedup_eval",
     # continuation round 5: fuzzy-key entity resolution composite
     "entity_resolution",
+    # continuation round 5: market-basket term co-occurrence
+    "term_cooccurrence",
 ]
 
 

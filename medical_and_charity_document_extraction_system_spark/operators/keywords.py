@@ -93,6 +93,71 @@ def distinctive_terms(
     )
 
 
+def term_cooccurrence(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_support: int = 3,
+    max_terms_per_doc: int = 500,
+    top_k: int = 50,
+) -> DataFrame:
+    """Document-level term co-occurrence (the market-basket complement
+    to adjacent-only collocation_lift): pairs of DISTINCT terms
+    appearing in the same document, ranked by lift over document
+    frequencies,
+
+        lift(x, y) = n_xy * N / (df_x * df_y)
+
+    with N the document count — exact int64 cross products, ONE
+    division (no log, no literals). Returns (x, y, n_xy, lift), the
+    ``top_k`` by (lift DESC, x, y), pairs with support >=
+    ``min_support``.
+
+    The analysis universe is documents with 2..``max_terms_per_doc``
+    DISTINCT terms — the cap bounds the per-doc pair fan-out at
+    O(cap^2) (a 10^5-distinct-term outlier would otherwise emit 10^10
+    pairs from one row); document frequencies and N are computed over
+    the SAME filtered universe so the statistics stay self-consistent.
+    Plan: one scan -> per-doc distinct explode (cached: feeds the
+    pair self-join, the df agg, and N) -> doc-keyed self-join ->
+    map-side-combinable pair agg -> two df joins -> TakeOrdered."""
+    if min_support < 1 or max_terms_per_doc < 2 or top_k < 1:
+        raise ValueError("bad parameters")
+    dt = F.array_distinct(tokens(F.col(text_col)))
+    u = (
+        df.select(F.col(id_col).alias("doc"), dt.alias("dt"))
+        .where((F.size("dt") >= 2) & (F.size("dt") <= max_terms_per_doc))
+        .select("doc", F.explode("dt").alias("w"))
+        .cache()
+    )
+    n_docs = u.select("doc").distinct().count()
+    a = u.select("doc", F.col("w").alias("x"))
+    b = u.select("doc", F.col("w").alias("y"))
+    nxy = (
+        a.join(b, "doc")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+        .where(F.col("n_xy") >= min_support)
+    )
+    dfw = u.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("dfw"))
+    return (
+        nxy.join(dfw.select(F.col("w").alias("x"), F.col("dfw").alias("df_x")), "x")
+        .join(dfw.select(F.col("w").alias("y"), F.col("dfw").alias("df_y")), "y")
+        .select(
+            "x",
+            "y",
+            "n_xy",
+            (
+                (F.col("n_xy") * F.lit(n_docs).cast("long")).cast("double")
+                / (F.col("df_x") * F.col("df_y")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "x", "y")
+        .limit(top_k)
+    )
+
+
 def textrank_keywords(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -506,6 +506,33 @@ SELECT source, doc_id, lang FROM (
 """
 
 
+def term_cooccurrence_sql(
+    min_support: int = 3, max_terms_per_doc: int = 500, top_k: int = 50
+) -> str:
+    """Twin of q_term_cooccurrence: same filtered universe (2..cap
+    distinct terms), same int64 cross products, ONE division, textbook
+    ORDER BY ... LIMIT."""
+    return f"""
+WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS dt FROM documents),
+tt AS (SELECT doc_id, dt FROM t
+       WHERE len(dt) >= 2 AND len(dt) <= {max_terms_per_doc}),
+u AS (SELECT doc_id, unnest(dt) AS w FROM tt),
+nxy AS (
+  SELECT a.w AS x, b.w AS y, CAST(count(*) AS BIGINT) AS n_xy
+  FROM u a JOIN u b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2
+),
+dfw AS (SELECT w, CAST(count(*) AS BIGINT) AS dfw FROM u GROUP BY w),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tt)
+SELECT x, y, n_xy,
+       CAST(n_xy * nd.n AS DOUBLE) / CAST(a.dfw * b.dfw AS DOUBLE) AS lift
+FROM nxy JOIN dfw a ON a.w = x JOIN dfw b ON b.w = y CROSS JOIN nd
+WHERE n_xy >= {min_support}
+ORDER BY lift DESC, x, y
+LIMIT {top_k}
+"""
+
+
 def events_json_stats_sql(field: str = "k") -> str:
     """Twin of q_events_json_stats: try_cast-to-JSON + ->> extraction
     (NULL on malformed, same as Spark's get_json_object), identical

@@ -56,3 +56,41 @@ def test_rejects_bad_params(spark):
         distinctive_terms(df, top_k=0)
     with pytest.raises(ValueError):
         distinctive_terms(df, min_count=0)
+
+
+def test_term_cooccurrence_lift(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.keywords import (
+        term_cooccurrence,
+    )
+
+    rows = [
+        (1, "a", "apple banana"),
+        (2, "a", "apple banana"),
+        (3, "a", "apple cherry"),
+        (4, "a", "banana cherry date"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        (r.x, r.y): (r.n_xy, r.lift)
+        for r in term_cooccurrence(df, min_support=1, top_k=50).collect()
+    }
+    # N=4; apple-banana: n_xy=2, df_apple=3, df_banana=3 -> 8/9
+    assert out[("apple", "banana")] == (2, 2 * 4 / (3 * 3))
+    # duplicate tokens inside a doc count once (distinct terms)
+    assert out[("banana", "cherry")][0] == 1
+
+
+def test_term_cooccurrence_caps_fanout(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.keywords import (
+        term_cooccurrence,
+    )
+
+    rows = [
+        (1, "x", "a b c d e f"),   # 6 distinct terms > cap -> excluded
+        (2, "x", "a b"),
+        (3, "x", "a b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = term_cooccurrence(df, min_support=1, max_terms_per_doc=5).collect()
+    # pair stats come only from docs 2,3: df_a = df_b = N = 2
+    assert [(r.x, r.y, r.n_xy, r.lift) for r in out] == [("a", "b", 2, 1.0)]
