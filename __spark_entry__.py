@@ -1033,6 +1033,23 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinctive_terms(_docs(spark, sf_dir), top_k=5, min_count=3)
 
 
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PCA projection (operators/pca.py): top-4
+    components fit on the id-ordered bounded sample (driver-side
+    numpy, sign-convention-fixed SVD — the ann_topk_ivf literal
+    playbook), every embedding projected via 0.0-seeded exact left
+    folds in an Arrow-batched pass. Oracle re-derives the identical
+    fit from the target sf_dir."""
+    from medical_and_charity_document_extraction_system_spark.operators.pca import (
+        pca_fit,
+        pca_project,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    mean, comps = pca_fit(emb, k=4)
+    return pca_project(emb, mean, comps)
+
+
 def q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level term co-occurrence (operators/keywords.
     term_cooccurrence) — market-basket pairs ranked by lift over
@@ -2877,6 +2894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinctive_terms": q_distinctive_terms,
         "textrank_keywords": q_textrank_keywords,
         "image_dhash": q_image_dhash,
+        "pca_project": q_pca_project,
         "term_cooccurrence": q_term_cooccurrence,
         "entity_resolution": q_entity_resolution,
         "dedup_eval": q_dedup_eval,
@@ -3146,6 +3164,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "distinctive_terms": oracles.distinctive_terms_sql(),
         "textrank_keywords": oracles.textrank_keywords_sql(),
         "image_dhash": oracles.image_dhash_sql(),
+        "pca_project": oracles.pca_project_sql(sf_dir),
         "term_cooccurrence": oracles.term_cooccurrence_sql(),
         "entity_resolution": oracles.entity_resolution_sql(),
         "dedup_eval": oracles.dedup_eval_sql(),

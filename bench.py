@@ -163,6 +163,8 @@ CATALOG_QUERIES = [
     "entity_resolution",
     # continuation round 5: market-basket term co-occurrence
     "term_cooccurrence",
+    # continuation round 5: deterministic PCA projection (whitening)
+    "pca_project",
 ]
 
 

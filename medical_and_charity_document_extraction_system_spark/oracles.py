@@ -506,6 +506,47 @@ SELECT source, doc_id, lang FROM (
 """
 
 
+def pca_project_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    k: int = 4,
+    sample_rows: int = 10000,
+) -> str:
+    """Twin of q_pca_project: the fit is re-derived from the target
+    sf_dir with the SAME shared numpy helper (identical id-ordered
+    sample, LAPACK SVD, sign convention), and the mean/component
+    values land as repr-string literals in a 0.0-seeded left-assoc
+    sum — bit-identical to the Spark side's Python fold."""
+    import duckdb
+    import numpy as np
+
+    from .operators.pca import pca_fit_np
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        f"FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id LIMIT {sample_rows}"
+    ).fetchall()
+    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    mean, comps = pca_fit_np(mat, k)
+    dim = mat.shape[1]
+    branches = []
+    for j in range(k):
+        terms = "".join(
+            f" + ((v[{i + 1}] - {_dlit(float(mean[i]))}) * {_dlit(float(comps[j][i]))})"
+            for i in range(dim)
+        )
+        branches.append(
+            f"SELECT vec_id, CAST({j} AS INT) AS component,"
+            f" CAST('0.0' AS DOUBLE){terms} AS value FROM e"
+        )
+    union = "\nUNION ALL ".join(branches)
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+{union}
+"""
+
+
 def term_cooccurrence_sql(
     min_support: int = 3, max_terms_per_doc: int = 500, top_k: int = 50
 ) -> str:
