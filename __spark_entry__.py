@@ -1033,6 +1033,20 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinctive_terms(_docs(spark, sf_dir), top_k=5, min_count=3)
 
 
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (operators/bitext.py, Artetxe &
+    Schwenk 2019): cross-set pairs between label-0 and label-1
+    embeddings scored by cos / mean(top-4 neighbor cos) — fold
+    cosines, fixed-order neighbor sums, exact-integer 2k multiply.
+    Brute-force candidates here (bounded groups); the margin
+    arithmetic is candidate-source-agnostic (swap in ANN at scale)."""
+    from medical_and_charity_document_extraction_system_spark.operators.bitext import (
+        bitext_mine,
+    )
+
+    return bitext_mine(_embeddings(spark, sf_dir))
+
+
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic PCA projection (operators/pca.py): top-4
     components fit on the id-ordered bounded sample (driver-side
@@ -2894,6 +2908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinctive_terms": q_distinctive_terms,
         "textrank_keywords": q_textrank_keywords,
         "image_dhash": q_image_dhash,
+        "bitext_mine": q_bitext_mine,
         "pca_project": q_pca_project,
         "term_cooccurrence": q_term_cooccurrence,
         "entity_resolution": q_entity_resolution,
@@ -3164,6 +3179,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "distinctive_terms": oracles.distinctive_terms_sql(),
         "textrank_keywords": oracles.textrank_keywords_sql(),
         "image_dhash": oracles.image_dhash_sql(),
+        "bitext_mine": oracles.bitext_mine_sql(),
         "pca_project": oracles.pca_project_sql(sf_dir),
         "term_cooccurrence": oracles.term_cooccurrence_sql(),
         "entity_resolution": oracles.entity_resolution_sql(),

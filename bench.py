@@ -165,6 +165,8 @@ CATALOG_QUERIES = [
     "term_cooccurrence",
     # continuation round 5: deterministic PCA projection (whitening)
     "pca_project",
+    # continuation round 5: margin-based bitext mining
+    "bitext_mine",
 ]
 
 

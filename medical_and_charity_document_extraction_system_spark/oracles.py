@@ -506,6 +506,55 @@ SELECT source, doc_id, lang FROM (
 """
 
 
+def bitext_mine_sql(
+    label_a: int = 0,
+    label_b: int = 1,
+    knn: int = 4,
+    top_k: int = 50,
+) -> str:
+    """Twin of q_bitext_mine: same pre-normalized fold cosines, ranks
+    by (cos DESC, other id), the neighbor sum as the SAME explicit
+    left-assoc (((c1+c2)+c3)+c4 tree, margin = one multiply by the
+    exact 2k + one division."""
+    norm = _DOT.format(n=64, a="v", b="v")
+    dot = _DOT.format(n=64, a="a.vn", b="b.vn")
+
+    def rank_sum(key: str, other: str, out: str) -> str:
+        arms = [f"max(CASE WHEN rn = {j} THEN cos_sim END)" for j in range(1, knn + 1)]
+        tree = arms[0]
+        for a in arms[1:]:
+            tree = f"({tree} + {a})"
+        return f"""r_{key} AS (
+  SELECT {key}, {other}, cos_sim,
+         row_number() OVER (PARTITION BY {key}
+                            ORDER BY cos_sim DESC, {other}) AS rn
+  FROM s
+),
+d_{key} AS (
+  SELECT {key}, {tree} AS {out} FROM r_{key} WHERE rn <= {knn} GROUP BY {key}
+)"""
+
+    return f"""
+WITH e AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE label IN ({label_a}, {label_b})),
+n AS (SELECT vec_id, label, sqrt({norm}) AS nrm, v FROM e),
+vn AS (SELECT vec_id, label, list_transform(v, x -> x / nrm) AS vn FROM n),
+s AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {dot} AS cos_sim
+  FROM vn a JOIN vn b ON a.label = {label_a} AND b.label = {label_b}
+),
+{rank_sum("id_a", "id_b", "denom_a")},
+{rank_sum("id_b", "id_a", "denom_b")}
+SELECT s.id_a, s.id_b, s.cos_sim,
+       s.cos_sim * {_dlit(float(2 * knn))} / (d_id_a.denom_a + d_id_b.denom_b)
+         AS margin
+FROM s JOIN d_id_a USING (id_a) JOIN d_id_b USING (id_b)
+ORDER BY margin DESC, id_a, id_b
+LIMIT {top_k}
+"""
+
+
 def pca_project_sql(
     sf_dir: str = "/root/testdata/sf0.01",
     k: int = 4,
