@@ -149,3 +149,38 @@ def test_shingle_jaccard_max_df_bounds_boilerplate_blowup(spark):
     # each group of 100 identical docs -> C(100,2) pairs
     assert n == 40 * 100 * 99 // 2
     assert elapsed < BUDGET_SEC, f"capped similarity join took {elapsed:.0f}s"
+
+
+def test_edit_distance_hot_segment_within_budget(spark):
+    """Adversarial PassJoin skew: thousands of strings share segment 0
+    verbatim ("AAAAA" prefix) but differ far beyond max_dist in the
+    tail — a worst case where the hot (len, 0, 'AAAA…') build key
+    pairs ~everything with ~everything and the banded-levenshtein
+    verify must reject nearly all of it. Pins that the verify is the
+    cheap banded form (O(len*d) early-abort), not full DP, and that
+    the join stays an equi-join."""
+    from medical_and_charity_document_extraction_system_spark.operators.editsim import (
+        edit_distance_pairs,
+    )
+
+    import hashlib
+
+    def tail(i):
+        h = hashlib.md5(f"tail:{i}".encode()).hexdigest()
+        return "".join(chr(97 + int(h[j] + h[j + 1], 16) % 26) for j in range(19))
+
+    n = 2500
+    rows = [(i, "AAAAA" + tail(i)) for i in range(n)]
+    # plant exactly one true near-dup pair
+    rows.append((n, rows[0][1][:-1] + "!"))
+    df = spark.createDataFrame(rows, "id long, s string").repartition(8)
+    t0 = time.time()
+    got = {
+        (r.id_a, r.id_b)
+        for r in edit_distance_pairs(df, "id", "s", max_dist=2).collect()
+    }
+    elapsed = time.time() - t0
+    assert (0, n) in got
+    # random 19-char tails at dist<=2 are combinatorially implausible
+    assert len(got) < 20
+    assert elapsed < BUDGET_SEC, f"hot-segment edit join took {elapsed:.0f}s"
