@@ -111,7 +111,12 @@ def edit_distance_pairs(
     # immediately against the lengths that actually exist; then the
     # segment index and the +-d position window (clamped to the string)
     probe = (
-        s.select(
+        # guard: for l = 0 the [greatest(nseg, l-d), l+d] range is
+        # empty and sequence() would DESCEND, emitting bogus lb values
+        # (harmless — the exact verify rejects them — but wasted rows);
+        # empty/short strings are the deletion path's job anyway
+        s.where(F.col("l") + d >= nseg)
+        .select(
             "id",
             "s",
             "l",
