@@ -1096,6 +1096,39 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return golden_records(docs, pairs)
 
 
+def q_incremental_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance end to end (operators/report.
+    apply_report_deltas): commit the corpus to a snapshot table, MERGE
+    the standard revision+insert batch, then refresh the per-source
+    count/sum report FROM THE CDC CHANGELOG ONLY — the refreshed view
+    must equal a from-scratch recompute of the post-merge state (the
+    oracle recomputes exactly that). Refresh cost tracks churn, not
+    table size: file-granular changelog scan + map-side delta agg +
+    one report-sized full-outer join."""
+    from medical_and_charity_document_extraction_system_spark.operators.report import (
+        apply_report_deltas,
+        simple_source_report,
+    )
+    from medical_and_charity_document_extraction_system_spark.plans.snapstore import (
+        SnapshotTable,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    t = SnapshotTable(spark, f"{_stage_dir('ivmreport_')}/tbl")
+    s1 = t.commit(docs.repartition(4, "doc_id"), "append")
+    revised = docs.where("doc_id % 10 = 0").select(
+        "doc_id", "source", F.concat("text", F.lit(" [rev2]")).alias("text")
+    )
+    inserted = docs.where("doc_id % 50 = 0").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.lit("src_new").alias("source"),
+        F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias("text"),
+    )
+    s2 = t.merge(revised.unionByName(inserted), "doc_id")
+    base = simple_source_report(t.read(s1))
+    return apply_report_deltas(base, t.changelog(s1, s2, "doc_id"))
+
+
 def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-scheme evaluation (operators/dedup.candidate_eval):
     SimHash hamming<=3 candidate pairs judged against the EXACT
@@ -2912,6 +2945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": q_pca_project,
         "term_cooccurrence": q_term_cooccurrence,
         "entity_resolution": q_entity_resolution,
+        "incremental_report": q_incremental_report,
         "dedup_eval": q_dedup_eval,
         "events_json_stats": q_events_json_stats,
         "hybrid_retrieval": q_hybrid_retrieval,
@@ -3183,6 +3217,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "pca_project": oracles.pca_project_sql(sf_dir),
         "term_cooccurrence": oracles.term_cooccurrence_sql(),
         "entity_resolution": oracles.entity_resolution_sql(),
+        "incremental_report": oracles.incremental_report_sql(),
         "dedup_eval": oracles.dedup_eval_sql(),
         "events_json_stats": oracles.events_json_stats_sql(),
         "hybrid_retrieval": oracles.hybrid_retrieval_sql(tuple(BM25_TERMS), sf_dir),

@@ -167,6 +167,8 @@ CATALOG_QUERIES = [
     "pca_project",
     # continuation round 5: margin-based bitext mining
     "bitext_mine",
+    # continuation round 5: CDC-driven materialized-view refresh
+    "incremental_report",
 ]
 
 

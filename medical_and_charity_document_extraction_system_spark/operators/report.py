@@ -97,6 +97,76 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     )
 
 
+def simple_source_report(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """(source, n_docs, n_chars): the count/sum view of the corpus —
+    deliberately restricted to the DISTRIBUTIVE aggregate class
+    (counts and sums), which is exactly what incremental view
+    maintenance can update from deltas alone. corpus_report's
+    count-distinct columns are NOT in this class (they need per-key
+    state); keep the two views separate on purpose."""
+    return df.groupBy(F.col(group_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length(text_col)).cast("long").alias("n_chars"),
+    )
+
+
+def apply_report_deltas(
+    base_report: DataFrame,
+    changelog: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental view maintenance: update a (source, n_docs,
+    n_chars) report with a CDC changelog (change_type in insert /
+    delete / update_before / update_after — the
+    plans/snapstore.SnapshotTable.changelog shape) WITHOUT re-reading
+    the table. insert/update_after rows add (+1 doc, +len chars);
+    delete/update_before rows subtract — updates therefore cancel on
+    doc count and contribute the exact char diff. Groups whose doc
+    count reaches zero drop out, groups born in the delta appear.
+
+    This is the materialized-view maintenance step of a snapshot
+    pipeline: changelog cost tracks churn (file-granular CDC), the
+    delta agg is map-side combinable on the group key, and the final
+    merge is one full-outer join of two report-sized tables — the
+    whole refresh never touches unchanged data."""
+    sign = F.when(
+        F.col("change_type").isin("insert", "update_after"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    deltas = (
+        changelog.select(
+            F.col(group_col).alias("source"),
+            sign.alias("sgn"),
+            F.length(text_col).cast("long").alias("nc"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("sgn").cast("long").alias("d_docs"),
+            F.sum(F.col("sgn") * F.col("nc")).cast("long").alias("d_chars"),
+        )
+    )
+    b = base_report.select(
+        "source",
+        F.col("n_docs").alias("b_docs"),
+        F.col("n_chars").alias("b_chars"),
+    )
+    return (
+        b.join(deltas, "source", "full")
+        .select(
+            "source",
+            (F.coalesce("b_docs", F.lit(0)) + F.coalesce("d_docs", F.lit(0)))
+            .cast("long")
+            .alias("n_docs"),
+            (F.coalesce("b_chars", F.lit(0)) + F.coalesce("d_chars", F.lit(0)))
+            .cast("long")
+            .alias("n_chars"),
+        )
+        .where(F.col("n_docs") > 0)
+    )
+
+
 def json_field_stats(
     events: DataFrame,
     field: str = "k",

@@ -506,6 +506,27 @@ SELECT source, doc_id, lang FROM (
 """
 
 
+def incremental_report_sql() -> str:
+    """Twin of q_incremental_report: the IVM-refreshed view must
+    equal the per-source count/sum report RECOMPUTED from the
+    post-merge table state, which this SQL constructs directly (the
+    snapshot_merge CASE/UNION arithmetic)."""
+    return """
+WITH v2 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]' ELSE text END AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, 'src_new', 'new doc ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 50 = 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM v2 GROUP BY source
+"""
+
+
 def bitext_mine_sql(
     label_a: int = 0,
     label_b: int = 1,

@@ -87,3 +87,43 @@ def test_json_field_stats(spark):
     assert (c.n_events, c.n_parsed, c.sum_k, c.min_k, c.max_k) == (3, 2, 12, 5, 7)
     v = out["view"]
     assert v.n_parsed == 0 and v.sum_k is None
+
+
+def test_apply_report_deltas_ivm(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.report import (
+        apply_report_deltas,
+        simple_source_report,
+    )
+
+    base_docs = spark.createDataFrame(
+        [(1, "a", "xxxx"), (2, "a", "yyy"), (3, "b", "zz")],
+        "doc_id long, source string, text string",
+    )
+    base = simple_source_report(base_docs)
+    # update doc 1 (+2 chars), delete doc 3 (group b dies),
+    # insert doc 9 into new group c
+    cl = spark.createDataFrame(
+        [
+            ("update_before", 1, "a", "xxxx"),
+            ("update_after", 1, "a", "xxxxxx"),
+            ("delete", 3, "b", "zz"),
+            ("insert", 9, "c", "w"),
+        ],
+        "change_type string, doc_id long, source string, text string",
+    )
+    got = {
+        r.source: (r.n_docs, r.n_chars)
+        for r in apply_report_deltas(base, cl).collect()
+    }
+    assert got == {"a": (2, 9), "c": (1, 1)}  # b dropped at zero docs
+
+    # refreshed view == recompute over the post-change state
+    v2 = spark.createDataFrame(
+        [(1, "a", "xxxxxx"), (2, "a", "yyy"), (9, "c", "w")],
+        "doc_id long, source string, text string",
+    )
+    want = {
+        r.source: (r.n_docs, r.n_chars)
+        for r in simple_source_report(v2).collect()
+    }
+    assert got == want
