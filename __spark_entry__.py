@@ -1096,6 +1096,57 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return golden_records(docs, pairs)
 
 
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document filter-agreement report — the ablation table a
+    curation team reads before choosing a selection recipe: C4 page
+    verdict + Gopher keep (both over the extraction text, zero-shuffle
+    projections) + the NB classifier vote (trained on the %10<8 split,
+    scoring ALL docs), joined per doc with a vote count and the
+    majority verdict. Oracle composes the same three fragments
+    (_c4_ctes, _GOPHER_BODY/_GOPHER_KEEP, shared NB weight literals)."""
+    from medical_and_charity_document_extraction_system_spark.functions.c4 import (
+        c4_clean,
+    )
+    from medical_and_charity_document_extraction_system_spark.functions.gopher import (
+        with_gopher_signals,
+    )
+    from medical_and_charity_document_extraction_system_spark.operators.classifier import (
+        nb_scores,
+        train_nb_classifier,
+    )
+
+    ext = _extract(spark, sf_dir).select(_doc_id(), "text")
+    c4 = c4_clean(ext).select("doc_id", F.col("keep").alias("c4_keep"))
+    gq = with_gopher_signals(ext).select("doc_id", "gopher_keep")
+    docs = _docs(spark, sf_dir)
+    labeled = docs.withColumn(
+        "label_pos", F.array_contains(ts.tokens(F.col("text")), "spark")
+    )
+    weights, bias = train_nb_classifier(
+        labeled.where(F.col("doc_id") % 10 < 8), "label_pos"
+    )
+    nb = nb_scores(docs, weights, bias).select(
+        "doc_id", F.col("pred").alias("nb_keep")
+    )
+    votes = (
+        F.col("c4_keep").cast("int")
+        + F.col("gopher_keep").cast("int")
+        + F.col("nb_keep").cast("int")
+    )
+    return (
+        c4.join(gq, "doc_id")
+        .join(nb, "doc_id")
+        .select(
+            "doc_id",
+            "c4_keep",
+            "gopher_keep",
+            "nb_keep",
+            votes.cast("long").alias("votes"),
+            (votes >= 2).alias("keep_majority"),
+        )
+    )
+
+
 def q_incremental_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-view maintenance end to end (operators/report.
     apply_report_deltas): commit the corpus to a snapshot table, MERGE
@@ -2945,6 +2996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": q_pca_project,
         "term_cooccurrence": q_term_cooccurrence,
         "entity_resolution": q_entity_resolution,
+        "quality_ensemble": q_quality_ensemble,
         "incremental_report": q_incremental_report,
         "dedup_eval": q_dedup_eval,
         "events_json_stats": q_events_json_stats,
@@ -3217,6 +3269,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "pca_project": oracles.pca_project_sql(sf_dir),
         "term_cooccurrence": oracles.term_cooccurrence_sql(),
         "entity_resolution": oracles.entity_resolution_sql(),
+        "quality_ensemble": oracles.quality_ensemble_sql(sf_dir),
         "incremental_report": oracles.incremental_report_sql(),
         "dedup_eval": oracles.dedup_eval_sql(),
         "events_json_stats": oracles.events_json_stats_sql(),

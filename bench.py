@@ -169,6 +169,8 @@ CATALOG_QUERIES = [
     "bitext_mine",
     # continuation round 5: CDC-driven materialized-view refresh
     "incremental_report",
+    # continuation round 5: three-filter agreement report
+    "quality_ensemble",
 ]
 
 

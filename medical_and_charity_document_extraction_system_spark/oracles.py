@@ -3865,30 +3865,22 @@ FROM srcs LEFT JOIN g USING (source)
 """
 
 
-def nb_classifier_sql(
-    sf_dir: str = "/root/testdata/sf0.01",
-    m: int = 256,
-    marker: str = "spark",
-    train_mod: int = 10,
-    train_lt: int = 8,
-) -> str:
-    """Full oracle for q_quality_classifier (operators/classifier.py).
-
-    The model is a pure function of the documents table: the builder
-    re-derives the per-(label, bucket) token counts straight from the
-    parquet with duckdb, reruns the SAME fixed-point literal
-    arithmetic (nb_weights_from_counts — one math.log per bucket,
-    int64 at 2^40), and scores the held-out split in SQL with the
-    weights as an array literal. Per-doc scores are exact integer
-    sums plus the bias literal; the only float is one power-of-two
-    descale."""
+def _nb_weight_literals(
+    sf_dir: str,
+    m: int,
+    marker: str,
+    train_mod: int,
+    train_lt: int,
+) -> tuple[str, int, str]:
+    """(weights array literal, bias, bucket-expr template): re-derive
+    the NB model from the target sf_dir with duckdb + the SAME
+    fixed-point arithmetic as the Spark trainer. Shared by the
+    standalone classifier twin and the quality-ensemble composite."""
     import duckdb
 
     from .operators.classifier import nb_weights_from_counts
-    from .operators.dsir import FP_SCALE
 
     bucket = "CAST(('0x' || substr(md5({t}), 1, 8)) AS BIGINT) % " + str(m)
-
     con = duckdb.connect()
     counts = con.sql(f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks
@@ -3912,6 +3904,75 @@ SELECT list_contains(toks, '{marker}') AS pos, count(*) FROM t GROUP BY 1
     n_neg = next((int(c) for pos, c in ndocs if not pos), 0)
     weights, bias = nb_weights_from_counts(cp, cn, n_pos, n_neg, m)
     w_list = "[" + ", ".join(str(w) for w in weights) + "]"
+    return w_list, bias, bucket
+
+
+def quality_ensemble_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    m: int = 256,
+    marker: str = "spark",
+    train_mod: int = 10,
+    train_lt: int = 8,
+) -> str:
+    """Twin of q_quality_ensemble: the SAME three filter fragments the
+    standalone oracles use — C4 rule chain (_c4_ctes) and Gopher
+    signals (_GOPHER_BODY/_GOPHER_KEEP) over the reconstructed
+    extraction text, the NB vote over documents with the shared
+    weight literals — joined per doc with a vote count and majority
+    verdict. Composition cannot drift from the parts."""
+    w_list, bias, bucket = _nb_weight_literals(
+        sf_dir, m, marker, train_mod, train_lt
+    )
+    return f"""
+WITH {base_cte()},
+doc_text AS (SELECT doc_id, {_EXTRACT_TEXT_CASE} AS t FROM rec),
+{_c4_ctes('doc_text')},
+t AS (SELECT doc_id, {_EXTRACT_TEXT_CASE} AS text FROM rec),
+{_GOPHER_BODY},
+gk AS (SELECT doc_id, {_GOPHER_KEEP} AS gopher_keep FROM v),
+lab AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tk AS (SELECT doc_id, unnest(toks) AS tok FROM lab),
+p AS (SELECT doc_id, ({w_list})[1 + {bucket.format(t='tok')}] AS w FROM tk),
+agg AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS ws FROM p GROUP BY doc_id),
+nb AS (SELECT lab.doc_id, (coalesce(ws, 0) + {bias}) > 0 AS nb_keep
+       FROM lab LEFT JOIN agg USING (doc_id)),
+ens AS (
+  SELECT c4v.doc_id,
+         (c4v.reject_reason = 'none') AS c4_keep,
+         gk.gopher_keep,
+         nb.nb_keep
+  FROM c4v JOIN gk USING (doc_id) JOIN nb USING (doc_id)
+)
+SELECT doc_id, c4_keep, gopher_keep, nb_keep,
+       CAST(CAST(c4_keep AS INT) + CAST(gopher_keep AS INT)
+            + CAST(nb_keep AS INT) AS BIGINT) AS votes,
+       (CAST(c4_keep AS INT) + CAST(gopher_keep AS INT)
+        + CAST(nb_keep AS INT)) >= 2 AS keep_majority
+FROM ens
+"""
+
+
+def nb_classifier_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    m: int = 256,
+    marker: str = "spark",
+    train_mod: int = 10,
+    train_lt: int = 8,
+) -> str:
+    """Full oracle for q_quality_classifier (operators/classifier.py).
+
+    The model is a pure function of the documents table: the builder
+    re-derives the per-(label, bucket) token counts straight from the
+    parquet with duckdb, reruns the SAME fixed-point literal
+    arithmetic (nb_weights_from_counts — one math.log per bucket,
+    int64 at 2^40), and scores the held-out split in SQL with the
+    weights as an array literal. Per-doc scores are exact integer
+    sums plus the bias literal; the only float is one power-of-two
+    descale."""
+    w_list, bias, bucket = _nb_weight_literals(
+        sf_dir, m, marker, train_mod, train_lt
+    )
+    from .operators.dsir import FP_SCALE
 
     return f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
