@@ -1096,6 +1096,28 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return golden_records(docs, pairs)
 
 
+def q_snapshot_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the snapshot table (plans/snapstore.py):
+    commit (doc_id, text), append a batch that ADDS a lang column —
+    the manifest's schema evolves (Iceberg keeps schema in metadata,
+    not footers), pre-evolution files read NULL for the new column,
+    and time travel to the old snapshot keeps the old columns
+    (test-pinned). The current read must equal the oracle's direct
+    construction."""
+    from medical_and_charity_document_extraction_system_spark.plans.snapstore import (
+        SnapshotTable,
+    )
+
+    docs = _docs(spark, sf_dir)
+    t = SnapshotTable(spark, f"{_stage_dir('snapevo_')}/tbl")
+    t.commit(docs.select("doc_id", "text").repartition(4, "doc_id"), "append")
+    evolved = docs.where("doc_id % 5 = 0").select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang"
+    )
+    t.commit(evolved, "append")
+    return t.read().select("doc_id", F.md5("text").alias("fp"), "lang")
+
+
 def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document filter-agreement report — the ablation table a
     curation team reads before choosing a selection recipe: C4 page
@@ -2996,6 +3018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": q_pca_project,
         "term_cooccurrence": q_term_cooccurrence,
         "entity_resolution": q_entity_resolution,
+        "snapshot_evolution": q_snapshot_evolution,
         "quality_ensemble": q_quality_ensemble,
         "incremental_report": q_incremental_report,
         "dedup_eval": q_dedup_eval,
@@ -3269,6 +3292,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "pca_project": oracles.pca_project_sql(sf_dir),
         "term_cooccurrence": oracles.term_cooccurrence_sql(),
         "entity_resolution": oracles.entity_resolution_sql(),
+        "snapshot_evolution": oracles.snapshot_evolution_sql(),
         "quality_ensemble": oracles.quality_ensemble_sql(sf_dir),
         "incremental_report": oracles.incremental_report_sql(),
         "dedup_eval": oracles.dedup_eval_sql(),

@@ -171,6 +171,8 @@ CATALOG_QUERIES = [
     "incremental_report",
     # continuation round 5: three-filter agreement report
     "quality_ensemble",
+    # continuation round 5: manifest-schema evolution read path
+    "snapshot_evolution",
 ]
 
 

@@ -506,6 +506,17 @@ SELECT source, doc_id, lang FROM (
 """
 
 
+def snapshot_evolution_sql() -> str:
+    """Twin of q_snapshot_evolution: original rows read NULL in the
+    evolved column, the post-evolution batch carries its values —
+    the direct construction of the expected current-table state."""
+    return """
+SELECT doc_id, md5(text) AS fp, CAST(NULL AS VARCHAR) AS lang FROM documents
+UNION ALL
+SELECT doc_id + 200000, md5(text), lang FROM documents WHERE doc_id % 5 = 0
+"""
+
+
 def incremental_report_sql() -> str:
     """Twin of q_incremental_report: the IVM-refreshed view must
     equal the per-source count/sum report RECOMPUTED from the

@@ -139,6 +139,15 @@ class SnapshotTable:
             "added_files": new_files,
             "added_rows": rows,
             "total_rows": total,
+            # Iceberg keeps the table schema in METADATA, not parquet
+            # footers: an append with new columns EVOLVES the schema
+            # (old columns keep their position/type; same-name type
+            # changes are rejected), and every snapshot remembers the
+            # schema it was read under — time travel to a
+            # pre-evolution snapshot shows the pre-evolution columns.
+            "schema": self._evolved_schema_json(
+                df, parent if operation == "append" else None
+            ),
         }
         with open(os.path.join(self.meta_dir, f"manifest-{sid}.json"), "w") as f:
             json.dump(manifest, f, indent=1)
@@ -147,6 +156,40 @@ class SnapshotTable:
             entry["tag"] = tag
         self._write_log(snaps + [entry])
         return sid
+
+    def _evolved_schema_json(self, df: DataFrame, parent_sid: int | None) -> str:
+        """The snapshot's schema as StructType json: the parent's
+        columns (order and types preserved) plus any NEW columns the
+        incoming frame adds, everything forced nullable (an evolved
+        column is absent from pre-evolution files, so null is in its
+        domain — the standard lakehouse rule). Same-name type changes
+        raise."""
+        import json as _json
+
+        from pyspark.sql.types import StructField, StructType
+
+        new_fields = [
+            StructField(f.name, f.dataType, True) for f in df.schema.fields
+        ]
+        if parent_sid is not None:
+            pm = self._manifest(parent_sid)
+            if pm.get("schema"):
+                parent = StructType.fromJson(_json.loads(pm["schema"]))
+                by_name = {f.name: f for f in new_fields}
+                for pf in parent.fields:
+                    nf = by_name.get(pf.name)
+                    if nf is not None and nf.dataType != pf.dataType:
+                        raise ValueError(
+                            f"schema evolution cannot change column "
+                            f"{pf.name!r} from {pf.dataType.simpleString()} "
+                            f"to {nf.dataType.simpleString()}"
+                        )
+                pnames = {f.name for f in parent.fields}
+                merged = list(parent.fields) + [
+                    f for f in new_fields if f.name not in pnames
+                ]
+                return StructType(merged).json()
+        return StructType(new_fields).json()
 
     def merge(
         self, updates: DataFrame, key_col: str, tag: str | None = None
@@ -212,7 +255,14 @@ class SnapshotTable:
         carried = [f for f in files if f not in hit_names]
         sid = parent + 1
         if hit_paths:
-            hit_df = self.spark.read.parquet(*hit_paths)
+            if pm.get("schema"):
+                from pyspark.sql.types import StructType
+
+                hit_df = self.spark.read.schema(
+                    StructType.fromJson(json.loads(pm["schema"]))
+                ).parquet(*hit_paths)
+            else:
+                hit_df = self.spark.read.parquet(*hit_paths)
             survivors = hit_df.join(keys, key_col, "left_anti")
             new_data = survivors.unionByName(updates)
             # footer-level count over the one shared read
@@ -230,6 +280,8 @@ class SnapshotTable:
             "added_rows": rows,
             "total_rows": pm["total_rows"] - hit_rows + rows,
         }
+        if pm.get("schema"):
+            manifest["schema"] = pm["schema"]
         with open(os.path.join(self.meta_dir, f"manifest-{sid}.json"), "w") as f:
             json.dump(manifest, f, indent=1)
         entry = {"snapshot_id": sid, "operation": "merge", "parent": parent}
@@ -247,7 +299,22 @@ class SnapshotTable:
             raise ValueError("table has no snapshots")
         if not any(s["snapshot_id"] == sid for s in self.snapshots()):
             raise ValueError(f"unknown or expired snapshot {sid}")
-        files = self._manifest(sid)["files"]
+        m = self._manifest(sid)
+        files = m["files"]
+        stored = m.get("schema")
+        if stored:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(stored))
+            if not files:
+                return self.spark.createDataFrame([], schema)
+            # explicit schema: files written BEFORE a column was added
+            # simply lack it and read as NULL — no footer merging, the
+            # Iceberg read path
+            return self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.data_dir, f) for f in files]
+            )
+        # legacy manifests (pre-schema-tracking) read by footer inference
         if not files:
             return self.spark.range(0).drop("id")
         return self.spark.read.parquet(
@@ -371,6 +438,8 @@ class SnapshotTable:
             "added_rows": 0,
             "total_rows": old["total_rows"],
         }
+        if old.get("schema"):
+            manifest["schema"] = old["schema"]
         with open(os.path.join(self.meta_dir, f"manifest-{sid}.json"), "w") as f:
             json.dump(manifest, f, indent=1)
         self._write_log(

@@ -310,3 +310,59 @@ def test_changelog_file_granular_scan(spark, tmp_path):
         assert f not in scanned
     got = {(r.change_type, r.doc_id) for r in cl.collect()}
     assert got == {("update_before", 1), ("update_after", 1)}
+
+
+def test_schema_evolution_append(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    s1 = t.commit(v1, "append")
+    v2 = spark.createDataFrame(
+        [(3, "c", "en")], "doc_id long, text string, lang string"
+    )
+    s2 = t.commit(v2, "append")
+    # current read: evolved schema, pre-evolution rows read NULL lang
+    cur = t.read()
+    assert cur.columns == ["doc_id", "text", "lang"]
+    got = {r.doc_id: r.lang for r in cur.collect()}
+    assert got == {1: None, 2: None, 3: "en"}
+    # time travel: the pre-evolution snapshot keeps its own schema
+    assert t.read(s1).columns == ["doc_id", "text"]
+    # merge after evolution: CoW files mix schemas; survivors read
+    # under the evolved schema
+    t.merge(
+        spark.createDataFrame(
+            [(1, "a2", "de")], "doc_id long, text string, lang string"
+        ),
+        "doc_id",
+    )
+    got = {r.doc_id: (r.text, r.lang) for r in t.read().collect()}
+    assert got == {1: ("a2", "de"), 2: ("b", None), 3: ("c", "en")}
+
+
+def test_schema_evolution_rejects_type_change(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(
+        spark.createDataFrame([(1, "a")], "doc_id long, text string"), "append"
+    )
+    bad = spark.createDataFrame([(2, 5)], "doc_id long, text long")
+    with pytest.raises(ValueError, match="schema evolution"):
+        t.commit(bad, "append")
+
+
+def test_legacy_manifest_without_schema_still_reads(spark, tmp_path):
+    import json
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    sid = t.commit(
+        spark.createDataFrame([(1, "a")], "doc_id long, text string"), "append"
+    )
+    # simulate a pre-schema-tracking manifest
+    mp = os.path.join(str(tmp_path / "tbl"), "metadata", f"manifest-{sid}.json")
+    m = json.load(open(mp))
+    del m["schema"]
+    json.dump(m, open(mp, "w"))
+    assert {r.doc_id for r in t.read().collect()} == {1}
