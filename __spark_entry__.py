@@ -2993,6 +2993,66 @@ def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream
+    (operators/eventstats.py): lag window over the total (epoch_us,
+    event_id) order per user, then (prev, next) counts rated in
+    integer basis points against prev-type row totals (ONE floor
+    division of exact integers). Scale: one entity-key window shuffle
+    + two hash-aggs over a |types|^2-bounded table; the rate join
+    broadcasts the totals."""
+    from medical_and_charity_document_extraction_system_spark.operators.eventstats import (
+        event_transitions,
+    )
+
+    return event_transitions(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly flags per (event_type, hour bucket): the
+    3-sigma rule evaluated WITHOUT dividing — both sides of
+    (n*c - total)^2 > 9 * (n*sumsq - total^2) are exact int64 cross
+    products (operators/eventstats.bucket_anomalies). Two map-side-
+    combinable hash-aggs + a broadcast join back; no windows, no
+    floats anywhere."""
+    from medical_and_charity_document_extraction_system_spark.operators.eventstats import (
+        bucket_anomalies,
+    )
+
+    return bucket_anomalies(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION per user: events extend to [ts, ts + value
+    seconds) spans (exact micros via the DECIMAL(18,2) route, never a
+    double cast) and overlapping spans merge into maximal islands via
+    the cumulative-max-end rule (operators/eventstats.
+    interval_coverage). This is the member of the temporal family gap
+    sessionization cannot express: an interval nested inside a longer
+    predecessor must not break the island. One entity-key shuffle,
+    two streaming rows-frame windows, one hash-agg."""
+    from medical_and_charity_document_extraction_system_spark.operators.eventstats import (
+        interval_coverage,
+    )
+
+    return interval_coverage(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type least-squares trend of value over time
+    (operators/eventstats.trend_slopes): x = whole minutes since the
+    global earliest event, y = exact cents; slope numerator and
+    denominator are int64 cross products of one map-side-combinable
+    moment aggregation, exported with ONE final division. The
+    regression analog of the corpus_report convention: never let a
+    float fold into an aggregation."""
+    from medical_and_charity_document_extraction_system_spark.operators.eventstats import (
+        trend_slopes,
+    )
+
+    return trend_slopes(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 # ---------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -3010,6 +3070,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "event_transitions": q_event_transitions,
+        "events_anomalies": q_events_anomalies,
+        "interval_coverage": q_interval_coverage,
+        "trend_slopes": q_trend_slopes,
         "edit_distance_pairs": q_edit_distance_pairs,
         "distinctive_terms": q_distinctive_terms,
         "textrank_keywords": q_textrank_keywords,
@@ -3178,6 +3242,10 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     centroids, bm25 idf/avgdl) and must re-derive them from the same
     parquet the Spark query reads, or they only match at sf0.01."""
     return {
+        "event_transitions": oracles.event_transitions_sql(),
+        "events_anomalies": oracles.bucket_anomalies_sql(),
+        "interval_coverage": oracles.interval_coverage_sql(),
+        "trend_slopes": oracles.trend_slopes_sql(),
         "shingle_jaccard_pairs": oracles.shingle_jaccard_pairs_sql(),
         "host_communities": oracles.host_communities_sql(),
         "snapshot_changelog": oracles.snapshot_changelog_sql(),

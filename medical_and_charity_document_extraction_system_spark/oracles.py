@@ -4354,3 +4354,121 @@ SELECT CAST(shard AS BIGINT) AS shard,
             AS BIGINT) AS n_seqs
 FROM pc GROUP BY shard
 """
+
+
+# ---------------------------------------------------------------------------
+# Event-stream analytics twins (operators/eventstats.py)
+
+
+def event_transitions_sql() -> str:
+    """Twin of q_event_transitions: the same lag window over the
+    total (epoch_us, event_id) order, counts re-aggregated for row
+    totals, basis-point rate by integer floor division."""
+    return """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+x AS (
+  SELECT event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+           AS prev_type
+  FROM e
+),
+c AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_trans
+      FROM x WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS prev_total
+      FROM c GROUP BY 1)
+SELECT c.prev_type, c.next_type, c.n_trans, t.prev_total,
+       CAST(c.n_trans * 10000 // t.prev_total AS BIGINT) AS rate_bp
+FROM c JOIN t USING (prev_type)
+"""
+
+
+def bucket_anomalies_sql(bucket_us: int = 3_600_000_000, k_sigma: int = 3) -> str:
+    """Twin of q_events_anomalies: the cross-multiplied k-sigma rule
+    — (n*c - total)^2 > k^2 * (n*sumsq - total^2) — evaluated in
+    exact int64 on both sides, so no mean/variance is ever divided."""
+    k2 = k_sigma * k_sigma
+    return f"""
+WITH c AS (
+  SELECT event_type,
+         (epoch_us(ts) // {bucket_us}) * {bucket_us} AS bucket_us_start,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nb,
+             CAST(sum(n_events) AS BIGINT) AS tot,
+             CAST(sum(n_events * n_events) AS BIGINT) AS sumsq
+      FROM c GROUP BY 1)
+SELECT c.event_type, c.bucket_us_start, c.n_events,
+       CAST((s.nb * c.n_events - s.tot) * (s.nb * c.n_events - s.tot)
+            AS BIGINT) AS dev_sq,
+       CAST({k2} * (s.nb * s.sumsq - s.tot * s.tot) AS BIGINT) AS thresh_sq,
+       (s.nb > 1 AND
+        (s.nb * c.n_events - s.tot) * (s.nb * c.n_events - s.tot)
+          > {k2} * (s.nb * s.sumsq - s.tot * s.tot)) AS is_anomaly
+FROM c JOIN s USING (event_type)
+"""
+
+
+def interval_coverage_sql() -> str:
+    """Twin of q_interval_coverage: cumulative-max interval union.
+    Durations go double -> DECIMAL(18,2) -> exact integer micros (the
+    events_rolling decimal convention); islands break on the running
+    max end over ALL predecessors, not the previous row's end."""
+    return """
+WITH b AS (
+  SELECT user_id, epoch_us(ts) AS start_us, event_id AS eid,
+         epoch_us(ts)
+           + CAST(CAST(value AS DECIMAL(18,2)) * 1000000 AS BIGINT) AS end_us
+  FROM events
+),
+f AS (
+  SELECT user_id, start_us, end_us, eid,
+         CASE WHEN max(end_us) OVER wprev IS NULL
+                OR start_us > max(end_us) OVER wprev
+              THEN 1 ELSE 0 END AS new_island
+  FROM b
+  WINDOW wprev AS (PARTITION BY user_id ORDER BY start_us, eid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+g AS (
+  SELECT user_id, start_us, end_us,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY start_us, eid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM f
+)
+SELECT user_id, CAST(island AS BIGINT) AS island,
+       min(start_us) AS start_us, max(end_us) AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM g GROUP BY 1, 2
+"""
+
+
+def trend_slopes_sql() -> str:
+    """Twin of q_trend_slopes: integer moment sums (x in whole
+    minutes since the global min, y in exact cents), cross-product
+    numerator/denominator, ONE final double division. DuckDB sums
+    return HUGEINT — cast to BIGINT before the cross products."""
+    return """
+WITH t0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+b AS (
+  SELECT event_type,
+         (epoch_us(ts) - (SELECT t0 FROM t0)) // 60000000 AS x,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM events
+),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM b GROUP BY 1
+)
+SELECT event_type, n_events,
+       CAST(n_events * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n_events * sxx - sx * sx AS BIGINT) AS slope_den,
+       CASE WHEN n_events * sxx - sx * sx <> 0
+            THEN CAST(n_events * sxy - sx * sy AS DOUBLE)
+                   / CAST(n_events * sxx - sx * sx AS DOUBLE)
+            END AS slope_cents_per_min
+FROM m
+"""
