@@ -3053,6 +3053,73 @@ def q_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend_slopes(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_docs_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets report: doc count + char volume for every
+    (source, lang) subset via native df.cube() — ONE Expand + one
+    map-side-combinable hash agg, never 2^d separate scans
+    (operators/report.dimensional_rollup). grouping_id()
+    disambiguates rolled-up NULLs and matches DuckDB's GROUPING
+    bitmask bit-for-bit."""
+    from medical_and_charity_document_extraction_system_spark.operators.report import (
+        dimensional_rollup,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return dimensional_rollup(
+        docs, ["source", "lang"], sum_col="n_chars", sum_alias="sum_chars"
+    )
+
+
+def q_host_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=4) of the shared host graph
+    (operators/webgraph.kcore_fixed — Seidman 1983 peeling, BSP form):
+    4 synchronous peel rounds, each one degree agg + two survivor
+    semi-joins, localCheckpoint lineage cuts, plus a one-count
+    convergence assert so the fixed unroll provably reached the
+    fixpoint. Pure integer set operations; the oracle unrolls
+    identical rounds over the shared host-graph fragment (survivor
+    CTEs AS MATERIALIZED — the host_hits exponential-reeval lesson)."""
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        kcore_fixed,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return kcore_fixed(_host_edges(docs), k=4, rounds=4)
+
+
+def q_stream_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog maintenance (streaming/stream.py
+    hll_register_stream): the corpus arrives as micro-batches (8
+    input files, 2 per trigger -> 4 epochs), each epoch writes its
+    per-source registers, and the groupBy-MAX merge must equal the
+    one-shot sketch bit-for-bit — same oracle as hll_cardinality,
+    because register max commutes across any batch slicing AND is
+    idempotent (a double-applied epoch cannot skew it, unlike the CMS
+    stream's additive cells)."""
+    from medical_and_charity_document_extraction_system_spark.operators.sketches import (
+        hll_estimate_from_registers,
+    )
+    from medical_and_charity_document_extraction_system_spark.streaming import (
+        hll_register_stream,
+        read_hll_registers,
+    )
+
+    base = _stage_dir("stream_hll_")
+    inp, regs, ck = f"{base}/in", f"{base}/regs", f"{base}/ck"
+    docs = _docs(spark, sf_dir)
+    docs.repartition(8).write.mode("overwrite").parquet(inp)
+    q = hll_register_stream(spark, inp, regs, ck, max_files_per_trigger=2)
+    q.awaitTermination()
+    merged = read_hll_registers(spark, regs)
+    sk = hll_estimate_from_registers(merged, ["source"])
+    exact = docs.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_exact")
+    )
+    return exact.join(sk, "source").select(
+        "source", "n_exact", "n_buckets", "n_empty", "hll_estimate"
+    )
+
+
 # ---------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -3070,6 +3137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "stream_hll_sketch": q_stream_hll_sketch,
+        "host_kcore": q_host_kcore,
+        "docs_cube": q_docs_cube,
         "event_transitions": q_event_transitions,
         "events_anomalies": q_events_anomalies,
         "interval_coverage": q_interval_coverage,
@@ -3242,6 +3312,10 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     centroids, bm25 idf/avgdl) and must re-derive them from the same
     parquet the Spark query reads, or they only match at sf0.01."""
     return {
+        # streaming register-max merge must equal the one-shot sketch
+        "stream_hll_sketch": oracles.hll_host_cardinality_sql(),
+        "host_kcore": oracles.host_kcore_sql(),
+        "docs_cube": oracles.docs_cube_sql(),
         "event_transitions": oracles.event_transitions_sql(),
         "events_anomalies": oracles.bucket_anomalies_sql(),
         "interval_coverage": oracles.interval_coverage_sql(),

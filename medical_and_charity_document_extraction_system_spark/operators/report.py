@@ -230,3 +230,36 @@ def pivot_event_stats(
         out.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"n_{t}"))
         out.append(F.col(f"{t}_sum").cast("double").alias(f"sum_{t}"))
     return wide.select(*out)
+
+
+def dimensional_rollup(
+    df: DataFrame,
+    dims: list[str],
+    count_alias: str = "n_docs",
+    sum_col: str | None = None,
+    sum_alias: str = "sum_val",
+    mode: str = "cube",
+) -> DataFrame:
+    """Grouping-sets summary over ``dims``: CUBE (every dimension
+    subset) or ROLLUP (prefix hierarchy) with Spark's native
+    ``df.cube()/.rollup()`` — one Expand + one hash aggregation, the
+    plan Catalyst generates for grouping sets (each input row fans
+    out to its grouping-set combinations BEFORE the shuffle, so
+    partial aggregation still applies and no post-shuffle re-agg per
+    set is needed). ``grouping_id()`` disambiguates a rolled-up NULL
+    from a data NULL; its bitmask (first dim = most significant)
+    matches DuckDB's GROUPING(...) exactly, which is what the oracle
+    twin uses. Counts and integer sums only — nothing for engines to
+    disagree on.
+
+    Scale shape: input x (dims+1 for rollup / 2^dims for cube) rows
+    through one map-side-combinable agg; no window, no join. For
+    high-cardinality dims prefer rollup (linear expansion) over cube.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias(count_alias)]
+    if sum_col is not None:
+        aggs.append(F.sum(sum_col).cast("long").alias(sum_alias))
+    grouped = df.cube(*dims) if mode == "cube" else df.rollup(*dims)
+    return grouped.agg(
+        F.grouping_id().cast("long").alias("gid"), *aggs
+    ).select(*dims, "gid", count_alias, *([sum_alias] if sum_col else []))

@@ -459,3 +459,108 @@ def triangle_counts(
     return nodes.join(corner, "node", "left").select(
         "node", F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles")
     )
+
+
+def _symmetric_edges(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Canonical undirected edge set (self-loops dropped, duplicates
+    and reverse duplicates collapsed) expanded to both directions —
+    the degree-counting form shared by the k-core peeler. Same
+    canonicalization as triangle_counts."""
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).where(F.col(src_col) != F.col(dst_col))
+    und = e.select(
+        F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b")
+    ).distinct()
+    return und.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+
+
+def kcore_fixed(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    assert_converged: bool = True,
+) -> DataFrame:
+    """k-core membership by ``rounds`` synchronous peel iterations
+    (Seidman 1983; the BSP peeling of Montresor et al. 2013): each
+    round recomputes degrees over the surviving undirected subgraph
+    and drops every node with degree < k, together with its edges.
+    Returns (node, core_deg) for the survivors — after convergence
+    this IS the k-core and every core_deg >= k.
+
+    Determinism: pure set operations and integer counts — no floats,
+    no tie-breaks. The unrolled-CTE twin replays identical rounds.
+
+    Scale: per round one map-side-combinable degree agg + two
+    semi-joins of the edge list against the (shrinking, usually
+    broadcastable) survivor set; localCheckpoint cuts the per-round
+    lineage exactly like pagerank_fixed. Rounds needed = peel depth,
+    which is tiny on heavy-tailed web graphs (the core collapses in a
+    few sweeps); ``assert_converged`` spends one extra count per call
+    to guarantee the fixed unroll reached the fixpoint rather than
+    silently returning a partial peel."""
+    sym = _symmetric_edges(edges, src_col, dst_col).localCheckpoint(eager=True)
+    prev_edges = None
+    for r in range(rounds):
+        deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("c"))
+        keep = deg.where(F.col("c") >= k).select("node")
+        sym = (
+            sym.join(keep, "node")
+            .join(keep.withColumnRenamed("node", "nbr"), "nbr")
+            .select("node", "nbr")
+            .localCheckpoint(eager=True)
+        )
+        if r == rounds - 2:
+            prev_edges = sym
+    if assert_converged and rounds >= 2:
+        n_prev = prev_edges.count()
+        n_last = sym.count()
+        assert n_prev == n_last, (
+            f"k-core peel not converged after {rounds} rounds "
+            f"({n_prev} -> {n_last} directed edges); raise `rounds`"
+        )
+    return sym.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("core_deg")
+    )
+
+
+def kcore_converged(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 50,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> tuple[DataFrame, int]:
+    """Runtime-terminating twin of kcore_fixed: peel until no edge is
+    removed (the per-round edge count doubles as the convergence
+    action and the lineage cut). Returns (core_degrees, rounds_run) —
+    bit-equal to kcore_fixed(rounds=rounds_run+...) by construction."""
+    sym = _symmetric_edges(edges, src_col, dst_col).localCheckpoint(eager=True)
+    n = sym.count()
+    it = 0
+    while it < max_rounds:
+        deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("c"))
+        keep = deg.where(F.col("c") >= k).select("node")
+        sym = (
+            sym.join(keep, "node")
+            .join(keep.withColumnRenamed("node", "nbr"), "nbr")
+            .select("node", "nbr")
+            .localCheckpoint(eager=True)
+        )
+        it += 1
+        n_new = sym.count()
+        if n_new == n:
+            break
+        n = n_new
+    return (
+        sym.groupBy("node").agg(
+            F.count(F.lit(1)).cast("long").alias("core_deg")
+        ),
+        it,
+    )

@@ -4472,3 +4472,44 @@ SELECT event_type, n_events,
             END AS slope_cents_per_min
 FROM m
 """
+
+
+def docs_cube_sql() -> str:
+    """Twin of q_docs_cube: native grouping sets. DuckDB's
+    GROUPING(a, b) packs the same bitmask as Spark's grouping_id()
+    (first column most significant), verified empirically; counts and
+    integer sums leave nothing else to agree on."""
+    return """
+SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY CUBE (source, lang)
+"""
+
+
+def host_kcore_sql(k: int = 4, rounds: int = 4) -> str:
+    """Twin of q_host_kcore: the same peel unrolled one (degree,
+    survivor, edge) CTE triple per round over the SHARED host-graph
+    fragment. Every survivor CTE is referenced twice (both semi-join
+    sides) — AS MATERIALIZED, or the chain re-evaluates
+    exponentially (the host_hits_sql lesson). Integer counts only."""
+    parts = []
+    prev = "s0"
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+d{i} AS MATERIALIZED (SELECT node, count(*) AS c FROM {prev} GROUP BY node),
+k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE c >= {k}),
+s{i} AS MATERIALIZED (
+  SELECT s.node, s.nbr FROM {prev} s
+  JOIN k{i} x ON s.node = x.node
+  JOIN k{i} y ON s.nbr = y.node)""")
+        prev = f"s{i}"
+    return f"""
+WITH {_host_graph_ctes()},
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e WHERE src <> dst),
+s0 AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL SELECT b AS node, a AS nbr FROM und){"".join(parts)}
+SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM {prev} GROUP BY node
+"""

@@ -473,3 +473,54 @@ def incremental_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def hll_register_stream(
+    spark: SparkSession,
+    input_dir: str,
+    registers_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int = 2,
+) -> StreamingQuery:
+    """Streaming HyperLogLog maintenance: each micro-batch sketches
+    its own rows into per-source registers and writes them to an
+    epoch-keyed subdirectory; the sketch "as of now" is the
+    groupBy-MAX merge of every epoch file. Strictly easier than the
+    CMS stream above: register merge is max (idempotent AND
+    commutative), so even a double-applied epoch — not just a
+    replayed-then-overwritten one — could not skew the estimate.
+    State per epoch is bounded by sources x 256 registers."""
+    from ..operators.sketches import hll_registers
+
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def commit_batch(batch_df, epoch_id: int) -> None:
+        hll_registers(batch_df, ["source"], "doc_id").write.mode(
+            "overwrite"
+        ).parquet(f"{registers_dir}/epoch_{epoch_id}")
+
+    writer = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_hll_registers(spark: SparkSession, registers_dir: str):
+    """Merge every epoch's registers into the current sketch — one
+    groupBy-MAX, the same operation merge_hll_registers applies to
+    batch halves."""
+    from pyspark.sql import functions as F
+
+    deltas = spark.read.parquet(f"{registers_dir}/epoch_*")
+    keys = [c for c in deltas.columns if c not in ("bucket", "mreg")]
+    return deltas.groupBy(*keys, "bucket").agg(F.max("mreg").alias("mreg"))

@@ -59,3 +59,55 @@ def test_partitioning_invariant(spark):
     a = sorted(tuple(r) for r in corpus_report(df).collect())
     b = sorted(tuple(r) for r in corpus_report(df.repartition(7)).collect())
     assert a == b
+
+
+def test_dimensional_rollup_cube_exact(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.report import (
+        dimensional_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "en", 10), ("a", "fr", 20), ("b", "en", 1)],
+        "source string, lang string, n_chars long",
+    )
+    out = {
+        (r.source, r.lang, r.gid): (r.n_docs, r.sum_chars)
+        for r in dimensional_rollup(
+            df, ["source", "lang"], sum_col="n_chars", sum_alias="sum_chars"
+        ).collect()
+    }
+    assert out[("a", "en", 0)] == (1, 10)
+    assert out[("a", None, 1)] == (2, 30)      # lang rolled up -> bit 0
+    assert out[(None, "en", 2)] == (2, 11)     # source rolled up -> bit 1
+    assert out[(None, None, 3)] == (3, 31)
+    assert len(out) == 3 + 2 + 2 + 1
+
+
+def test_dimensional_rollup_mode_rollup_is_prefix_hierarchy(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.report import (
+        dimensional_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "en", 1), ("b", "fr", 2)],
+        "source string, lang string, n_chars long",
+    )
+    out = dimensional_rollup(df, ["source", "lang"], mode="rollup").collect()
+    gids = sorted(r.gid for r in out)
+    # rollup emits only (source, lang), (source), () — never (lang)
+    assert gids == [0, 0, 1, 1, 3] and 2 not in gids
+
+
+def test_dimensional_rollup_single_expand_plan(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.report import (
+        dimensional_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "en", 1)], "source string, lang string, n_chars long"
+    )
+    plan = dimensional_rollup(
+        df, ["source", "lang"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1  # one fan-out, not 4 scans
+    assert "Union" not in plan

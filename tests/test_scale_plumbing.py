@@ -385,3 +385,58 @@ def test_streaming_incremental_dedup_matches_one_shot(spark, tmp_path):
         .collect()
     }
     assert got2 == want
+
+
+def test_streaming_hll_matches_one_shot_and_double_apply_is_safe(
+    spark, tmp_path
+):
+    """Epoch-register HLL maintenance: any micro-batch slicing must
+    merge (groupBy-MAX) to the one-shot register table, and because
+    max is idempotent, even re-merging an epoch's registers TWICE
+    (a fault the additive CMS cells could not survive) changes
+    nothing."""
+    from medical_and_charity_document_extraction_system_spark.operators.sketches import (
+        hll_registers,
+    )
+    from medical_and_charity_document_extraction_system_spark.streaming import (
+        hll_register_stream,
+        read_hll_registers,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(60)], "doc_id long, source string"
+    )
+    inp, regs, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "regs"),
+        str(tmp_path / "ck"),
+    )
+    docs.repartition(6).write.parquet(inp)
+    hll_register_stream(
+        spark, inp, regs, ck, max_files_per_trigger=2
+    ).awaitTermination()
+    import glob
+
+    epochs = sorted(glob.glob(f"{regs}/epoch_*"))
+    assert len(epochs) >= 2  # genuinely incremental
+    merged = {
+        (r["source"], r["bucket"]): r["mreg"]
+        for r in read_hll_registers(spark, regs).collect()
+    }
+    one_shot = {
+        (r["source"], r["bucket"]): r["mreg"]
+        for r in hll_registers(docs, ["source"], "doc_id").collect()
+    }
+    assert merged == one_shot
+    # double-apply: union one epoch's registers in twice, re-merge
+    extra = spark.read.parquet(epochs[0])
+    doubled = spark.read.parquet(f"{regs}/epoch_*").unionByName(extra)
+    import pyspark.sql.functions as F
+
+    remerged = {
+        (r["source"], r["bucket"]): r["mreg"]
+        for r in doubled.groupBy("source", "bucket")
+        .agg(F.max("mreg").alias("mreg"))
+        .collect()
+    }
+    assert remerged == one_shot

@@ -321,3 +321,63 @@ def test_triangle_counts_partitioning_invariant(spark):
         for r in triangle_counts(df.repartition(11)).collect()
     }
     assert a == b and sum(a.values()) > 0
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_kcore_cascade_peels_the_tail(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        kcore_converged,
+    )
+
+    # triangle a-b-c plus a pendant path c-d-e-f: the 2-core is the
+    # triangle, and the path must peel one node per round (cascade),
+    # NOT in a single sweep — f first (deg 1), then e, then d.
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("c", "d"), ("d", "e"), ("e", "f"),
+    ]
+    core, rounds = kcore_converged(_edges(spark, pairs), k=2)
+    got = {r.node: r.core_deg for r in core.collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+    assert rounds >= 3  # the cascade takes one round per path node
+
+
+def test_kcore_fixed_matches_converged_and_asserts(spark):
+    import pytest
+
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        kcore_converged,
+        kcore_fixed,
+    )
+
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("c", "d"), ("d", "e"), ("e", "f"),
+    ]
+    df = _edges(spark, pairs)
+    conv, rounds = kcore_converged(df, k=2)
+    fixed = kcore_fixed(df, k=2, rounds=rounds + 1)
+    assert {tuple(r) for r in conv.collect()} == {
+        tuple(r) for r in fixed.collect()
+    }
+    # an unconverged unroll must refuse to masquerade as the k-core
+    with pytest.raises(AssertionError, match="not converged"):
+        kcore_fixed(df, k=2, rounds=2).collect()
+
+
+def test_kcore_ignores_self_loops_and_duplicates(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        kcore_converged,
+    )
+
+    # self-loops and repeated/reversed edges must not inflate degrees
+    pairs = [
+        ("a", "a"), ("a", "b"), ("b", "a"), ("a", "b"),
+        ("b", "c"), ("c", "a"),
+    ]
+    core, _ = kcore_converged(_edges(spark, pairs), k=2)
+    got = {r.node: r.core_deg for r in core.collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
