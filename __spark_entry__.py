@@ -3120,6 +3120,51 @@ def q_stream_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (operators/relational.pricing_summary): one
+    filtered scan (shipdate predicate pushed to parquet), one
+    map-side-combinable agg onto a handful of flag/status groups,
+    all money math in exact decimals until a single double cast."""
+    from medical_and_charity_document_extraction_system_spark.operators.relational import (
+        pricing_summary,
+    )
+
+    return pricing_summary(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def q_segment_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (operators/relational.segment_top_orders):
+    broadcast the segment-filtered customer dim, shuffle-join orders
+    against lineitem, TakeOrdered(10) on the EXACT decimal revenue
+    (ties by orderkey) — per-partition heaps, never a global sort."""
+    from medical_and_charity_document_extraction_system_spark.operators.relational import (
+        segment_top_orders,
+    )
+
+    return segment_top_orders(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
+def q_late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape adapted to the harness columns (no
+    commit/receipt dates): orders with any lineitem shipped > 90 days
+    after the order date, counted per priority via a left-semi join
+    against the aggregated late-key set
+    (operators/relational.late_order_priorities). Exact epoch-micros
+    lag comparison — no interval arithmetic to disagree on."""
+    from medical_and_charity_document_extraction_system_spark.operators.relational import (
+        late_order_priorities,
+    )
+
+    return late_order_priorities(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
 # ---------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -3137,6 +3182,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "pricing_summary": q_pricing_summary,
+        "segment_top_orders": q_segment_top_orders,
+        "late_order_priorities": q_late_order_priorities,
         "stream_hll_sketch": q_stream_hll_sketch,
         "host_kcore": q_host_kcore,
         "docs_cube": q_docs_cube,
@@ -3312,6 +3360,9 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     centroids, bm25 idf/avgdl) and must re-derive them from the same
     parquet the Spark query reads, or they only match at sf0.01."""
     return {
+        "pricing_summary": oracles.pricing_summary_sql(),
+        "segment_top_orders": oracles.segment_top_orders_sql(),
+        "late_order_priorities": oracles.late_order_priorities_sql(),
         # streaming register-max merge must equal the one-shot sketch
         "stream_hll_sketch": oracles.hll_host_cardinality_sql(),
         "host_kcore": oracles.host_kcore_sql(),

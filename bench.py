@@ -173,6 +173,22 @@ CATALOG_QUERIES = [
     "quality_ensemble",
     # continuation round 5: manifest-schema evolution read path
     "snapshot_evolution",
+    # continuation round 5, fourth batch: event-stream analytics
+    # (Markov transitions, integer-sigma anomalies, interval union,
+    # exact OLS trends), grouping-sets cube, k-core peeling, and
+    # streaming HLL register maintenance
+    "event_transitions",
+    "events_anomalies",
+    "interval_coverage",
+    "trend_slopes",
+    "docs_cube",
+    "host_kcore",
+    "stream_hll_sketch",
+    # continuation round 5, fourth batch: relational classics — the
+    # Q1 decimal scan-agg, Q3 sort-limit join, Q4 semi-join shapes
+    "pricing_summary",
+    "segment_top_orders",
+    "late_order_priorities",
 ]
 
 

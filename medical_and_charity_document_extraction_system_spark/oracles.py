@@ -4513,3 +4513,65 @@ s0 AS MATERIALIZED (
   UNION ALL SELECT b AS node, a AS nbr FROM und){"".join(parts)}
 SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM {prev} GROUP BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# Relational classics twins (operators/relational.py)
+
+_REV = ("CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))")
+
+
+def pricing_summary_sql(ship_cutoff: str = "1998-09-01") -> str:
+    """Twin of q_pricing_summary: TPC-H Q1 decimals — every sum exact
+    until one final double cast (the priority_line_revenue rule)."""
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+       CAST(sum({_REV}) AS DOUBLE) AS sum_disc_price,
+       CAST(sum({_REV} * (CAST(1 AS DECIMAL(18,2))
+                          + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+         AS sum_charge,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{ship_cutoff}'
+GROUP BY 1, 2
+"""
+
+
+def segment_top_orders_sql(
+    segment: str = "BUILDING", cutoff: str = "1998-01-01", k: int = 10
+) -> str:
+    """Twin of q_segment_top_orders: the top-k edge orders by the
+    EXACT decimal revenue (ties by orderkey) before the double
+    export, exactly as the Spark side does."""
+    return f"""
+WITH c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = '{segment}'),
+o AS (SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS o_orderdate_us
+      FROM orders WHERE o_orderdate < TIMESTAMP '{cutoff}'),
+l AS (SELECT l_orderkey, {_REV} AS rev
+      FROM lineitem WHERE l_shipdate > TIMESTAMP '{cutoff}'),
+g AS (SELECT o.o_orderkey, min(o.o_orderdate_us) AS o_orderdate_us,
+             sum(l.rev) AS revenue_dec
+      FROM o JOIN c ON o.o_custkey = c.c_custkey
+      JOIN l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1)
+SELECT o_orderkey, o_orderdate_us, CAST(revenue_dec AS DOUBLE) AS revenue
+FROM g ORDER BY revenue_dec DESC, o_orderkey LIMIT {k}
+"""
+
+
+def late_order_priorities_sql(late_days: int = 90) -> str:
+    """Twin of q_late_order_priorities: EXISTS via a DISTINCT late
+    orderkey set; the lag compares exact epoch micros."""
+    lag_us = late_days * 86_400_000_000
+    return f"""
+WITH o AS (SELECT o_orderkey, o_orderpriority, epoch_us(o_orderdate) AS od_us
+           FROM orders),
+lk AS (SELECT DISTINCT o.o_orderkey
+       FROM o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       WHERE epoch_us(l.l_shipdate) > o.od_us + {lag_us})
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+FROM o JOIN lk USING (o_orderkey) GROUP BY 1
+"""
