@@ -3165,6 +3165,35 @@ def q_late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-spam reciprocity signals over the shared host graph
+    (operators/webgraph.link_reciprocity): out/in degree, reciprocated
+    out-edges (left-semi join against the reversed edge list), and
+    the reciprocity rate in integer basis points. Link farms trade
+    links; editorial graphs mostly don't."""
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        link_reciprocity,
+    )
+
+    return link_reciprocity(_host_edges(_docs(spark, sf_dir)))
+
+
+def q_host_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-truss of the shared host graph (operators/webgraph.
+    ktruss_fixed — Cohen 2008): edges must close >= 3 triangles,
+    peeled by 3 synchronous support rounds. Support counting reuses
+    the degree-oriented triangle enumeration (hub-safe O(sqrt(m))
+    wedge fan-out); the oracle replays the peel with the
+    orientation-free common-neighbor join — equal because support is
+    exactly the common-neighbor count. Convergence asserted with one
+    extra count."""
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        ktruss_fixed,
+    )
+
+    return ktruss_fixed(_host_edges(_docs(spark, sf_dir)), k=5, rounds=3)
+
+
 # ---------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -3182,6 +3211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "host_reciprocity": q_host_reciprocity,
+        "host_ktruss": q_host_ktruss,
         "pricing_summary": q_pricing_summary,
         "segment_top_orders": q_segment_top_orders,
         "late_order_priorities": q_late_order_priorities,
@@ -3360,6 +3391,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     centroids, bm25 idf/avgdl) and must re-derive them from the same
     parquet the Spark query reads, or they only match at sf0.01."""
     return {
+        "host_reciprocity": oracles.host_reciprocity_sql(),
+        "host_ktruss": oracles.host_ktruss_sql(),
         "pricing_summary": oracles.pricing_summary_sql(),
         "segment_top_orders": oracles.segment_top_orders_sql(),
         "late_order_priorities": oracles.late_order_priorities_sql(),

@@ -189,6 +189,10 @@ CATALOG_QUERIES = [
     "pricing_summary",
     "segment_top_orders",
     "late_order_priorities",
+    # continuation round 5, fourth batch: link-farm reciprocity and
+    # the 5-truss (edge-support peeling over oriented triangles)
+    "host_reciprocity",
+    "host_ktruss",
 ]
 
 

@@ -564,3 +564,173 @@ def kcore_converged(
         ),
         it,
     )
+
+
+def link_reciprocity(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-host link-spam reciprocity signals over the directed
+    simple graph (self-loops dropped): out-degree, in-degree,
+    reciprocated out-edge count (dst links back), and the reciprocity
+    rate in integer basis points — link farms trade links, editorial
+    graphs mostly don't (the TrustRank/link-spam feature family).
+    ONE distinct edge list feeds three map-side-combinable aggs plus
+    one self-equi-join on the reversed key; the final assembly joins
+    three host-cardinality tables. Returns
+    (host, out_deg, in_deg, n_reciprocal, reciprocity_bp)."""
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .where(F.col(src_col) != F.col(dst_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out_deg = e.groupBy(F.col("s").alias("host")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    in_deg = e.groupBy(F.col("d").alias("host")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    recip = (
+        e.join(rev, ["s", "d"], "left_semi")
+        .groupBy(F.col("s").alias("host"))
+        .agg(F.count(F.lit(1)).alias("n_reciprocal"))
+    )
+    return (
+        out_deg.join(in_deg, "host", "full_outer")
+        .join(recip, "host", "left")
+        .select(
+            "host",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+            F.coalesce("n_reciprocal", F.lit(0))
+            .cast("long")
+            .alias("n_reciprocal"),
+            F.when(
+                F.coalesce("out_deg", F.lit(0)) > 0,
+                F.expr(
+                    "(coalesce(n_reciprocal, 0) * 10000)"
+                    " DIV coalesce(out_deg, 1)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("reciprocity_bp"),
+        )
+    )
+
+
+def _edge_support(ud: DataFrame) -> DataFrame:
+    """Triangle support per canonical undirected edge (a < b): the
+    number of triangles the edge closes, computed by the SAME
+    degree-oriented wedge enumeration as triangle_counts (each
+    triangle found exactly once at its lowest-rank corner, wedge
+    fan-out bounded O(sqrt(m)) per node), then exploded to its three
+    canonical edges and counted. Edges in no triangle get support 0
+    (left join). Input must be canonical distinct (a < b) edges."""
+    deg = (
+        ud.select(F.col("a").alias("node"))
+        .union(ud.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = ud.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+    ).localCheckpoint(eager=True)
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (
+            (F.col("o1.ddst") < F.col("o2.ddst"))
+            | (
+                (F.col("o1.ddst") == F.col("o2.ddst"))
+                & (F.col("o1.dst") < F.col("o2.dst"))
+            )
+        ),
+    ).select(
+        F.col("o1.src").alias("u"),
+        F.col("o1.dst").alias("v"),
+        F.col("o2.dst").alias("w"),
+    )
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    )
+    tri_edges = closed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+                ),
+                F.struct(
+                    F.least("u", "w").alias("a"), F.greatest("u", "w").alias("b")
+                ),
+                F.struct(
+                    F.least("v", "w").alias("a"), F.greatest("v", "w").alias("b")
+                ),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    sup = tri_edges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("sup"))
+    return ud.join(sup, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("sup", F.lit(0)).cast("long").alias("support")
+    )
+
+
+def ktruss_fixed(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    assert_converged: bool = True,
+) -> DataFrame:
+    """k-truss of the undirected simple graph (Cohen 2008): the
+    maximal subgraph where every edge closes >= k-2 triangles —
+    peeled by synchronous rounds of (edge support -> drop weak
+    edges), the same BSP discipline as kcore_fixed but one level up
+    (edges peel on triangle support, not nodes on degree). Returns
+    the surviving canonical edges with their final support
+    (a, b, support), every support >= k-2 after convergence.
+
+    Support counting reuses the degree-oriented triangle enumeration
+    (wedge fan-out O(sqrt(m)) per node — survives power-law hubs);
+    the oracle twin replays the peel with the orientation-free
+    common-neighbor join, equal because support(a,b) is exactly
+    |N(a) n N(b)|. ``assert_converged`` costs one count to guarantee
+    the fixed unroll reached the fixpoint."""
+    if k < 3:
+        raise ValueError("k-truss needs k >= 3 (k-2 >= 1)")
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    ud = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_n = None
+    for r in range(rounds):
+        sup = _edge_support(ud)
+        ud = (
+            sup.where(F.col("support") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        if r == rounds - 2:
+            prev_n = ud
+    if assert_converged and rounds >= 2:
+        n_prev, n_last = prev_n.count(), ud.count()
+        assert n_prev == n_last, (
+            f"k-truss peel not converged after {rounds} rounds "
+            f"({n_prev} -> {n_last} edges); raise `rounds`"
+        )
+    return _edge_support(ud)

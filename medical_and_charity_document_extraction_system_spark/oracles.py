@@ -4575,3 +4575,69 @@ lk AS (SELECT DISTINCT o.o_orderkey
 SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
 FROM o JOIN lk USING (o_orderkey) GROUP BY 1
 """
+
+
+def host_reciprocity_sql() -> str:
+    """Twin of q_host_reciprocity: directed simple graph (self-loops
+    out), three cardinality aggs + an EXISTS for the reciprocated
+    count, basis points by integer floor division."""
+    return f"""
+WITH {_host_graph_ctes()},
+ed AS (SELECT DISTINCT src AS s, dst AS d FROM e WHERE src <> dst),
+o AS (SELECT s AS host, CAST(count(*) AS BIGINT) AS out_deg FROM ed GROUP BY 1),
+i AS (SELECT d AS host, CAST(count(*) AS BIGINT) AS in_deg FROM ed GROUP BY 1),
+r AS (SELECT ed.s AS host, CAST(count(*) AS BIGINT) AS n_reciprocal
+      FROM ed
+      WHERE EXISTS (SELECT 1 FROM ed r2 WHERE r2.s = ed.d AND r2.d = ed.s)
+      GROUP BY 1)
+SELECT host,
+       CAST(coalesce(o.out_deg, 0) AS BIGINT) AS out_deg,
+       CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg,
+       CAST(coalesce(r.n_reciprocal, 0) AS BIGINT) AS n_reciprocal,
+       CAST(CASE WHEN coalesce(o.out_deg, 0) > 0
+                 THEN coalesce(r.n_reciprocal, 0) * 10000
+                        // coalesce(o.out_deg, 1)
+                 ELSE 0 END AS BIGINT) AS reciprocity_bp
+FROM o FULL OUTER JOIN i USING (host) LEFT JOIN r USING (host)
+"""
+
+
+def host_ktruss_sql(k: int = 5, rounds: int = 3) -> str:
+    """Twin of q_host_ktruss: the same peel with the orientation-free
+    common-neighbor support join (support(a,b) = |N(a) n N(b)| — the
+    Spark side's oriented triangle enumeration counts the same
+    thing), one (support, filter, adjacency) CTE triple per round,
+    all AS MATERIALIZED (each is referenced more than once)."""
+    parts = []
+    prev = "t0"
+    prev_sym = "sym0"
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+sup{i} AS MATERIALIZED (
+  SELECT t.a, t.b, count(*) AS sup
+  FROM {prev} t
+  JOIN {prev_sym} s1 ON s1.node = t.a
+  JOIN {prev_sym} s2 ON s2.node = t.b AND s2.nbr = s1.nbr
+  GROUP BY t.a, t.b),
+t{i} AS MATERIALIZED (SELECT a, b FROM sup{i} WHERE sup >= {k - 2}),
+sym{i} AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM t{i}
+  UNION ALL SELECT b AS node, a AS nbr FROM t{i})""")
+        prev, prev_sym = f"t{i}", f"sym{i}"
+    return f"""
+WITH {_host_graph_ctes()},
+t0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE src <> dst),
+sym0 AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM t0
+  UNION ALL SELECT b AS node, a AS nbr FROM t0){"".join(parts)},
+supf AS (
+  SELECT t.a, t.b, count(*) AS sup
+  FROM {prev} t
+  JOIN {prev_sym} s1 ON s1.node = t.a
+  JOIN {prev_sym} s2 ON s2.node = t.b AND s2.nbr = s1.nbr
+  GROUP BY t.a, t.b)
+SELECT t.a, t.b, CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+FROM {prev} t LEFT JOIN supf s ON t.a = s.a AND t.b = s.b
+"""

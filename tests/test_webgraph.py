@@ -381,3 +381,74 @@ def test_kcore_ignores_self_loops_and_duplicates(spark):
     core, _ = kcore_converged(_edges(spark, pairs), k=2)
     got = {r.node: r.core_deg for r in core.collect()}
     assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_reciprocity_counts_and_full_outer_hosts(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        link_reciprocity,
+    )
+
+    # a<->b reciprocated, a->c one-way, c has no out-edges at all;
+    # self-loop and duplicate edges must not count
+    pairs = [
+        ("a", "b"), ("b", "a"), ("a", "c"), ("a", "c"), ("b", "b"),
+    ]
+    out = {
+        r.host: (r.out_deg, r.in_deg, r.n_reciprocal, r.reciprocity_bp)
+        for r in link_reciprocity(_edges(spark, pairs)).collect()
+    }
+    assert out == {
+        "a": (2, 1, 1, 5000),
+        "b": (1, 1, 1, 10000),
+        "c": (0, 1, 0, 0),
+    }
+
+
+def test_ktruss_keeps_clique_peels_pendant_triangle(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        ktruss_fixed,
+    )
+
+    # 4-clique (every edge closes 2 triangles) + a pendant triangle
+    # hanging off d (each of its edges closes only 1)
+    clique = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+    ]
+    pendant = [("d", "e"), ("e", "f"), ("d", "f")]
+    out = ktruss_fixed(_edges(spark, clique + pendant), k=4, rounds=3)
+    edges = {(r.a, r.b): r.support for r in out.collect()}
+    assert set(edges) == {
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+    }
+    assert set(edges.values()) == {2}
+
+
+def test_ktruss_cascade_collapses_diamond(spark):
+    import pytest
+
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        ktruss_fixed,
+    )
+
+    # diamond: bc closes 2 triangles, the outer edges close 1 each.
+    # k=4 drops the outer edges in round 1, which strands bc
+    # (support 0) — it must peel in round 2, NOT survive.
+    diamond = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")]
+    out = ktruss_fixed(_edges(spark, diamond), k=4, rounds=3)
+    assert out.count() == 0
+    # and a 1-round unroll must refuse (not converged)
+    with pytest.raises(AssertionError, match="not converged"):
+        ktruss_fixed(_edges(spark, diamond), k=4, rounds=2).collect()
+
+
+def test_ktruss_rejects_k_below_3(spark):
+    import pytest
+
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        ktruss_fixed,
+    )
+
+    with pytest.raises(ValueError):
+        ktruss_fixed(_edges(spark, [("a", "b")]), k=2, rounds=2)
