@@ -3194,6 +3194,22 @@ def q_host_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ktruss_fixed(_host_edges(_docs(spark, sf_dir)), k=5, rounds=3)
 
 
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 audit of the LSH ANN index against exact brute force
+    (operators/similarity.lsh_recall_eval) — the ANN layer's
+    dedup_eval analog: per held-out query (every 50th vector),
+    candidate count, exact-vs-LSH hit count, and recall in integer
+    basis points. Candidates come from a (table, key) equi-join
+    (never a per-query predicate); both top-k legs rank identical
+    fold-cosine doubles with grouped_topk's row_number-equivalent
+    rule, so the twin's plain windows land on identical members."""
+    from medical_and_charity_document_extraction_system_spark.operators.similarity import (
+        lsh_recall_eval,
+    )
+
+    return lsh_recall_eval(_embeddings(spark, sf_dir))
+
+
 # ---------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -3211,6 +3227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "ann_recall_eval": q_ann_recall_eval,
         "host_reciprocity": q_host_reciprocity,
         "host_ktruss": q_host_ktruss,
         "pricing_summary": q_pricing_summary,
@@ -3391,6 +3408,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     centroids, bm25 idf/avgdl) and must re-derive them from the same
     parquet the Spark query reads, or they only match at sf0.01."""
     return {
+        "ann_recall_eval": oracles.lsh_recall_eval_sql(),
         "host_reciprocity": oracles.host_reciprocity_sql(),
         "host_ktruss": oracles.host_ktruss_sql(),
         "pricing_summary": oracles.pricing_summary_sql(),

@@ -193,6 +193,9 @@ CATALOG_QUERIES = [
     # the 5-truss (edge-support peeling over oriented triangles)
     "host_reciprocity",
     "host_ktruss",
+    # continuation round 5, fourth batch: ANN recall@k audit (exact
+    # vs LSH top-k per held-out query)
+    "ann_recall_eval",
 ]
 
 

@@ -838,3 +838,87 @@ def pq_adc_topk(
         .orderBy("adc_fp", id_col)
         .limit(k)
     )
+
+
+def lsh_recall_eval(
+    emb: DataFrame,
+    dim: int = 64,
+    query_mod: int = 50,
+    k: int = 10,
+    tables: int = 16,
+    bits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = LSH_SEED,
+) -> DataFrame:
+    """Recall@k audit of the LSH candidate index against exact brute
+    force — the ANN layer's dedup_eval analog: before trusting an
+    approximate index at corpus scale, measure what it misses on a
+    held-out query set (every ``query_mod``-th vector; the rest is
+    the searchable base). Per query: exact top-k (fold-cosine over
+    the broadcast query set), LSH top-k (same scoring, restricted to
+    bucket-sharing candidates via a (table, key) equi-join — the
+    scale path, NOT a per-query predicate), hit count, candidate
+    count, and recall in integer basis points (ONE floor division).
+
+    Both top-k legs use grouped_topk's row_number-equivalent rule
+    (cos DESC, id ASC) on identical doubles, so the DuckDB twin's
+    plain windows land on identical members. Scale: queries and their
+    bucket keys broadcast; candidates stay (qid, id) pairs; no window
+    ever sees raw base rows (grouped_topk aggregates first)."""
+    from .topk import grouped_topk
+
+    e = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    is_q = F.col("vid") % query_mod == 0
+    queries = e.where(is_q).select(
+        F.col("vid").alias("qid"), F.col("v").alias("qv")
+    )
+    base = e.where(~is_q)
+    bucketed = with_lsh_buckets(e, dim, "v", tables, bits, seed).select(
+        "vid", F.posexplode("_buckets").alias("tbl", "key")
+    )
+    # posexplode's pos is 0-based; the oracle's proj table is too
+    qk = bucketed.where(is_q).select(
+        F.col("vid").alias("qid"), "tbl", "key"
+    )
+    bk = bucketed.where(~is_q)
+    cand = (
+        bk.join(F.broadcast(qk), ["tbl", "key"])
+        .select("qid", "vid")
+        .distinct()
+    )
+    ex_pairs = base.crossJoin(F.broadcast(queries)).select(
+        "qid", "vid", cosine(F.col("v"), F.col("qv")).alias("cos_sim")
+    )
+    exact = grouped_topk(ex_pairs, "qid", "cos_sim", "vid", k)
+    lsh_pairs = (
+        cand.join(base, "vid")
+        .join(F.broadcast(queries), "qid")
+        .select("qid", "vid", cosine(F.col("v"), F.col("qv")).alias("cos_sim"))
+    )
+    approx = grouped_topk(lsh_pairs, "qid", "cos_sim", "vid", k)
+    n_exact = exact.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_cand = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hits = (
+        exact.join(approx.select("qid", "vid"), ["qid", "vid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        queries.select("qid")
+        .join(n_exact, "qid")
+        .join(n_cand, "qid", "left")
+        .join(n_hits, "qid", "left")
+        .select(
+            "qid",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr("(coalesce(n_hits, 0) * 10000) DIV n_exact").alias(
+                "recall_bp"
+            ),
+        )
+    )

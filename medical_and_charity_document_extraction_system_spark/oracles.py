@@ -4641,3 +4641,58 @@ supf AS (
 SELECT t.a, t.b, CAST(coalesce(s.sup, 0) AS BIGINT) AS support
 FROM {prev} t LEFT JOIN supf s ON t.a = s.a AND t.b = s.b
 """
+
+
+def lsh_recall_eval_sql(
+    query_mod: int = 50,
+    k: int = 10,
+    tables: int = 16,
+    bits: int = 4,
+    dim: int = 64,
+) -> str:
+    """Twin of q_ann_recall_eval: the same LSH keys (shared projection
+    literals), the same exact/LSH top-k legs as plain row_number
+    windows over identical fold-cosine doubles (grouped_topk IS
+    row_number by construction), hit/candidate counts, one floor
+    division for basis points."""
+    cos = _cos("b.v", "q.qv", dim)
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+{_lsh_keys_cte(tables, bits, dim)},
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {query_mod} = 0),
+b AS (SELECT vec_id, v FROM e WHERE vec_id % {query_mod} <> 0),
+qk AS (SELECT vec_id AS qid, tbl, key FROM keys
+       WHERE vec_id % {query_mod} = 0),
+bk AS (SELECT vec_id, tbl, key FROM keys WHERE vec_id % {query_mod} <> 0),
+cand AS (SELECT DISTINCT qk.qid, bk.vec_id
+         FROM bk JOIN qk ON bk.tbl = qk.tbl AND bk.key = qk.key),
+expairs AS (SELECT q.qid, b.vec_id, {cos} AS cos_sim FROM b CROSS JOIN q),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos_sim DESC, vec_id) AS r
+    FROM expairs) WHERE r <= {k}),
+lshpairs AS (
+  SELECT c.qid, c.vec_id, {cos} AS cos_sim
+  FROM cand c JOIN b ON b.vec_id = c.vec_id JOIN q ON q.qid = c.qid),
+approx AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos_sim DESC, vec_id) AS r
+    FROM lshpairs) WHERE r <= {k}),
+h AS (SELECT exact.qid, CAST(count(*) AS BIGINT) AS n_hits
+      FROM exact JOIN approx USING (qid, vec_id) GROUP BY 1),
+nc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY 1),
+ne AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact FROM exact GROUP BY 1)
+SELECT q.qid, ne.n_exact,
+       CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) * 10000 // ne.n_exact AS BIGINT)
+         AS recall_bp
+FROM q JOIN ne ON ne.qid = q.qid
+LEFT JOIN nc ON nc.qid = q.qid
+LEFT JOIN h ON h.qid = q.qid
+"""

@@ -375,3 +375,43 @@ def test_pq_distance_table_is_fixed_point_int(spark):
     q = np.array([0.5] * 4)
     d0 = float(((q - cbs[0][0]) ** 2).sum())
     assert abs(dtab[0][0] / PQ_FP_SCALE - d0) <= 1.0 / PQ_FP_SCALE
+
+
+def test_lsh_recall_eval_planted_duplicates_always_hit(spark):
+    import numpy as np
+
+    from medical_and_charity_document_extraction_system_spark.operators.similarity import (
+        lsh_recall_eval,
+    )
+
+    # every query (vec_id % 10 == 0) has an exact duplicate at id+1:
+    # identical vectors share every LSH bucket, so the duplicate is
+    # always a candidate and always the exact #1 — n_hits >= 1.
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(40):
+        if i % 10 == 1:
+            v = rows[i - 1][1]  # duplicate of the query before it
+        else:
+            v = [float(x) for x in rng.standard_normal(8)]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = lsh_recall_eval(emb, dim=8, query_mod=10, k=3, tables=8, bits=2)
+    got = {r.qid: r for r in out.collect()}
+    assert set(got) == {0, 10, 20, 30}
+    for r in got.values():
+        assert r.n_exact == 3
+        assert r.n_hits >= 1  # the planted duplicate
+        assert 0 <= r.n_hits <= 3 and r.n_cand <= 36
+        assert r.recall_bp == r.n_hits * 10000 // r.n_exact
+    # deterministic across reruns
+    again = {
+        r.qid: (r.n_exact, r.n_cand, r.n_hits, r.recall_bp)
+        for r in lsh_recall_eval(
+            emb, dim=8, query_mod=10, k=3, tables=8, bits=2
+        ).collect()
+    }
+    assert again == {
+        q: (r.n_exact, r.n_cand, r.n_hits, r.recall_bp)
+        for q, r in got.items()
+    }
