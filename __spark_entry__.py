@@ -3210,6 +3210,68 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_recall_eval(_embeddings(spark, sf_dir))
 
 
+def q_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context snippets for the term 'spark'
+    (operators/concordance.py): token positions via posexplode_outer
+    + post-filter — NEVER plain explode over the computed token
+    array, which lets InferFiltersFromGenerate clone the tokenizer
+    into a pushed-down Filter (the winnow 118s->3.3s trap; plan test
+    pins Filter nodes HOF-free). One scan, output bounded by term
+    occurrences."""
+    from medical_and_charity_document_extraction_system_spark.operators.concordance import (
+        concordance,
+    )
+
+    return concordance(_docs(spark, sf_dir), term="spark")
+
+
+def q_mirror_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirrored-content triage: a deterministic mirror crawl (every
+    7th document recrawled under a mirror host — the crawl_diff
+    construction style) summarized per text md5 with copy/host counts
+    and the smallest host/id among copies (independent minima)
+    (operators/concordance.mirror_report). Two map-side-combinable
+    hash-aggs, no joins, no windows."""
+    from medical_and_charity_document_extraction_system_spark.operators.concordance import (
+        mirror_report,
+    )
+
+    docs = _docs(spark, sf_dir)
+    host = F.concat(
+        F.lit("host"), _hidx_of((F.col("doc_id") * 131) % 100).cast("string")
+    )
+    mhost = F.concat(
+        F.lit("mirror"), _hidx_of((F.col("doc_id") * 577) % 100).cast("string")
+    )
+    crawl = docs.select(
+        F.col("doc_id").alias("id"), "text", host.alias("host")
+    ).unionByName(
+        docs.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("id"),
+            "text",
+            mhost.alias("host"),
+        )
+    )
+    return mirror_report(crawl, id_col="id")
+
+
+def q_host_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-2 neighborhood sizes over the shared host graph via
+    sketch propagation (operators/webgraph.neighborhood_anf —
+    HyperBall, Boldi & Vigna 2013): each round merges every
+    neighbor's HLL registers by integer max, so the whole
+    neighborhood function costs r rounds of edge join + register
+    groupBy-MAX over |V| x 256 cells — the exact BFS ball (also run
+    here for honesty) explodes combinatorially instead. Oracle
+    recomputes every register from md5 scratch and replays the
+    rounds."""
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        neighborhood_anf,
+    )
+
+    return neighborhood_anf(_host_edges(_docs(spark, sf_dir)), radius=2)
+
+
 # ---------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -3227,6 +3289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "concordance": q_concordance,
+        "mirror_report": q_mirror_report,
+        "host_anf": q_host_anf,
         "ann_recall_eval": q_ann_recall_eval,
         "host_reciprocity": q_host_reciprocity,
         "host_ktruss": q_host_ktruss,
@@ -3408,6 +3473,9 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     centroids, bm25 idf/avgdl) and must re-derive them from the same
     parquet the Spark query reads, or they only match at sf0.01."""
     return {
+        "concordance": oracles.concordance_sql(),
+        "mirror_report": oracles.mirror_report_sql(),
+        "host_anf": oracles.host_anf_sql(),
         "ann_recall_eval": oracles.lsh_recall_eval_sql(),
         "host_reciprocity": oracles.host_reciprocity_sql(),
         "host_ktruss": oracles.host_ktruss_sql(),

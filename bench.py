@@ -196,6 +196,11 @@ CATALOG_QUERIES = [
     # continuation round 5, fourth batch: ANN recall@k audit (exact
     # vs LSH top-k per held-out query)
     "ann_recall_eval",
+    # continuation round 5, fourth batch: KWIC snippets, mirror
+    # triage, and HyperBall radius-2 neighborhood sketches
+    "concordance",
+    "mirror_report",
+    "host_anf",
 ]
 
 

@@ -734,3 +734,69 @@ def ktruss_fixed(
             f"({n_prev} -> {n_last} edges); raise `rounds`"
         )
     return _edge_support(ud)
+
+
+def neighborhood_anf(
+    edges: DataFrame,
+    radius: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    with_exact: bool = True,
+) -> DataFrame:
+    """Approximate neighborhood function via sketch propagation —
+    HyperBall (Boldi & Vigna 2013) / ANF (Palmer et al. 2002): every
+    node holds an HLL register set of its ball, and one round of
+    "merge each neighbor's sketch into mine" grows the radius by 1.
+    The whole radius-r neighborhood-size estimate costs r rounds of
+    (edge join + register groupBy-MAX) over |V| * 256 integer cells —
+    the exact ball computation it replaces materializes the ball
+    SETS, which on a web graph explodes combinatorially by radius.
+
+    Registers are the deterministic md5 sketches of
+    operators/sketches.py, so the DuckDB twin recomputes every cell
+    from scratch; merges are integer max — bit-reproducible under any
+    partitioning. ``with_exact`` also runs the exact BFS ball
+    (bounded here; at corpus scale you run the sketch only — that is
+    the point) so the estimate's quality is visible in the output.
+    Nodes with only self-loops (or no edges) are absent — the
+    _symmetric_edges convention shared with kcore/LPA. Returns
+    (node, n_exact, n_buckets, n_empty, hll_estimate); n_exact and
+    the sketch both INCLUDE the node itself."""
+    from .sketches import hll_estimate_from_registers, hll_register_cols
+
+    sym = _symmetric_edges(edges, src_col, dst_col).localCheckpoint(eager=True)
+    nodes = sym.select("node").distinct().localCheckpoint(eager=True)
+    bucket, rho = hll_register_cols(F.col("node"))
+    regs = nodes.select("node", bucket.alias("bucket"), rho.alias("mreg"))
+    for _ in range(radius):
+        pushed = sym.join(
+            regs.withColumnRenamed("node", "nbr"), "nbr"
+        ).select("node", "bucket", "mreg")
+        regs = (
+            pushed.unionByName(regs.select("node", "bucket", "mreg"))
+            .groupBy("node", "bucket")
+            .agg(F.max("mreg").alias("mreg"))
+            .localCheckpoint(eager=True)
+        )
+    est = hll_estimate_from_registers(regs, ["node"])
+    if not with_exact:
+        return est
+    ball = nodes.select("node", F.col("node").alias("member"))
+    for _ in range(radius):
+        # ball and sym share lineage (nodes derives from sym) —
+        # explicit aliases keep the self-join unambiguous
+        expanded = (
+            ball.alias("bl")
+            .join(sym.alias("sm"), F.col("bl.member") == F.col("sm.node"))
+            .select(
+                F.col("bl.node").alias("node"),
+                F.col("sm.nbr").alias("member"),
+            )
+        )
+        ball = ball.unionByName(expanded).distinct().localCheckpoint(eager=True)
+    exact = ball.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    return exact.join(est, "node").select(
+        "node", "n_exact", "n_buckets", "n_empty", "hll_estimate"
+    )

@@ -4696,3 +4696,102 @@ FROM q JOIN ne ON ne.qid = q.qid
 LEFT JOIN nc ON nc.qid = q.qid
 LEFT JOIN h ON h.qid = q.qid
 """
+
+
+def concordance_sql(term: str = "spark", window: int = 3) -> str:
+    """Twin of q_concordance: 1-based DuckDB positions exported
+    0-based, list slice clamped at both edges, single-space join
+    (loss-free for the whitespace tokenizer)."""
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+           WHERE text IS NOT NULL),
+x AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t),
+hit AS (SELECT doc_id, toks, i FROM x WHERE toks[i] = '{term}')
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       array_to_string(toks[greatest(i - {window}, 1):(i + {window})], ' ')
+         AS snippet
+FROM hit
+"""
+
+
+def mirror_report_sql(min_hosts: int = 2) -> str:
+    """Twin of q_mirror_report: the same deterministic mirror crawl
+    (every 7th document recrawled under a mirror host), hash-agg on
+    text md5, HAVING on the distinct-host count."""
+    h = _hidx_case("(doc_id * 131) % 100")
+    mh = _hidx_case("(doc_id * 577) % 100")
+    return f"""
+WITH crawl AS (
+  SELECT doc_id AS id, text,
+         'host' || CAST({h} AS VARCHAR) AS host
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text,
+         'mirror' || CAST({mh} AS VARCHAR) AS host
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT md5(text) AS text_md5,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       min(host) AS first_host,
+       CAST(min(id) AS BIGINT) AS first_id
+FROM crawl GROUP BY 1 HAVING count(DISTINCT host) >= {min_hosts}
+"""
+
+
+def host_anf_sql(radius: int = 2) -> str:
+    """Twin of q_host_anf: every HLL register recomputed from md5
+    scratch (the hll_host_cardinality fragment), radius rounds of
+    push-and-max over the shared host graph, the exact BFS ball as
+    DISTINCT set unions. Sketch/ball CTEs AS MATERIALIZED — each
+    feeds the next round twice."""
+    from .operators.sketches import ALPHA_NUM, M, P
+
+    shift53 = "(CAST(1 AS BIGINT) << 53)"
+    parts = []
+    prev, prev_ball = "m0", "b0"
+    for i in range(1, radius + 1):
+        parts.append(f""",
+p{i} AS (SELECT s.node, r.bucket, r.mreg
+         FROM sym s JOIN {prev} r ON r.node = s.nbr),
+m{i} AS MATERIALIZED (
+  SELECT node, bucket, max(mreg) AS mreg FROM (
+    SELECT node, bucket, mreg FROM p{i}
+    UNION ALL SELECT node, bucket, mreg FROM {prev}
+  ) GROUP BY node, bucket),
+x{i} AS (SELECT b.node, s.nbr AS member
+         FROM {prev_ball} b JOIN sym s ON s.node = b.member),
+b{i} AS MATERIALIZED (
+  SELECT DISTINCT node, member FROM (
+    SELECT node, member FROM x{i}
+    UNION ALL SELECT node, member FROM {prev_ball}
+  ))""")
+        prev, prev_ball = f"m{i}", f"b{i}"
+    return f"""
+WITH {_host_graph_ctes()},
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e WHERE src <> dst),
+sym AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL SELECT b AS node, a AS nbr FROM und),
+nodes2 AS (SELECT DISTINCT node FROM sym),
+m0 AS MATERIALIZED (
+  SELECT node, h60 % {M} AS bucket,
+         CASE WHEN (h60 >> {P}) > 0 THEN 53 - length(bin(h60 >> {P}))
+              ELSE 53 END AS mreg
+  FROM (SELECT node,
+               CAST(('0x' || substr(md5(node), 1, 15)) AS BIGINT) AS h60
+        FROM nodes2)),
+b0 AS (SELECT node, node AS member FROM nodes2){"".join(parts)},
+s AS (SELECT node, count(*) AS nb,
+             sum(CAST(1 AS BIGINT) << (53 - mreg)) AS ss
+      FROM {prev} GROUP BY node),
+ex AS (SELECT node, CAST(count(*) AS BIGINT) AS n_exact
+       FROM {prev_ball} GROUP BY node)
+SELECT ex.node, ex.n_exact,
+       CAST(s.nb AS BIGINT) AS n_buckets,
+       CAST({M} - s.nb AS BIGINT) AS n_empty,
+       CAST('{ALPHA_NUM!r}' AS DOUBLE)
+         / CAST(s.ss + ({M} - s.nb) * {shift53} AS DOUBLE) AS hll_estimate
+FROM ex JOIN s USING (node)
+"""

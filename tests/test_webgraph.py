@@ -452,3 +452,41 @@ def test_ktruss_rejects_k_below_3(spark):
 
     with pytest.raises(ValueError):
         ktruss_fixed(_edges(spark, [("a", "b")]), k=2, rounds=2)
+
+
+def test_anf_exact_ball_on_a_path(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        neighborhood_anf,
+    )
+
+    # path a-b-c-d-e: radius-2 balls are 3/4/5/4/3 nodes (incl. self)
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    out = {
+        r.node: r for r in neighborhood_anf(_edges(spark, pairs)).collect()
+    }
+    assert {n: r.n_exact for n, r in out.items()} == {
+        "a": 3, "b": 4, "c": 5, "d": 4, "e": 3,
+    }
+    for r in out.values():
+        # tiny sets: every member lands its own register, so the raw
+        # estimate is a pure function of n_buckets — just pin sanity
+        assert 1 <= r.n_buckets <= r.n_exact
+        assert r.hll_estimate > 0.0
+
+
+def test_anf_estimate_only_form_matches_sketch_columns(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        neighborhood_anf,
+    )
+
+    pairs = [("a", "b"), ("b", "c")]
+    df = _edges(spark, pairs)
+    full = {
+        r.node: (r.n_buckets, r.n_empty, r.hll_estimate)
+        for r in neighborhood_anf(df).collect()
+    }
+    sketch_only = {
+        r.node: (r.n_buckets, r.n_empty, r.hll_estimate)
+        for r in neighborhood_anf(df, with_exact=False).collect()
+    }
+    assert full == sketch_only
