@@ -3165,6 +3165,89 @@ def q_late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (operators/relational.regional_revenue): the
+    region filter shrinks nation to a broadcast handful that prunes
+    customer AND supplier before either touches a fact table; the one
+    real shuffle is lineitem against date-filtered orders. Exact
+    decimal revenue per nation, double once."""
+    from medical_and_charity_document_extraction_system_spark.operators.relational import (
+        regional_revenue,
+    )
+
+    return regional_revenue(
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (operators/relational.promo_revenue_share):
+    promo revenue share as INTEGER basis points — scale-4 decimal
+    revenue lifted to integral units (rev*10000 → bigint, exact),
+    one floor division; never a float divide. Part broadcasts."""
+    from medical_and_charity_document_extraction_system_spark.operators.relational import (
+        promo_revenue_share,
+    )
+
+    return promo_revenue_share(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+
+
+def q_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape adapted to the harness tables (no partsupp —
+    the part↔supplier relation is the DISTINCT lineitem pair set):
+    distinct suppliers per (brand, type, size) minus one brand and
+    the negative-balance suppliers (complaints anti-join analog).
+    The pair distinct is the one heavy, map-side-combinable shuffle
+    (operators/relational.parts_supplier_counts)."""
+    from medical_and_charity_document_extraction_system_spark.operators.relational import (
+        parts_supplier_counts,
+    )
+
+    return parts_supplier_counts(
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (operators/relational.large_order_customers):
+    the HAVING aggregate runs first so only rare big orders join
+    orders/customer (AQE broadcasts the survivors). Quantity stays an
+    exact decimal through the threshold compare."""
+    from medical_and_charity_document_extraction_system_spark.operators.relational import (
+        large_order_customers,
+    )
+
+    return large_order_customers(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D pareto skyline of parts — cheaper AND bigger undominated
+    (operators/relational.part_skyline). Never an all-pairs dominance
+    join: min-price-per-size agg, a running strict-min window over
+    the BOUNDED size domain (≤ dozens of rows — the hist_quantiles
+    safe-window pattern), then a broadcast join back to parts at the
+    surviving (size, price) corners."""
+    from medical_and_charity_document_extraction_system_spark.operators.relational import (
+        part_skyline,
+    )
+
+    return part_skyline(spark.read.parquet(f"{sf_dir}/part.parquet"))
+
+
 def q_host_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-spam reciprocity signals over the shared host graph
     (operators/webgraph.link_reciprocity): out/in degree, reciprocated
@@ -3289,6 +3372,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "regional_revenue": q_regional_revenue,
+        "promo_revenue_share": q_promo_revenue_share,
+        "parts_supplier_counts": q_parts_supplier_counts,
+        "large_order_customers": q_large_order_customers,
+        "part_skyline": q_part_skyline,
         "concordance": q_concordance,
         "mirror_report": q_mirror_report,
         "host_anf": q_host_anf,
@@ -3473,6 +3561,11 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     centroids, bm25 idf/avgdl) and must re-derive them from the same
     parquet the Spark query reads, or they only match at sf0.01."""
     return {
+        "regional_revenue": oracles.regional_revenue_sql(),
+        "promo_revenue_share": oracles.promo_revenue_share_sql(),
+        "parts_supplier_counts": oracles.parts_supplier_counts_sql(),
+        "large_order_customers": oracles.large_order_customers_sql(),
+        "part_skyline": oracles.part_skyline_sql(),
         "concordance": oracles.concordance_sql(),
         "mirror_report": oracles.mirror_report_sql(),
         "host_anf": oracles.host_anf_sql(),

@@ -108,6 +108,197 @@ def segment_top_orders(
     )
 
 
+def regional_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: per-nation revenue of one region's local trade
+    (customer and supplier in the same nation) for orders placed in a
+    date window. Plan: the region filter reduces nation to a handful
+    of rows which broadcast into customer AND supplier first — both
+    fact-side joins then carry only region-local rows; the one real
+    shuffle is lineitem against the date-filtered orders. Revenue is
+    the exact decimal ``ext*(1-disc)`` summed per nation, exported as
+    double once."""
+    nat = (
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == region_name)),
+            nation["n_regionkey"] == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    cust = customer.join(
+        F.broadcast(nat), customer["c_nationkey"] == nat["n_nationkey"]
+    ).select("c_custkey", "n_name", F.col("c_nationkey").alias("cnk"))
+    supp = supplier.join(
+        F.broadcast(nat.select("n_nationkey")),
+        supplier["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey")
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from))
+        & (F.col("o_orderdate") < F.lit(date_to))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        (_dec("l_extendedprice") * (_one() - _dec("l_discount"))).alias("rev"),
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(
+            supp,
+            (F.col("l_suppkey") == supp["s_suppkey"])
+            & (F.col("s_nationkey") == F.col("cnk")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("rev").cast("double").alias("revenue"))
+    )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    month_start: str = "1997-09-01",
+    month_end: str = "1997-10-01",
+) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue coming from
+    promo-type parts. The ratio is integer basis points: revenue has
+    decimal scale 4, so ``rev * 10000`` is integral and casts to
+    bigint exactly in both engines — the share is one integer floor
+    division, never a float divide. The two revenue exports are exact
+    decimal sums cast to double once. Part is the broadcast dim."""
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(month_start))
+        & (F.col("l_shipdate") < F.lit(month_end))
+    ).select(
+        "l_partkey",
+        (_dec("l_extendedprice") * (_one() - _dec("l_discount"))).alias("rev"),
+    )
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        li["l_partkey"] == F.col("p_partkey"),
+    )
+    is_promo = F.col("p_type") == "PROMO"
+    zero = F.lit(0).cast("decimal(18,4)")
+    units = (F.col("rev") * F.lit(10000)).cast("long")
+    return j.agg(
+        F.sum(F.when(is_promo, F.col("rev")).otherwise(zero))
+        .cast("double")
+        .alias("promo_rev"),
+        F.sum("rev").cast("double").alias("total_rev"),
+        F.sum(F.when(is_promo, units).otherwise(F.lit(0))).alias("promo_units"),
+        F.sum(units).alias("total_units"),
+    ).select(
+        "promo_rev",
+        "total_rev",
+        F.expr("promo_units * 10000 div greatest(total_units, 1)")
+        .cast("long")
+        .alias("promo_share_bp"),
+    )
+
+
+def parts_supplier_counts(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    exclude_brand: str = "Brand#9",
+) -> DataFrame:
+    """TPC-H Q16 shape adapted to the harness (no partsupp table —
+    the part↔supplier relation is the DISTINCT (partkey, suppkey)
+    pair set observed in lineitem): distinct suppliers per
+    (brand, type, size), excluding one brand and every supplier with
+    a negative account balance (the complaints anti-join analog).
+    Plan: the pair distinct is the one heavy shuffle (map-side
+    combinable); the negative-balance set and the filtered part dim
+    broadcast."""
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    bad = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    pt = part.where(F.col("p_brand") != exclude_brand).select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    return (
+        pairs.join(
+            F.broadcast(bad), pairs["l_suppkey"] == bad["s_suppkey"], "left_anti"
+        )
+        .join(F.broadcast(pt), pairs["l_partkey"] == pt["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+def large_order_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: int = 250,
+) -> DataFrame:
+    """TPC-H Q18 shape: customers whose orders exceed ``min_qty``
+    total quantity. The HAVING aggregate runs FIRST (lineitem →
+    per-order decimal quantity sum, map-side combinable), so only the
+    rare big orders ever join orders/customer — AQE broadcasts the
+    surviving key set. Quantity stays an exact decimal through the
+    threshold compare; o_totalprice passes through untouched."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty_dec"))
+        .where(F.col("sum_qty_dec") > F.lit(min_qty).cast("decimal(18,2)"))
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_us"
+            ),
+            "o_totalprice",
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def part_skyline(part: DataFrame) -> DataFrame:
+    """2-D skyline (pareto frontier) of parts: cheaper is better,
+    bigger is better — a part survives iff no other part is ≥ as big
+    AND ≤ as cheap with one strict. Never an all-pairs dominance
+    join: aggregate to the min price per size (bounded domain, ≤ a
+    few hundred sizes), take a running strict-min window over sizes
+    DESC on that TINY agg table (the hist_quantiles safe-window
+    pattern — never over raw rows), keep sizes whose min price beats
+    every larger size, and join back to parts at (size, min price).
+    Equal (price, size) twins don't dominate each other, so all parts
+    at a surviving corner are skyline members. Prices are compared,
+    never combined — no float arithmetic."""
+    from pyspark.sql import Window
+
+    mp = part.groupBy("p_size").agg(F.min("p_retailprice").alias("mp"))
+    w = (
+        Window.orderBy(F.col("p_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    corners = (
+        mp.withColumn("best_larger", F.min("mp").over(w))
+        .where(F.col("best_larger").isNull() | (F.col("mp") < F.col("best_larger")))
+        # renamed: corners descends from `part`, so keeping p_size
+        # would make the join condition an ambiguous self-reference
+        .select(F.col("p_size").alias("k_size"), F.col("mp").alias("k_price"))
+    )
+    return part.join(
+        F.broadcast(corners),
+        (part["p_size"] == corners["k_size"])
+        & (part["p_retailprice"] == corners["k_price"]),
+    ).select("p_partkey", "p_name", "p_size", "p_retailprice")
+
+
 def late_order_priorities(
     orders: DataFrame, lineitem: DataFrame, late_days: int = 90
 ) -> DataFrame:

@@ -4577,6 +4577,113 @@ FROM o JOIN lk USING (o_orderkey) GROUP BY 1
 """
 
 
+def regional_revenue_sql(
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> str:
+    """Twin of q_regional_revenue: TPC-H Q5 — same-nation
+    customer/supplier trade per nation of one region; exact decimal
+    revenue, one double cast."""
+    return f"""
+SELECT n.n_name, CAST(sum({_REV}) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{region_name}'
+  AND o.o_orderdate >= TIMESTAMP '{date_from}'
+  AND o.o_orderdate < TIMESTAMP '{date_to}'
+GROUP BY 1
+"""
+
+
+def promo_revenue_share_sql(
+    month_start: str = "1997-09-01", month_end: str = "1997-10-01"
+) -> str:
+    """Twin of q_promo_revenue_share: the share is integer basis
+    points over the scale-4 revenue lifted to integral units
+    (rev*10000 casts to BIGINT exactly), so no float division ever
+    happens; the two revenue exports are exact decimal sums cast
+    once."""
+    return f"""
+WITH li AS (
+  SELECT l_partkey, {_REV} AS rev FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{month_start}'
+    AND l_shipdate < TIMESTAMP '{month_end}'
+),
+j AS (
+  SELECT rev, (p_type = 'PROMO') AS promo,
+         CAST(rev * 10000 AS BIGINT) AS units
+  FROM li JOIN part ON l_partkey = p_partkey
+)
+SELECT CAST(sum(CASE WHEN promo THEN rev
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_rev,
+       CAST(sum(rev) AS DOUBLE) AS total_rev,
+       CAST(CAST(sum(CASE WHEN promo THEN units ELSE 0 END) AS BIGINT) * 10000
+            // greatest(CAST(sum(units) AS BIGINT), 1) AS BIGINT)
+         AS promo_share_bp
+FROM j
+"""
+
+
+def parts_supplier_counts_sql(exclude_brand: str = "Brand#9") -> str:
+    """Twin of q_parts_supplier_counts: Q16 over the DISTINCT
+    (partkey, suppkey) pairs lineitem observed, complaints analog =
+    negative-balance suppliers via NOT EXISTS."""
+    return f"""
+WITH pr AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+ok AS (
+  SELECT pr.l_partkey, pr.l_suppkey FROM pr
+  WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                    WHERE s.s_suppkey = pr.l_suppkey AND s.s_acctbal < 0)
+)
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ok JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{exclude_brand}'
+GROUP BY 1, 2, 3
+"""
+
+
+def large_order_customers_sql(min_qty: int = 250) -> str:
+    """Twin of q_large_order_customers: Q18 — the HAVING on the exact
+    decimal per-order quantity sum decides membership; totalprice
+    passes through untouched."""
+    return f"""
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {min_qty}
+)
+SELECT c_custkey, c_name, o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+       o_totalprice, CAST(sq AS DOUBLE) AS sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def part_skyline_sql() -> str:
+    """Twin of q_part_skyline: same corner construction — min price
+    per size, running strict-min window over the TINY size-domain agg
+    (sizes DESC), join back at (size, min price). Prices are compared
+    only, never combined."""
+    return """
+WITH mp AS (SELECT p_size, min(p_retailprice) AS mp FROM part GROUP BY 1),
+c AS (
+  SELECT p_size, mp,
+         min(mp) OVER (ORDER BY p_size DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bl
+  FROM mp
+),
+k AS (SELECT p_size, mp FROM c WHERE bl IS NULL OR mp < bl)
+SELECT p.p_partkey, p.p_name, p.p_size, p.p_retailprice
+FROM part p JOIN k ON p.p_size = k.p_size AND p.p_retailprice = k.mp
+"""
+
+
 def host_reciprocity_sql() -> str:
     """Twin of q_host_reciprocity: directed simple graph (self-loops
     out), three cardinality aggs + an EXISTS for the reciprocated

@@ -6,8 +6,13 @@ from datetime import datetime
 from pyspark.sql import functions as F
 
 from medical_and_charity_document_extraction_system_spark.operators.relational import (
+    large_order_customers,
     late_order_priorities,
+    part_skyline,
+    parts_supplier_counts,
     pricing_summary,
+    promo_revenue_share,
+    regional_revenue,
     segment_top_orders,
 )
 
@@ -115,3 +120,136 @@ def test_late_orders_semi_join_counts_each_order_once(spark):
     assert got == {"1-URGENT": 1, "2-HIGH": 1}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+# ---------------------------------------------------------- round-5 batch
+
+
+def _li_keys(spark, rows):
+    # (orderkey, partkey, suppkey, qty, price, disc, shipdate)
+    return spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_shipdate timestamp",
+    )
+
+
+def test_regional_revenue_same_nation_only(spark):
+    in_win = datetime(1996, 6, 1)
+    out_win = datetime(1999, 1, 1)
+    region = spark.createDataFrame(
+        [(0, "ASIA"), (1, "EUROPE")], "r_regionkey int, r_name string"
+    )
+    nation = spark.createDataFrame(
+        [(0, "JP", 0), (1, "CN", 0), (2, "FR", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    customer = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 2)], "c_custkey long, c_nationkey int"
+    )
+    supplier = spark.createDataFrame(
+        [(10, 0), (11, 1), (12, 2)], "s_suppkey long, s_nationkey int"
+    )
+    orders = spark.createDataFrame(
+        [(100, 1, in_win), (101, 2, in_win), (102, 1, out_win), (103, 3, in_win)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    li = _li_keys(
+        spark,
+        [
+            (100, 1, 10, 1.0, 100.0, 0.10, in_win),  # JP/JP -> 90
+            (100, 1, 11, 1.0, 50.0, 0.00, in_win),  # cust JP, supp CN: dropped
+            (101, 1, 11, 1.0, 40.0, 0.00, in_win),  # CN/CN -> 40
+            (102, 1, 10, 1.0, 999.0, 0.0, in_win),  # order outside window
+            (103, 1, 12, 1.0, 999.0, 0.0, in_win),  # FR: wrong region
+        ],
+    )
+    got = {
+        r.n_name: r.revenue
+        for r in regional_revenue(
+            region, nation, customer, orders, supplier, li
+        ).collect()
+    }
+    assert got == {"JP": 90.0, "CN": 40.0}
+
+
+def test_promo_revenue_share_integer_bp(spark):
+    d = datetime(1997, 9, 15)
+    out = datetime(1997, 10, 15)
+    li = _li_keys(
+        spark,
+        [
+            (1, 1, 1, 1.0, 100.0, 0.25, d),  # promo: 75.0000
+            (2, 2, 1, 1.0, 225.0, 0.00, d),  # plain: 225.0000
+            (3, 1, 1, 1.0, 999.0, 0.00, out),  # outside month
+        ],
+    )
+    part = spark.createDataFrame(
+        [(1, "PROMO"), (2, "STANDARD")], "p_partkey long, p_type string"
+    )
+    r = promo_revenue_share(li, part).collect()[0]
+    assert r.promo_rev == 75.0 and r.total_rev == 300.0
+    # 750000 * 10000 div 3000000 = 2500 bp exactly
+    assert r.promo_share_bp == 2500
+
+
+def test_parts_supplier_counts_distinct_and_exclusions(spark):
+    d = datetime(1997, 1, 1)
+    li = _li_keys(
+        spark,
+        [
+            (1, 1, 10, 1.0, 1.0, 0.0, d),
+            (2, 1, 10, 1.0, 1.0, 0.0, d),  # duplicate pair: counts once
+            (3, 1, 11, 1.0, 1.0, 0.0, d),  # negative-balance supplier
+            (4, 2, 10, 1.0, 1.0, 0.0, d),  # excluded brand
+        ],
+    )
+    part = spark.createDataFrame(
+        [(1, "Brand#1", "PROMO", 5), (2, "Brand#9", "PROMO", 5)],
+        "p_partkey long, p_brand string, p_type string, p_size int",
+    )
+    supplier = spark.createDataFrame(
+        [(10, 100.0), (11, -5.0)], "s_suppkey long, s_acctbal double"
+    )
+    rows = parts_supplier_counts(part, supplier, li).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.p_brand, r.supplier_cnt) == ("Brand#1", 1)
+
+
+def test_large_order_customers_threshold_edge(spark):
+    d = datetime(1997, 1, 1)
+    li = _li_keys(
+        spark,
+        [
+            (1, 1, 1, 250.0, 1.0, 0.0, d),  # exactly 250: NOT >
+            (2, 1, 1, 200.0, 1.0, 0.0, d),
+            (2, 1, 1, 50.5, 1.0, 0.0, d),  # 250.5 > 250
+        ],
+    )
+    orders = spark.createDataFrame(
+        [(1, 7, d, 10.0), (2, 8, d, 20.0)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp,"
+        " o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(7, "a"), (8, "b")], "c_custkey long, c_name string"
+    )
+    rows = large_order_customers(customer, orders, li).collect()
+    assert len(rows) == 1
+    assert rows[0].o_orderkey == 2 and rows[0].sum_qty == 250.5
+
+
+def test_part_skyline_dominance_rules(spark):
+    part = spark.createDataFrame(
+        [
+            (1, "dominated-price", 20, 6.0),  # same size, pricier than 2
+            (2, "corner-a", 20, 4.0),
+            (3, "corner-a-twin", 20, 4.0),  # equal twin: kept too
+            (4, "dominated-size", 10, 4.0),  # smaller, same price as 2
+            (5, "corner-b", 10, 3.0),  # smaller but strictly cheaper
+        ],
+        "p_partkey long, p_name string, p_size int, p_retailprice double",
+    )
+    keys = sorted(r.p_partkey for r in part_skyline(part).collect())
+    assert keys == [2, 3, 5]
