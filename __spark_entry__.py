@@ -3248,6 +3248,75 @@ def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part_skyline(spark.read.parquet(f"{sf_dir}/part.parquet"))
 
 
+def q_host_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded exact closeness centrality over the shared host graph
+    (operators/webgraph.bfs_closeness): multi-source BFS relaxation
+    rounds with a convergence assert, closeness in integer basis
+    points — the Eppstein-Wang seed-sample shape that stays
+    |seeds|-bounded at web scale. Oracle: the identical relaxation
+    unrolled one CTE per round."""
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        bfs_closeness,
+    )
+
+    edges = _host_edges(_docs(spark, sf_dir))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.where(F.expr("CAST(substring(node, 5, 8) AS INT) % 4 = 1"))
+    return bfs_closeness(edges, seeds, rounds=4)
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus k-anonymity audit (operators/privacy.k_anonymity_report):
+    per-language exposure of the (lang, source, length-bucket)
+    quasi-identifier — cells below k, documents inside them, and the
+    at-risk rate as ONE integer basis-point division. Two map-side
+    combinable aggs, no windows, no floats."""
+    from medical_and_charity_document_extraction_system_spark.operators.privacy import (
+        k_anonymity_report,
+    )
+
+    return k_anonymity_report(_docs(spark, sf_dir), k=5, len_bucket=100)
+
+
+def q_frontier_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware crawl sharding (operators/crawl.
+    frontier_shards): hosts hash into fetcher shards (md5 first-8-hex
+    bucket, engine-portable), each shard reporting url load and the
+    makespan lower bound its busiest host forces under the per-host
+    delay. The frontier here is each doc's Zipf host from the shared
+    host-graph construction."""
+    from medical_and_charity_document_extraction_system_spark.operators.crawl import (
+        frontier_shards,
+    )
+
+    frontier = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("host"), _hidx_of((F.col("doc_id") * 131) % 100).cast("string")
+        ).alias("host")
+    )
+    return frontier_shards(frontier, n_shards=8, delay_us=500_000)
+
+
+def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram (operators/dedup.
+    component_size_stats over connected_components of the MinHash
+    near-dup pairs): per cluster size, how many clusters and how many
+    documents — the dedup-savings estimate. Oracle: the shared
+    recursive closure fragment plus the same two aggregations."""
+    from medical_and_charity_document_extraction_system_spark.operators.dedup import (
+        component_size_stats,
+        connected_components,
+        minhash_near_dup,
+    )
+
+    pairs = minhash_near_dup(_docs(spark, sf_dir), threshold=0.9)
+    return component_size_stats(connected_components(pairs))
+
+
 def q_host_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-spam reciprocity signals over the shared host graph
     (operators/webgraph.link_reciprocity): out/in degree, reciprocated
@@ -3372,6 +3441,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "host_closeness": q_host_closeness,
+        "k_anonymity": q_k_anonymity,
+        "frontier_shards": q_frontier_shards,
+        "dup_cluster_stats": q_dup_cluster_stats,
         "regional_revenue": q_regional_revenue,
         "promo_revenue_share": q_promo_revenue_share,
         "parts_supplier_counts": q_parts_supplier_counts,
@@ -3561,6 +3634,10 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     centroids, bm25 idf/avgdl) and must re-derive them from the same
     parquet the Spark query reads, or they only match at sf0.01."""
     return {
+        "host_closeness": oracles.host_closeness_sql(),
+        "k_anonymity": oracles.k_anonymity_sql(),
+        "frontier_shards": oracles.frontier_shards_sql(),
+        "dup_cluster_stats": oracles.dup_cluster_stats_sql(),
         "regional_revenue": oracles.regional_revenue_sql(),
         "promo_revenue_share": oracles.promo_revenue_share_sql(),
         "parts_supplier_counts": oracles.parts_supplier_counts_sql(),

@@ -117,3 +117,45 @@ def robots_filter(
         .withColumn("rule", F.coalesce(F.col("pattern"), F.lit("(default)")))
         .drop("__murl", "pattern", "allow", "__host", "__path")
     )
+
+
+def frontier_shards(
+    frontier: DataFrame,
+    host_col: str = "host",
+    n_shards: int = 8,
+    delay_us: int = 500_000,
+) -> DataFrame:
+    """Politeness-aware crawl sharding: hosts are assigned to fetcher
+    shards by a deterministic md5 bucket (the dsir hashing idiom —
+    first 8 md5 hex chars as an integer, engine-portable), and each
+    shard reports its load plus a makespan LOWER BOUND: politeness
+    forces a host's fetches ``delay_us`` apart, so the busiest host
+    in a shard bounds how fast the shard can possibly finish no
+    matter how many connections it opens.
+
+    Scale shape: one per-host count (map-side combinable), one
+    per-shard rollup over the host table. The hash spreads hosts
+    uniformly, so no shard inherits the head of the host Zipf by
+    construction — the makespan column is what tells you when one
+    whale host dominates anyway and needs its own shard.
+    All columns integer; the makespan is a product, never a division.
+    """
+    loads = frontier.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_urls")
+    )
+    shard = (
+        F.conv(F.substring(F.md5(F.col("host")), 1, 8), 16, 10).cast("long")
+        % int(n_shards)
+    ).alias("shard")
+    return (
+        loads.select(shard, "host", "n_urls")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hosts"),
+            F.sum("n_urls").cast("long").alias("n_urls"),
+            F.max("n_urls").cast("long").alias("max_host_urls"),
+            (F.max("n_urls") * F.lit(int(delay_us)))
+            .cast("long")
+            .alias("makespan_us"),
+        )
+    )

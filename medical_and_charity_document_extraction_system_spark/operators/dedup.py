@@ -744,3 +744,23 @@ def candidate_eval(
             "IF(tp + fn > 0, tp * 10000 DIV (tp + fn), NULL)"
         ).alias("recall_bp"),
     )
+
+
+def component_size_stats(components: DataFrame) -> DataFrame:
+    """Duplicate-cluster size histogram over the (node, component)
+    table connected_components returns: for each cluster size, how
+    many clusters have it and how many documents they hold — the
+    one-page answer to "how much of the corpus is near-duplicated,
+    and in how big clumps?" that decides dedup savings estimates.
+
+    Two map-side-combinable aggs (per-component count, then a
+    histogram over the component table — component count rows, far
+    smaller than the corpus). Integer-only output."""
+    sizes = components.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    ).select(F.col("cluster_size").cast("long").alias("cluster_size"),
+             "n_clusters", "n_docs")

@@ -4684,6 +4684,111 @@ FROM part p JOIN k ON p.p_size = k.p_size AND p.p_retailprice = k.mp
 """
 
 
+def host_closeness_sql(rounds: int = 4) -> str:
+    """Twin of q_host_closeness: the same multi-source BFS unrolled
+    one distance-relaxation CTE per round over the shared host graph
+    (AS MATERIALIZED — each round reads the previous twice via the
+    UNION ALL). Seeds are hosts with index % 4 == 1; closeness is the
+    same integer basis-point floor division."""
+    steps = [
+        """d0 AS MATERIALIZED (
+  SELECT node AS seed, node, 0 AS dist FROM nodes
+  WHERE CAST(substr(node, 5) AS INTEGER) % 4 = 1
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = f"d{r - 1}"
+        steps.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT seed, node, min(dist) AS dist FROM (
+    SELECT seed, node, dist FROM {p}
+    UNION ALL
+    SELECT {p}.seed, e.dst AS node, {p}.dist + 1 AS dist
+    FROM {p} JOIN e ON {p}.node = e.src
+  ) GROUP BY 1, 2
+)"""
+        )
+    return f"""
+WITH {_host_graph_ctes()},
+{", ".join(steps)},
+agg AS (
+  SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+         CAST(sum(dist) AS BIGINT) AS sum_dist
+  FROM d{rounds} GROUP BY 1
+)
+SELECT seed AS host, n_reached, sum_dist,
+       CAST(CASE WHEN sum_dist > 0
+                 THEN (n_reached - 1) * 10000 // sum_dist
+                 ELSE 0 END AS BIGINT) AS closeness_bp
+FROM agg
+"""
+
+
+def k_anonymity_sql(k: int = 5, len_bucket: int = 100) -> str:
+    """Twin of q_k_anonymity: same QI cells, same per-language
+    rollup, the risk rate ONE integer basis-point floor division."""
+    return f"""
+WITH cells AS (
+  SELECT lang, source, n_chars // {len_bucket} AS lb, count(*) AS cnt
+  FROM documents GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT lang,
+         CAST(sum(cnt) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(CASE WHEN cnt < {k} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_small_cells,
+         CAST(sum(CASE WHEN cnt < {k} THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_docs_at_risk
+  FROM cells GROUP BY 1
+)
+SELECT lang, CAST({k} AS BIGINT) AS k, n_docs, n_cells, n_small_cells,
+       n_docs_at_risk,
+       CAST(n_docs_at_risk * 10000 // greatest(n_docs, 1) AS BIGINT) AS risk_bp
+FROM agg
+"""
+
+
+def frontier_shards_sql(n_shards: int = 8, delay_us: int = 500_000) -> str:
+    """Twin of q_frontier_shards: each doc's Zipf host (the h0 leg of
+    the shared host-graph fragment) is one frontier url; shard = md5
+    first-8-hex bucket (the dsir hashing idiom); makespan = the
+    busiest host's url count times the politeness delay."""
+    return f"""
+WITH {_host_graph_ctes()},
+f AS (SELECT 'host' || CAST({_hidx_case('h0')} AS VARCHAR) AS host FROM dd),
+loads AS (SELECT host, CAST(count(*) AS BIGINT) AS n_urls FROM f GROUP BY 1),
+sh AS (
+  SELECT CAST(('0x' || substr(md5(host), 1, 8)) AS BIGINT) % {n_shards}
+           AS shard,
+         n_urls
+  FROM loads
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_hosts,
+       CAST(CAST(sum(n_urls) AS BIGINT) AS BIGINT) AS n_urls,
+       CAST(max(n_urls) AS BIGINT) AS max_host_urls,
+       CAST(max(n_urls) * {delay_us} AS BIGINT) AS makespan_us
+FROM sh GROUP BY 1
+"""
+
+
+def dup_cluster_stats_sql(threshold: float = 0.9) -> str:
+    """Twin of q_dup_cluster_stats: the shared recursive near-dup
+    closure, per-component sizes, then the size histogram (sum →
+    HUGEINT in DuckDB, cast to BIGINT before export)."""
+    return f"""
+WITH RECURSIVE
+{_near_dup_walk_ctes(threshold)},
+comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node),
+sz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(CAST(sum(cluster_size) AS BIGINT) AS BIGINT) AS n_docs
+FROM sz GROUP BY 1
+"""
+
+
 def host_reciprocity_sql() -> str:
     """Twin of q_host_reciprocity: directed simple graph (self-loops
     out), three cardinality aggs + an EXISTS for the reciprocated
