@@ -3248,6 +3248,57 @@ def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part_skyline(spark.read.parquet(f"{sf_dir}/part.parquet"))
 
 
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid resample with forward fill (operators/asof.
+    resample_ffill): each user's irregular events land on a 6-hour
+    epoch-micros grid, every point carrying the latest event
+    at-or-before it (NULL before the first event). Reuses the
+    asof_join union-window — ONE shuffle on user_id, no join node.
+    Oracle: generate_series grid + DuckDB native ASOF LEFT JOIN."""
+    from medical_and_charity_document_extraction_system_spark.operators.asof import (
+        resample_ffill,
+    )
+
+    return resample_ffill(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PPSWOR bottom-k sample, weights ∝ document
+    length (operators/sampling.weighted_sample): replica-min md5
+    hashing — each row spawns `weight` exchangeable keys, so
+    selection probability is exactly weight-proportional without any
+    RNG. TakeOrdered top-k, never a global sort; oracle recomputes
+    the identical keys."""
+    from medical_and_charity_document_extraction_system_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    return weighted_sample(
+        _docs(spark, sf_dir), F.expr("n_chars div 200"), k=50
+    )
+
+
+def q_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity + key-uniqueness audit
+    (operators/report.integrity_report): FK orphan counts via
+    left-anti joins on distinct key projections, duplicate doc_id /
+    duplicate text-md5 counts, rates in integer basis points (the
+    harness tables are clean — tests plant orphans/dups to pin the
+    detection paths)."""
+    from medical_and_charity_document_extraction_system_spark.operators.report import (
+        integrity_report,
+    )
+
+    return integrity_report(
+        _docs(spark, sf_dir),
+        _embeddings(spark, sf_dir),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+
+
 def q_host_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded exact closeness centrality over the shared host graph
     (operators/webgraph.bfs_closeness): multi-source BFS relaxation
@@ -3441,6 +3492,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "events_resample": q_events_resample,
+        "weighted_sample": q_weighted_sample,
+        "integrity_report": q_integrity_report,
         "host_closeness": q_host_closeness,
         "k_anonymity": q_k_anonymity,
         "frontier_shards": q_frontier_shards,
@@ -3634,6 +3688,9 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     centroids, bm25 idf/avgdl) and must re-derive them from the same
     parquet the Spark query reads, or they only match at sf0.01."""
     return {
+        "events_resample": oracles.events_resample_sql(),
+        "weighted_sample": oracles.weighted_sample_sql(),
+        "integrity_report": oracles.integrity_report_sql(),
         "host_closeness": oracles.host_closeness_sql(),
         "k_anonymity": oracles.k_anonymity_sql(),
         "frontier_shards": oracles.frontier_shards_sql(),

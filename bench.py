@@ -201,6 +201,23 @@ CATALOG_QUERIES = [
     "concordance",
     "mirror_report",
     "host_anf",
+    # continuation round 5, fifth batch: Q5/Q16/Q18 relational shapes,
+    # the pareto skyline, seeded BFS closeness, the k-anonymity audit,
+    # politeness crawl sharding, and the dup-cluster histogram
+    "regional_revenue",
+    "parts_supplier_counts",
+    "large_order_customers",
+    "part_skyline",
+    "host_closeness",
+    "k_anonymity",
+    "frontier_shards",
+    "dup_cluster_stats",
+    # continuation round 5, fifth batch: grid resample + forward fill
+    # (asof union-window reuse), PPSWOR weighted sampling, and the
+    # referential-integrity audit
+    "events_resample",
+    "weighted_sample",
+    "integrity_report",
 ]
 
 

@@ -110,3 +110,55 @@ def asof_join(
     out_cols.append(F.col("_m.ts").alias(f"{prefix}{ts_col}"))
     out_cols.extend(F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right_cols)
     return matched.select(*out_cols)
+
+
+def resample_ffill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_cols: tuple[str, ...] = ("event_id", "value"),
+    step_us: int = 21_600_000_000,
+) -> DataFrame:
+    """Resample an irregular event stream onto a fixed ``step_us``
+    grid with forward fill: per key, grid points run from the first
+    event's step-floor to the last event's step-floor, and each point
+    carries the latest event at-or-before it (asof_join semantics —
+    NULLs when the first grid point precedes the first event).
+
+    Grid timestamps are epoch-microsecond bigints (floor = us - us %
+    step, identical arithmetic in the DuckDB twin's generate_series).
+    The grid explode is a cheap 3-op sequence() per key — never an
+    expensive computed array, so the InferFiltersFromGenerate trap
+    does not apply. The fill itself reuses asof_join's union-window
+    form: ONE shuffle on the key, no join node.
+
+    Scale: grid size = keys x (span/step) — choose the step so the
+    grid stays proportional to the event count; the per-key window
+    inside asof_join is the same skew surface as sessionize (bounded
+    by the busiest key, documented there)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = events.select(
+        F.col(key_col), us.alias("us"), *[F.col(c) for c in value_cols]
+    )
+    step = int(step_us)
+    bounds = ev.groupBy(key_col).agg(
+        F.min("us").alias("mn"), F.max("us").alias("mx")
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(
+                F.col("mn") - F.col("mn") % step,
+                F.col("mx") - F.col("mx") % step,
+                F.lit(step),
+            )
+        ).alias("us"),
+    )
+    return asof_join(
+        grid,
+        ev,
+        key_col=key_col,
+        ts_col="us",
+        right_cols=value_cols,
+        right_id_col=value_cols[0],
+    )

@@ -263,3 +263,78 @@ def dimensional_rollup(
     return grouped.agg(
         F.grouping_id().cast("long").alias("gid"), *aggs
     ).select(*dims, "gid", count_alias, *([sum_alias] if sum_col else []))
+
+
+def _fk_check(
+    name: str, fact: DataFrame, fk: str, dim: DataFrame, pk: str
+) -> DataFrame:
+    orphans = fact.select(F.col(fk).alias("k")).join(
+        dim.select(F.col(pk).alias("k")).distinct(), "k", "left_anti"
+    )
+    return fact.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+        orphans.agg(F.count(F.lit(1)).alias("n_bad"))
+    ).select(
+        F.lit(name).alias("check"),
+        F.col("n_rows").cast("long"),
+        F.col("n_bad").cast("long"),
+    )
+
+
+def integrity_report(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    part: DataFrame,
+) -> DataFrame:
+    """Referential-integrity and key-uniqueness audit across the
+    harness tables: foreign-key orphan counts (left-anti joins — AQE
+    broadcasts the distinct key projections), duplicate-primary-key
+    counts, and a content-duplication probe (documents sharing a
+    text md5). One row per check:
+    (check, n_rows, n_bad, bad_bp) with the rate ONE integer
+    basis-point floor division.
+
+    The single-row aggs crossJoin into one row per check — constant-
+    size, not a data crossJoin. At 100 TB each check is one scan of
+    its fact table's key column (column-pruned) + a distinct build
+    side far smaller than the fact."""
+    dup_ids = (
+        docs.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_bad"))
+    )
+    dup_text = (
+        docs.groupBy(F.md5(F.col("text")).alias("fp"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_bad"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_rows"))
+    checks = [
+        _fk_check("lineitem.orderkey->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+        _fk_check("orders.custkey->customer", orders, "o_custkey", customer, "c_custkey"),
+        _fk_check("lineitem.partkey->part", lineitem, "l_partkey", part, "p_partkey"),
+        _fk_check("embeddings.vecid->documents", embeddings, "vec_id", docs, "doc_id"),
+        n_docs.crossJoin(dup_ids).select(
+            F.lit("documents.docid unique").alias("check"),
+            F.col("n_rows").cast("long"),
+            F.col("n_bad").cast("long"),
+        ),
+        n_docs.crossJoin(dup_text).select(
+            F.lit("documents.text unique").alias("check"),
+            F.col("n_rows").cast("long"),
+            F.col("n_bad").cast("long"),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.select(
+        "check",
+        "n_rows",
+        "n_bad",
+        F.expr("n_bad * 10000 div greatest(n_rows, 1)").cast("long").alias("bad_bp"),
+    )

@@ -86,3 +86,48 @@ def stratified_sample(
     ).cast("bigint")
     tagged = df.withColumn("_rank", -h)  # top-k of -hash == bottom-k of hash
     return grouped_topk(tagged, group_col, "_rank", key_col, k).drop("_rank")
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: Column | str,
+    k: int = 50,
+    id_col: str = "doc_id",
+    max_weight: int = 16,
+) -> DataFrame:
+    """Deterministic PPSWOR (probability proportional to size,
+    without replacement) bottom-k sample over INTEGER weights, by
+    replica-min hashing (Cohen's bottom-k sketches): each row spawns
+    ``weight`` exchangeable md5 keys — md5(id || ':' || i) — and the
+    k rows holding the k smallest per-row min-keys are the sample.
+    Every replica is equally likely to be the global minimum, so row
+    selection probability is exactly weight/total for the first draw
+    and PPSWOR for the rest. No RNG, no floats: rerun-identical, and
+    the DuckDB twin recomputes the same keys from scratch.
+
+    Weights clamp to [1, max_weight] so the replica explode is
+    bounded (explode cost = sum of weights, never corpus-quadratic).
+    The final top-k is orderBy(key).limit(k) — TakeOrdered heaps,
+    never a global sort."""
+    w = F.least(
+        F.greatest(
+            (weight_col if not isinstance(weight_col, str) else F.col(weight_col))
+            .cast("long"),
+            F.lit(1),
+        ),
+        F.lit(int(max_weight)),
+    )
+    base = df.select(F.col(id_col), w.alias("weight"))
+    keyed = base.select(
+        id_col,
+        "weight",
+        F.explode(F.sequence(F.lit(1), F.col("weight"))).alias("i"),
+    ).select(
+        id_col,
+        "weight",
+        F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col("i").cast("string"))
+        ).alias("rk"),
+    )
+    mins = keyed.groupBy(id_col, "weight").agg(F.min("rk").alias("sample_key"))
+    return mins.orderBy("sample_key", id_col).limit(int(k))

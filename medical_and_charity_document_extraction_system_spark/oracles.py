@@ -4684,6 +4684,101 @@ FROM part p JOIN k ON p.p_size = k.p_size AND p.p_retailprice = k.mp
 """
 
 
+def events_resample_sql(step_us: int = 21_600_000_000) -> str:
+    """Twin of q_events_resample: the grid is generate_series over
+    the same step-floored bounds (identical % arithmetic), the fill
+    is DuckDB's native ASOF LEFT JOIN against the min_by-deduped
+    right side — the asof_join twin construction."""
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events
+),
+b AS (SELECT user_id, min(us) AS mn, max(us) AS mx FROM e GROUP BY 1),
+g AS (
+  SELECT user_id,
+         unnest(generate_series(mn - mn % {step_us},
+                                mx - mx % {step_us}, {step_us})) AS us
+  FROM b
+),
+r AS (
+  SELECT user_id, us, min(event_id) AS r_event_id,
+         min_by(value, event_id) AS r_value
+  FROM e GROUP BY 1, 2
+)
+SELECT g.user_id, g.us, r.us AS r_us, r.r_event_id, r.r_value
+FROM g ASOF LEFT JOIN r ON g.user_id = r.user_id AND g.us >= r.us
+"""
+
+
+def weighted_sample_sql(k: int = 50, max_weight: int = 16) -> str:
+    """Twin of q_weighted_sample: the same replica-min PPSWOR keys
+    recomputed from scratch — md5(id:replica), min per row, bottom-k
+    by (key, id)."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, least(greatest(n_chars // 200, 1), {max_weight}) AS weight
+  FROM documents
+),
+rep AS (
+  SELECT doc_id, weight, unnest(generate_series(1, weight)) AS i FROM base
+),
+keyed AS (
+  SELECT doc_id, weight,
+         md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)) AS rk
+  FROM rep
+),
+m AS (SELECT doc_id, weight, min(rk) AS sample_key FROM keyed GROUP BY 1, 2)
+SELECT doc_id, CAST(weight AS BIGINT) AS weight, sample_key
+FROM m ORDER BY sample_key, doc_id LIMIT {k}
+"""
+
+
+def integrity_report_sql() -> str:
+    """Twin of q_integrity_report: scalar-subquery orphan/dup counts
+    per check ("check" is a DuckDB reserved word — quoted). The rate
+    is the same integer basis-point floor division."""
+    return """
+WITH checks AS (
+  SELECT 'lineitem.orderkey->orders' AS c,
+         (SELECT count(*) FROM lineitem) AS n_rows,
+         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_bad
+  UNION ALL
+  SELECT 'orders.custkey->customer',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 'lineitem.partkey->part',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+  UNION ALL
+  SELECT 'embeddings.vecid->documents',
+         (SELECT count(*) FROM embeddings),
+         (SELECT count(*) FROM embeddings e WHERE NOT EXISTS
+            (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id))
+  UNION ALL
+  SELECT 'documents.docid unique',
+         (SELECT count(*) FROM documents),
+         (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM
+            (SELECT count(*) AS c FROM documents GROUP BY doc_id
+             HAVING count(*) > 1))
+  UNION ALL
+  SELECT 'documents.text unique',
+         (SELECT count(*) FROM documents),
+         (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM
+            (SELECT count(*) AS c FROM documents GROUP BY md5(text)
+             HAVING count(*) > 1))
+)
+SELECT c AS "check", CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_bad AS BIGINT) AS n_bad,
+       CAST(CAST(n_bad AS BIGINT) * 10000
+            // greatest(CAST(n_rows AS BIGINT), 1) AS BIGINT) AS bad_bp
+FROM checks
+"""
+
+
 def host_closeness_sql(rounds: int = 4) -> str:
     """Twin of q_host_closeness: the same multi-source BFS unrolled
     one distance-relaxation CTE per round over the shared host graph
