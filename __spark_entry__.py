@@ -3248,6 +3248,46 @@ def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part_skyline(spark.read.parquet(f"{sf_dir}/part.parquet"))
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source coverage of the corpus-wide top-16 vocabulary
+    (operators/keywords.vocab_coverage): one token explode + one
+    (source, term) shuffle; the vocab is TakeOrdered with the
+    (count DESC, term) tie rule both engines share; coverage is one
+    integer basis-point division."""
+    from medical_and_charity_document_extraction_system_spark.operators.keywords import (
+        vocab_coverage,
+    )
+
+    return vocab_coverage(_docs(spark, sf_dir), vocab_size=16)
+
+
+def q_stream_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the anomaly bucket table
+    (streaming/stream.bucket_count_stream): events arrive as
+    micro-batches (8 files, 2 per trigger -> 4 epochs), each epoch
+    writes its count DELTA, and the merged table feeds the SAME
+    integer-sigma rule — so the result must equal the one-shot
+    events_anomalies bit-for-bit (counts commute across any batch
+    slicing; the mean/variance statistics are recomputed from the
+    merged table, never merged incrementally). Same oracle as
+    events_anomalies."""
+    from medical_and_charity_document_extraction_system_spark.operators.eventstats import (
+        anomalies_from_counts,
+    )
+    from medical_and_charity_document_extraction_system_spark.streaming import (
+        bucket_count_stream,
+        read_bucket_counts,
+    )
+
+    base = _stage_dir("stream_anom_")
+    inp, regs, ck = f"{base}/in", f"{base}/regs", f"{base}/ck"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(8).write.mode("overwrite").parquet(inp)
+    q = bucket_count_stream(spark, inp, regs, ck, max_files_per_trigger=2)
+    q.awaitTermination()
+    return anomalies_from_counts(read_bucket_counts(spark, regs))
+
+
 def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-grid resample with forward fill (operators/asof.
     resample_ffill): each user's irregular events land on a 6-hour
@@ -3492,6 +3532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "vocab_coverage": q_vocab_coverage,
+        "stream_anomalies": q_stream_anomalies,
         "events_resample": q_events_resample,
         "weighted_sample": q_weighted_sample,
         "integrity_report": q_integrity_report,
@@ -3688,6 +3730,9 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     centroids, bm25 idf/avgdl) and must re-derive them from the same
     parquet the Spark query reads, or they only match at sf0.01."""
     return {
+        "vocab_coverage": oracles.vocab_coverage_sql(16),
+        # streaming count-delta merge must equal the one-shot rule
+        "stream_anomalies": oracles.bucket_anomalies_sql(),
         "events_resample": oracles.events_resample_sql(),
         "weighted_sample": oracles.weighted_sample_sql(),
         "integrity_report": oracles.integrity_report_sql(),

@@ -218,6 +218,10 @@ CATALOG_QUERIES = [
     "events_resample",
     "weighted_sample",
     "integrity_report",
+    # continuation round 5, fifth batch: tokenizer-vocab coverage and
+    # streaming anomaly-bucket maintenance (count-delta merge)
+    "vocab_coverage",
+    "stream_anomalies",
 ]
 
 

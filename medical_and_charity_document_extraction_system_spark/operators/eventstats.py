@@ -116,7 +116,22 @@ def bucket_anomalies(
     single bucket have zero variance and are never flagged. Returns
     (event_type, bucket_us_start, n_events, dev_sq, thresh_sq,
     is_anomaly)."""
-    c = (
+    c = bucket_counts(events, bucket_us, ts_col, type_col)
+    return anomalies_from_counts(c, k_sigma)
+
+
+def bucket_counts(
+    events: DataFrame,
+    bucket_us: int = 3_600_000_000,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """The (event_type, bucket_us_start, n_events) count table the
+    anomaly rule consumes — split out because counts merge by
+    ADDITION, so a streaming maintainer can write per-epoch deltas
+    and groupBy-SUM them back into exactly this table (the CMS
+    register-delta pattern)."""
+    return (
         events.select(
             F.col(type_col).alias("event_type"),
             (
@@ -129,6 +144,11 @@ def bucket_anomalies(
         .groupBy("event_type", "bucket_us_start")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+def anomalies_from_counts(c: DataFrame, k_sigma: int = 3) -> DataFrame:
+    """The integer-sigma rule over an already-built count table (see
+    bucket_anomalies for the inequality derivation)."""
     stats = c.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("nb"),
         F.sum("n_events").alias("tot"),

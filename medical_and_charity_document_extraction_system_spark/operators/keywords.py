@@ -212,3 +212,52 @@ def textrank_keywords(
         "rank_units",
     )
     return grouped_topk(scored, id_col, "rank_units", "word", k=top_k)
+
+
+def vocab_coverage(
+    docs: DataFrame, vocab_size: int = 64, text_col: str = "text"
+) -> DataFrame:
+    """Per-source coverage of a size-``vocab_size`` vocabulary: what
+    fraction of all token occurrences are covered by the corpus-wide
+    top-V terms (ties at the boundary break by term text — the
+    deterministic rule both engines share). The tokenizer-sizing
+    question every training pipeline asks before committing a vocab.
+
+    One token explode -> ONE (source, term) shuffle; the global term
+    table is a cheap re-aggregation of it; the vocab is TakeOrdered
+    (per-partition heaps) and broadcast back. Coverage is ONE integer
+    basis-point floor division."""
+    from ..functions.textstats import tokens
+
+    by_src = (
+        docs.select("source", F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = (
+        by_src.groupBy("term")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(int(vocab_size))
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        by_src.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNotNull(), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+            F.countDistinct("term").cast("long").alias("n_terms"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_covered",
+            "n_terms",
+            F.expr("n_covered * 10000 div greatest(n_tokens, 1)")
+            .cast("long")
+            .alias("coverage_bp"),
+        )
+    )

@@ -4684,6 +4684,30 @@ FROM part p JOIN k ON p.p_size = k.p_size AND p.p_retailprice = k.mp
 """
 
 
+def vocab_coverage_sql(vocab_size: int = 64) -> str:
+    """Twin of q_vocab_coverage: same shared tokenizer fragment, same
+    top-V tie rule (count DESC, term), coverage as one integer
+    basis-point floor division."""
+    return f"""
+WITH t AS (SELECT source, unnest({_TOKS}) AS term FROM documents),
+c AS (SELECT source, term, count(*) AS cnt FROM t GROUP BY 1, 2),
+g AS (SELECT term, sum(cnt) AS n FROM c GROUP BY 1),
+v AS (SELECT term FROM g ORDER BY n DESC, term LIMIT {vocab_size}),
+a AS (
+  SELECT c.source,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.term IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_covered,
+         CAST(count(DISTINCT c.term) AS BIGINT) AS n_terms
+  FROM c LEFT JOIN v ON c.term = v.term GROUP BY 1
+)
+SELECT source, n_tokens, n_covered, n_terms,
+       CAST(n_covered * 10000 // greatest(n_tokens, 1) AS BIGINT)
+         AS coverage_bp
+FROM a
+"""
+
+
 def events_resample_sql(step_us: int = 21_600_000_000) -> str:
     """Twin of q_events_resample: the grid is generate_series over
     the same step-floored bounds (identical % arithmetic), the fill

@@ -524,3 +524,59 @@ def read_hll_registers(spark: SparkSession, registers_dir: str):
     deltas = spark.read.parquet(f"{registers_dir}/epoch_*")
     keys = [c for c in deltas.columns if c not in ("bucket", "mreg")]
     return deltas.groupBy(*keys, "bucket").agg(F.max("mreg").alias("mreg"))
+
+
+def bucket_count_stream(
+    spark: SparkSession,
+    input_dir: str,
+    registers_dir: str,
+    checkpoint_dir: str,
+    bucket_us: int = 3_600_000_000,
+    available_now: bool = True,
+    max_files_per_trigger: int = 2,
+) -> StreamingQuery:
+    """Streaming maintenance of the per-(type, time-bucket) count
+    table that feeds the integer-sigma anomaly rule
+    (operators/eventstats.anomalies_from_counts): each micro-batch
+    writes its own count DELTA to an epoch-keyed subdirectory —
+    replays overwrite the same path (idempotent, the cms_register_
+    stream contract) and counts merge by addition, so the one-shot
+    table equals the groupBy-SUM of the deltas under ANY batch
+    slicing. The anomaly STATISTICS (mean/variance) are computed
+    from the merged table at read time, never incrementally —
+    sum-of-squares does not merge across epochs that touch the same
+    bucket, and recomputing it from the (small) bucket table is one
+    cheap agg."""
+    from ..operators.eventstats import bucket_counts
+
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def commit_batch(batch_df, epoch_id: int) -> None:
+        bucket_counts(batch_df, bucket_us).write.mode("overwrite").parquet(
+            f"{registers_dir}/epoch_{epoch_id}"
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_bucket_counts(spark: SparkSession, registers_dir: str):
+    """Merge every epoch's count delta into the current bucket table
+    — one groupBy-SUM (counts commute across any slicing)."""
+    from pyspark.sql import functions as F
+
+    deltas = spark.read.parquet(f"{registers_dir}/epoch_*")
+    return deltas.groupBy("event_type", "bucket_us_start").agg(
+        F.sum("n_events").alias("n_events")
+    )
