@@ -3248,6 +3248,70 @@ def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part_skyline(spark.read.parquet(f"{sf_dir}/part.parquet"))
 
 
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (operators/relational.order_count_distribution):
+    LEFT OUTER join keeps zero-order customers, count(col) skips the
+    NULLs, then a second agg onto the bounded count domain. The outer
+    join and first groupBy share the customer key — one shuffle."""
+    from medical_and_charity_document_extraction_system_spark.operators.relational import (
+        order_count_distribution,
+    )
+
+    return order_count_distribution(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+    )
+
+
+def q_disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (operators/relational.disjunctive_part_revenue):
+    a three-way (brand, size, quantity) disjunction across the
+    broadcast part join — each scan pre-prunes with the union of its
+    own bounds, the exact mixed predicate re-evaluates on the joined
+    row. Quantity compares as an exact decimal in both engines."""
+    from medical_and_charity_document_extraction_system_spark.operators.relational import (
+        disjunctive_part_revenue,
+    )
+
+    return disjunctive_part_revenue(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (operators/relational.waiting_suppliers):
+    the EXISTS + NOT EXISTS double self-join rewritten as ONE
+    per-order aggregation — ≥2 distinct suppliers, exactly one
+    distinct late supplier, min() recovers the culprit — so a hot
+    order is touched once, never squared."""
+    from medical_and_charity_document_extraction_system_spark.operators.relational import (
+        waiting_suppliers,
+    )
+
+    return waiting_suppliers(
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
+def q_prospect_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (operators/relational.prospect_balances):
+    no-order customers above the average positive balance, per
+    nation. The scalar average never divides — balances become exact
+    integer cents and the threshold is cross-multiplied; the 1-row
+    stats aggregate broadcast-crosses into customer."""
+    from medical_and_charity_document_extraction_system_spark.operators.relational import (
+        prospect_balances,
+    )
+
+    return prospect_balances(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+    )
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source coverage of the corpus-wide top-16 vocabulary
     (operators/keywords.vocab_coverage): one token explode + one
@@ -3532,6 +3596,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "order_count_distribution": q_order_count_distribution,
+        "disjunctive_part_revenue": q_disjunctive_part_revenue,
+        "waiting_suppliers": q_waiting_suppliers,
+        "prospect_balances": q_prospect_balances,
         "vocab_coverage": q_vocab_coverage,
         "stream_anomalies": q_stream_anomalies,
         "events_resample": q_events_resample,
@@ -3730,6 +3798,10 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     centroids, bm25 idf/avgdl) and must re-derive them from the same
     parquet the Spark query reads, or they only match at sf0.01."""
     return {
+        "order_count_distribution": oracles.order_count_distribution_sql(),
+        "disjunctive_part_revenue": oracles.disjunctive_part_revenue_sql(),
+        "waiting_suppliers": oracles.waiting_suppliers_sql(),
+        "prospect_balances": oracles.prospect_balances_sql(),
         "vocab_coverage": oracles.vocab_coverage_sql(16),
         # streaming count-delta merge must equal the one-shot rule
         "stream_anomalies": oracles.bucket_anomalies_sql(),

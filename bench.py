@@ -222,6 +222,13 @@ CATALOG_QUERIES = [
     # streaming anomaly-bucket maintenance (count-delta merge)
     "vocab_coverage",
     "stream_anomalies",
+    # continuation round 5, sixth batch: Q13 outer-join distribution,
+    # Q19 disjunctive pushdown, Q21 per-order-agg rewrite, Q22
+    # cross-multiplied scalar-average anti-join
+    "order_count_distribution",
+    "disjunctive_part_revenue",
+    "waiting_suppliers",
+    "prospect_balances",
 ]
 
 

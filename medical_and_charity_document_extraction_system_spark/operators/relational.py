@@ -299,6 +299,199 @@ def part_skyline(part: DataFrame) -> DataFrame:
     ).select("p_partkey", "p_name", "p_size", "p_retailprice")
 
 
+def order_count_distribution(
+    customer: DataFrame,
+    orders: DataFrame,
+    exclude_priority: str = "4-NOT SPECIFIED",
+) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of per-customer order counts
+    including the zero bucket — a LEFT OUTER join (customers with no
+    surviving orders still emit a row), a per-customer count of
+    NON-NULL orderkeys (count(col) semantics, identical in both
+    engines), then a second aggregation onto the tiny count domain.
+    Integer-only output.
+
+    Scale shape: the outer join and the first groupBy share the
+    customer key, so the per-customer count reuses the join's
+    partitioning (one real shuffle); the distribution agg runs on a
+    domain bounded by the max orders-per-customer."""
+    o = orders.where(F.col("o_orderpriority") != exclude_priority).select(
+        "o_custkey", "o_orderkey"
+    )
+    per = (
+        customer.select("c_custkey")
+        .join(o, customer["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+_Q19_CLAUSES = (
+    ("Brand#3", 1, 15, 1, 11),
+    ("Brand#12", 10, 30, 10, 20),
+    ("Brand#21", 20, 50, 20, 30),
+)
+
+
+def disjunctive_part_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    clauses: tuple[tuple[str, int, int, int, int], ...] = _Q19_CLAUSES,
+) -> DataFrame:
+    """TPC-H Q19 shape: one disjunction of (brand, size-range,
+    quantity-range) conjuncts across the part/lineitem join. The
+    point of the shape is predicate handling: the quantity bounds
+    hit only lineitem columns and the size/brand bounds only part
+    columns, so each side's scan can prune with the UNION of its own
+    bounds before the join, and the exact mixed disjunction is
+    re-evaluated on the joined row. Part broadcasts. One output row:
+    exact decimal revenue (double once) + line count.
+
+    Quantity is compared as an exact decimal (the harness ships it as
+    a 2-dp double) so the range edges can never straddle a float
+    rounding difference between engines."""
+    qty = _dec("l_quantity")
+    li_pre = None
+    pred = None
+    for brand, slo, shi, qlo, qhi in clauses:
+        qpart = (qty >= F.lit(qlo).cast("decimal(18,2)")) & (
+            qty <= F.lit(qhi).cast("decimal(18,2)")
+        )
+        li_pre = qpart if li_pre is None else (li_pre | qpart)
+        c = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") >= slo)
+            & (F.col("p_size") <= shi)
+            & qpart
+        )
+        pred = c if pred is None else (pred | c)
+    li = lineitem.where(li_pre).select(
+        "l_partkey",
+        _dec("l_quantity").alias("l_quantity_dec"),
+        (_dec("l_extendedprice") * (_one() - _dec("l_discount"))).alias("rev"),
+    )
+    # re-state the disjunction over the projected column names
+    full = None
+    for brand, slo, shi, qlo, qhi in clauses:
+        c = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") >= slo)
+            & (F.col("p_size") <= shi)
+            & (F.col("l_quantity_dec") >= F.lit(qlo).cast("decimal(18,2)"))
+            & (F.col("l_quantity_dec") <= F.lit(qhi).cast("decimal(18,2)"))
+        )
+        full = c if full is None else (full | c)
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .where(full)
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+def waiting_suppliers(
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    late_days: int = 90,
+) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), rewritten
+    from the classic EXISTS + NOT EXISTS double self-join into ONE
+    per-order aggregation: an order blames supplier s iff it has ≥2
+    distinct suppliers and s is its ONLY late one (shipped more than
+    ``late_days`` after the order date — the harness has no
+    commit/receipt dates). ``count(distinct late supplier) = 1``
+    plus ``min(late supplier)`` recovers the culprit without ever
+    joining lineitem to itself — the self-join form touches every
+    (line, line) pair of a hot order, this form touches each line
+    once.
+
+    Scale shape: one lineitem↔orders shuffle, one map-side-
+    combinable per-order agg, then a broadcast join to supplier."""
+    lag_us = late_days * 86_400_000_000
+    o = orders.select(
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("od_us"),
+    )
+    li = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("ship_us"),
+    )
+    late = F.col("ship_us") > F.col("od_us") + F.lit(lag_us)
+    per_order = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.min(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    return (
+        per_order.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            per_order["late_supp"] == F.col("s_suppkey"),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+def prospect_balances(
+    customer: DataFrame, orders: DataFrame, since: str = "2000-06-01"
+) -> DataFrame:
+    """TPC-H Q22 shape (adapted: no phone column — group by nation):
+    customers with no orders since ``since`` (lapsed buyers) whose
+    balance beats the average positive balance, counted and totalled
+    per nation. The scalar "average" subquery never divides: balances
+    are lifted to exact integer CENTS (decimal(18,2) * 100 → bigint,
+    exact in both engines) and the comparison is cross-multiplied —
+    ``cents * n_pos > total_cents`` — so the threshold edge is
+    decided on integers.
+
+    Scale shape: the positive-balance aggregate is ONE row
+    broadcast-crossed into customer (a 1-row BroadcastNestedLoop is
+    free at any scale); the lapsed test is a left-anti join against
+    the distinct recent-buyer keys, with the date filter pushed to
+    the orders scan."""
+    cents = (_dec("c_acctbal") * F.lit(100)).cast("long")
+    stats = (
+        customer.where(_dec("c_acctbal") > F.lit(0).cast("decimal(18,2)"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.sum(cents).alias("total_cents"),
+        )
+    )
+    qual = (
+        customer.select("c_custkey", "c_nationkey", cents.alias("bal_cents"))
+        .crossJoin(F.broadcast(stats))
+        .where(F.col("bal_cents") * F.col("n_pos") > F.col("total_cents"))
+    )
+    buyers = (
+        orders.where(F.col("o_orderdate") >= F.lit(since))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        qual.join(buyers, qual["c_custkey"] == buyers["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_prospects"),
+            F.sum("bal_cents").cast("long").alias("total_bal_cents"),
+        )
+    )
+
+
 def late_order_priorities(
     orders: DataFrame, lineitem: DataFrame, late_days: int = 90
 ) -> DataFrame:

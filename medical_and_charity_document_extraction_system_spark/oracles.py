@@ -4684,6 +4684,103 @@ FROM part p JOIN k ON p.p_size = k.p_size AND p.p_retailprice = k.mp
 """
 
 
+def order_count_distribution_sql(
+    exclude_priority: str = "4-NOT SPECIFIED",
+) -> str:
+    """Twin of q_order_count_distribution: Q13 — LEFT OUTER join so
+    zero-order customers survive, count(o_orderkey) skips the NULLs,
+    second agg onto the count domain. Integers only."""
+    return f"""
+WITH per AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+             WHERE o_orderpriority <> '{exclude_priority}') o
+    ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per GROUP BY 1
+"""
+
+
+def disjunctive_part_revenue_sql(
+    clauses: tuple = (
+        ("Brand#3", 1, 15, 1, 11),
+        ("Brand#12", 10, 30, 10, 20),
+        ("Brand#21", 20, 50, 20, 30),
+    ),
+) -> str:
+    """Twin of q_disjunctive_part_revenue: Q19 — the same three-way
+    disjunction evaluated on the joined row; quantity compared as an
+    exact decimal so the range edges agree."""
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+        f"AND q BETWEEN CAST({qlo} AS DECIMAL(18,2)) "
+        f"AND CAST({qhi} AS DECIMAL(18,2)))"
+        for b, slo, shi, qlo, qhi in clauses
+    )
+    return f"""
+WITH j AS (
+  SELECT {_REV} AS rev, CAST(l_quantity AS DECIMAL(18,2)) AS q,
+         p_brand, p_size
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT CAST(sum(rev) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM j WHERE {ors}
+"""
+
+
+def waiting_suppliers_sql(late_days: int = 90) -> str:
+    """Twin of q_waiting_suppliers: Q21 rewritten as ONE per-order
+    aggregation — ≥2 distinct suppliers, exactly 1 distinct late one,
+    min() recovers the culprit. Exact epoch-micros lag."""
+    lag_us = late_days * 86_400_000_000
+    late = f"epoch_us(l.l_shipdate) > o.od_us + {lag_us}"
+    return f"""
+WITH o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS od_us FROM orders),
+g AS (
+  SELECT l.l_orderkey,
+         count(DISTINCT l.l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN {late} THEN l.l_suppkey END) AS n_late,
+         min(CASE WHEN {late} THEN l.l_suppkey END) AS late_supp
+  FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM g JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY 1, 2
+"""
+
+
+def prospect_balances_sql(since: str = "2000-06-01") -> str:
+    """Twin of q_prospect_balances: Q22 — balances lifted to exact
+    integer cents, the average threshold cross-multiplied
+    (cents * n_pos > total_cents), lapsed buyers via NOT EXISTS over
+    the date-filtered orders."""
+    return f"""
+WITH cents AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+  FROM customer
+),
+st AS (SELECT count(*) AS n_pos, sum(bal_cents) AS total_cents
+       FROM cents WHERE bal_cents > 0),
+q AS (
+  SELECT c.c_nationkey, c.bal_cents
+  FROM cents c, st
+  WHERE c.bal_cents * st.n_pos > st.total_cents
+    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{since}')
+)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_prospects,
+       CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+FROM q GROUP BY 1
+"""
+
+
 def vocab_coverage_sql(vocab_size: int = 64) -> str:
     """Twin of q_vocab_coverage: same shared tokenizer fragment, same
     top-V tie rule (count DESC, term), coverage as one integer

@@ -253,3 +253,144 @@ def test_part_skyline_dominance_rules(spark):
     )
     keys = sorted(r.p_partkey for r in part_skyline(part).collect())
     assert keys == [2, 3, 5]
+
+
+def test_order_count_distribution_keeps_zero_bucket(spark):
+    customer = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,)], "c_custkey long"
+    )
+    d = datetime(1997, 1, 1)
+    orders = spark.createDataFrame(
+        [
+            (10, 1, d, "1-URGENT"),
+            (11, 1, d, "2-HIGH"),
+            (12, 2, d, "1-URGENT"),
+            (13, 3, d, "4-NOT SPECIFIED"),  # excluded -> cust 3 counts 0
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    from medical_and_charity_document_extraction_system_spark.operators.relational import (
+        order_count_distribution,
+    )
+
+    got = {
+        r.c_count: r.custdist
+        for r in order_count_distribution(customer, orders).collect()
+    }
+    # cust1 -> 2 orders, cust2 -> 1, cust3 and cust4 -> 0
+    assert got == {2: 1, 1: 1, 0: 2}
+
+
+def test_disjunctive_part_revenue_clause_edges(spark):
+    d = datetime(1997, 1, 1)
+    li = spark.createDataFrame(
+        [
+            # (orderkey, partkey, qty, price, disc)
+            (1, 100, 11.0, 100.0, 0.0),  # clause 1 qty upper edge: in
+            (2, 100, 12.0, 100.0, 0.0),  # qty 12 > 11: out
+            (3, 200, 15.0, 200.0, 0.5),  # clause 2: in, rev 100 exact
+            (4, 300, 25.0, 50.0, 0.0),   # brand matches no clause: out
+        ],
+        "l_orderkey long, l_partkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double",
+    ).withColumn("l_shipdate", F.lit(d))
+    part = spark.createDataFrame(
+        [
+            (100, "Brand#3", 10),
+            (200, "Brand#12", 20),
+            (300, "Brand#7", 30),
+        ],
+        "p_partkey long, p_brand string, p_size int",
+    )
+    from medical_and_charity_document_extraction_system_spark.operators.relational import (
+        disjunctive_part_revenue,
+    )
+
+    row = disjunctive_part_revenue(li, part).collect()[0]
+    assert row.n_lines == 2
+    assert row.revenue == 200.0  # 100*1.0 + 200*0.5, both exact
+
+
+def test_waiting_suppliers_sole_late_multi_supplier_rule(spark):
+    od = datetime(1997, 1, 1)
+    late = datetime(1997, 6, 1)   # 151 days after
+    ontime = datetime(1997, 2, 1)
+    orders = spark.createDataFrame(
+        [(1, od), (2, od), (3, od), (4, od)],
+        "o_orderkey long, o_orderdate timestamp",
+    )
+    li = spark.createDataFrame(
+        [
+            # order 1: suppliers 7, 8; only 7 late -> blame 7
+            (1, 7, late),
+            (1, 8, ontime),
+            # order 2: single supplier late -> no "other supplier" -> skip
+            (2, 7, late),
+            # order 3: two suppliers BOTH late -> ambiguous -> skip
+            (3, 7, late),
+            (3, 8, late),
+            # order 4: supplier 8 late twice (distinct-count must be 1)
+            (4, 8, late),
+            (4, 8, late),
+            (4, 9, ontime),
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate timestamp",
+    )
+    supplier = spark.createDataFrame(
+        [(7, "s7"), (8, "s8"), (9, "s9")],
+        "s_suppkey long, s_name string",
+    )
+    from medical_and_charity_document_extraction_system_spark.operators.relational import (
+        waiting_suppliers,
+    )
+
+    got = {
+        r.s_suppkey: r.numwait
+        for r in waiting_suppliers(supplier, orders, li).collect()
+    }
+    assert got == {7: 1, 8: 1}
+
+
+def test_prospect_balances_cross_multiplied_threshold(spark):
+    customer = spark.createDataFrame(
+        [
+            # avg positive balance = (300 + 100 + 200) / 3 = 200
+            (1, 5, 300.0),   # above avg, no recent order -> prospect
+            (2, 5, 100.0),   # below avg -> out
+            (3, 6, 200.0),   # equal to avg (strict >) -> out
+            (4, 6, -50.0),   # negative: not in the avg, not above -> out
+        ],
+        "c_custkey long, c_nationkey int, c_acctbal double",
+    )
+    recent = datetime(2001, 1, 1)
+    old = datetime(1999, 1, 1)
+    orders = spark.createDataFrame(
+        [(10, 1, old), (11, 2, recent)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    from medical_and_charity_document_extraction_system_spark.operators.relational import (
+        prospect_balances,
+    )
+
+    rows = prospect_balances(customer, orders).collect()
+    assert len(rows) == 1
+    assert rows[0].c_nationkey == 5
+    assert rows[0].n_prospects == 1
+    assert rows[0].total_bal_cents == 30000
+
+
+def test_prospect_balances_plan_is_anti_join(spark):
+    customer = spark.createDataFrame(
+        [(1, 5, 300.0)], "c_custkey long, c_nationkey int, c_acctbal double"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, datetime(2001, 1, 1))],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    from medical_and_charity_document_extraction_system_spark.operators.relational import (
+        prospect_balances,
+    )
+
+    plan = prospect_balances(customer, orders)._jdf.queryExecution().toString()
+    assert "LeftAnti" in plan
