@@ -3579,6 +3579,126 @@ def q_host_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_anf(_host_edges(_docs(spark, sf_dir)), radius=2)
 
 
+def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over four orders columns
+    (operators/report.fd_discovery — the schema-inference pass of a
+    data profiler): for each ordered column pair, does lhs -> rhs
+    hold, and how many lhs values witness a violation? ONE scan:
+    stack() unpivots k*(k-1) pairs inside the projection, then two
+    hash-aggs — per-(pair, lhs_val) distinct-rhs counts (uniform keys,
+    map-side combinable) and the k*(k-1)-row verdict rollup. Never a
+    per-pair rescan. Values compare on their rendered string form
+    (the table_profile rule)."""
+    from medical_and_charity_document_extraction_system_spark.operators.report import (
+        fd_discovery,
+    )
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    return fd_discovery(
+        spark.read.parquet(f"{sf_dir}/orders.parquet").select(*cols), cols
+    )
+
+
+def q_events_time_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing ONE-HOUR stats per user (operators/rolling.
+    rolling_time_stats): count / exact-decimal sum of value over a
+    RANGE frame on epoch micros — the time-based twin of
+    events_rolling's rows frame. RANGE frames need no tiebreak key
+    (equal-timestamp rows are peers with identical frames in both
+    engines); one shuffle on user_id, then a linear sliding pass
+    whose buffer holds only the in-window rows."""
+    from medical_and_charity_document_extraction_system_spark.operators.rolling import (
+        rolling_time_stats,
+    )
+
+    return rolling_time_stats(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        window_us=3_600_000_000,
+    )
+
+
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war F2 sketch (operators/sketches.ams_registers —
+    Alon/Matias/Szegedy 1996): 64 integer registers estimate the
+    second frequency moment of the token stream (self-join size /
+    skew). Spark builds the sketch from the two doc_id-parity halves
+    and MERGES them (register sums commute over any slicing); the
+    oracle builds it one-shot from scratch md5 — equality IS the
+    merge proof. Estimate and error are integer floor divisions; no
+    float anywhere. The R-way fan-out happens on the DISTINCT-term
+    count table, never the raw token stream."""
+    from medical_and_charity_document_extraction_system_spark.operators.sketches import (
+        ams_f2_report,
+        ams_registers,
+        merge_ams_registers,
+    )
+    from medical_and_charity_document_extraction_system_spark.functions.textstats import (
+        tokens,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        (F.col("doc_id") % 2).alias("p"),
+        F.explode(tokens(F.col("text"))).alias("term"),
+    )
+    # ONE corpus tokenization: per-(parity, term) counts, cached —
+    # full counts and both halves are cheap re-aggregations of the
+    # |vocab|*2-row table, never a second scan.
+    by_parity = (
+        tok.groupBy("p", "term").agg(F.count(F.lit(1)).alias("cnt")).cache()
+    )
+    counts = by_parity.groupBy("term").agg(F.sum("cnt").alias("cnt"))
+    halves = [
+        by_parity.where(F.col("p") == p).select("term", "cnt")
+        for p in (0, 1)
+    ]
+    regs = merge_ams_registers(*[ams_registers(h) for h in halves])
+    return ams_f2_report(regs, counts)
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search (operators/index.phrase_match): docs
+    containing the exact token sequence 'batch batch', counted once
+    per starting position — so overlapping occurrences of the
+    self-repeating phrase all count, the hard case pinned in both
+    engines. One posexplode of the shared tokenizer, per-slot term
+    filters (the pruned posting lists a search engine reads), then
+    equi-joins on (doc, aligned start) — distributed keys, no window,
+    result bounded by the rarest term."""
+    from medical_and_charity_document_extraction_system_spark.operators.index import (
+        phrase_match,
+    )
+
+    return phrase_match(_docs(spark, sf_dir), phrase=("batch", "batch"))
+
+
+def q_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (streaming/stream.
+    enriched_events_stream): the event stream (8 files, 2 per trigger
+    -> 4 epochs) inner-joins a BROADCAST static user-tier dimension —
+    no state store, no watermark, the canonical stream-static join —
+    and each micro-batch writes its per-(tier, event_type)
+    count/decimal-sum DELTA to an epoch-keyed path. The merged totals
+    must equal the one-shot batch join (the oracle) because counts
+    and exact decimal sums commute over any batch slicing."""
+    from medical_and_charity_document_extraction_system_spark.streaming import (
+        enriched_events_stream,
+        read_enriched_totals,
+        user_tier_dim,
+    )
+
+    base = _stage_dir("stream_enrich_")
+    inp, out, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.repartition(8).write.mode("overwrite").parquet(inp)
+    dim = user_tier_dim(events)
+    q = enriched_events_stream(
+        spark, inp, dim, out, ck, max_files_per_trigger=2
+    )
+    q.awaitTermination()
+    return read_enriched_totals(spark, out)
+
+
 # ---------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -3596,6 +3716,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "fd_discovery": q_fd_discovery,
+        "events_time_rolling": q_events_time_rolling,
+        "ams_f2": q_ams_f2,
+        "phrase_match": q_phrase_match,
+        "stream_enriched": q_stream_enriched,
         "order_count_distribution": q_order_count_distribution,
         "disjunctive_part_revenue": q_disjunctive_part_revenue,
         "waiting_suppliers": q_waiting_suppliers,
@@ -3798,6 +3923,12 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     centroids, bm25 idf/avgdl) and must re-derive them from the same
     parquet the Spark query reads, or they only match at sf0.01."""
     return {
+        "fd_discovery": oracles.fd_discovery_sql(),
+        "events_time_rolling": oracles.rolling_time_stats_sql(),
+        "ams_f2": oracles.ams_f2_sql(),
+        "phrase_match": oracles.phrase_match_sql(),
+        # stream-static join: epoch-delta merge == one-shot batch join
+        "stream_enriched": oracles.enriched_event_totals_sql(),
         "order_count_distribution": oracles.order_count_distribution_sql(),
         "disjunctive_part_revenue": oracles.disjunctive_part_revenue_sql(),
         "waiting_suppliers": oracles.waiting_suppliers_sql(),

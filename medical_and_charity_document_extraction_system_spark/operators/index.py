@@ -60,3 +60,43 @@ def inverted_index(
         term_df = term_df.where(F.col("df") >= min_df)
     out = postings.join(term_df, "term")
     return out.select("term", "df", id_col, "tf", "positions")
+
+
+def phrase_match(
+    df: DataFrame,
+    phrase: tuple[str, ...] = ("batch", "batch"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional phrase search: documents containing the exact token
+    sequence ``phrase``, with the occurrence count (one per starting
+    position — overlapping occurrences of a self-repeating phrase all
+    count, in both engines). This is the query-side consumer of the
+    positional postings ``inverted_index`` materializes: term i of
+    the phrase must appear at position p+i for each i.
+
+    Plan shape: ONE posexplode over the shared tokenizer, one
+    term-equality filter per phrase slot (each slot keeps only its own
+    term's postings — at corpus scale these are the pruned posting
+    lists a search engine reads), then len(phrase)-1 equi-joins on
+    (doc, aligned start position) — well-distributed keys, no window,
+    no per-doc state. Join sides shrink monotonically, and the rarest
+    term bounds the result size."""
+    if len(phrase) < 2:
+        raise ValueError("phrase needs at least two terms")
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("tp", "term"),
+    )
+    parts = [
+        tok.where(F.col("term") == w).select(
+            "doc_id", (F.col("tp") - F.lit(i)).alias("p0")
+        )
+        for i, w in enumerate(phrase)
+    ]
+    cur = parts[0]
+    for nxt in parts[1:]:
+        cur = cur.join(nxt, ["doc_id", "p0"])
+    return cur.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches")
+    )

@@ -338,3 +338,49 @@ def integrity_report(
         "n_bad",
         F.expr("n_bad * 10000 div greatest(n_rows, 1)").cast("long").alias("bad_bp"),
     )
+
+
+def fd_discovery(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Functional-dependency discovery over a declared column set (the
+    schema-inference pass of a data profiler): for every ordered pair
+    (lhs, rhs), does lhs -> rhs hold, and how many lhs values violate
+    it? lhs -> rhs holds iff no lhs value maps to two distinct rhs
+    values.
+
+    Values are compared on their RENDERED string form (the
+    table_profile rule — uniform stack schema, engine-portable for
+    the int/string columns this is meant for; NULL renders to NULL
+    and groups as its own lhs value, while NULL rhs values are
+    ignored by the distinct count in both engines).
+
+    Plan shape: ONE scan. stack() emits k*(k-1) (pair, lhs_val,
+    rhs_val) rows per input row inside the projection, then a hash-agg
+    keyed by (pair, lhs_val) — uniformly distributed, map-side
+    combinable — and a second agg onto the k*(k-1) pair domain. Never
+    a per-pair rescan, never an Expand of stacked count-distincts."""
+    if len(columns) < 2:
+        raise ValueError("need at least two columns")
+    arms = []
+    for a in columns:
+        for b in columns:
+            if a != b:
+                arms.append(
+                    f"'{a}', '{b}', CAST(`{a}` AS STRING), CAST(`{b}` AS STRING)"
+                )
+    kv = df.select(
+        F.expr(f"stack({len(arms)}, {', '.join(arms)})").alias(
+            "lhs", "rhs", "lhs_val", "rhs_val"
+        )
+    )
+    per_lhs = kv.groupBy("lhs", "rhs", "lhs_val").agg(
+        F.countDistinct("rhs_val").alias("n_rhs")
+    )
+    return per_lhs.groupBy("lhs", "rhs").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lhs_values"),
+        F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating"),
+        F.min(F.when(F.col("n_rhs") > 1, 0).otherwise(1))
+        .cast("long")
+        .alias("holds"),
+    )

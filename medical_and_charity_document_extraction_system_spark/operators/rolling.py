@@ -62,3 +62,45 @@ def rolling_event_stats(
         F.sum("v").over(w).cast("double").alias("roll_sum"),
         F.max("v").over(w).cast("double").alias("roll_max"),
     )
+
+
+def rolling_time_stats(
+    events: DataFrame,
+    window_us: int = 3_600_000_000,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per event: count / exact-decimal sum of ``value`` over the
+    trailing ``window_us`` microseconds of the same key — a RANGE
+    frame on the epoch-micros ordering, the time-based twin of
+    ``rolling_event_stats``'s rows frame.
+
+    RANGE frames need no tiebreak column: the frame is defined by the
+    ORDER value alone, so rows sharing a timestamp are peers with
+    identical frames in both engines — deterministic by construction
+    (the rows-frame form needs the total (us, id) key instead).
+
+    Scale shape: same as the rows frame — one shuffle on the key,
+    then a linear sliding pass; Spark evicts rows that fall out of the
+    range bound, so memory is the max events-per-key-per-window, not
+    the partition."""
+    base = events.select(
+        F.col(id_col).alias("event_id"),
+        F.col(key_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(value_col).cast("decimal(18,2)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-window_us, 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_window"),
+        F.sum("v").over(w).cast("double").alias("win_sum"),
+    )

@@ -4781,6 +4781,134 @@ FROM q GROUP BY 1
 """
 
 
+def fd_discovery_sql(columns: tuple = ("o_orderkey", "o_custkey",
+                                       "o_orderstatus", "o_orderpriority"),
+                     table: str = "orders") -> str:
+    """Twin of q_fd_discovery: the same ordered-pair unpivot (UNION
+    ALL arms instead of stack), values compared on their rendered
+    string form; count(DISTINCT rhs_val) ignores NULLs in both
+    engines and a NULL lhs renders as its own group."""
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS lhs, '{b}' AS rhs, CAST({a} AS VARCHAR) AS lhs_val,"
+        f" CAST({b} AS VARCHAR) AS rhs_val FROM {table}"
+        for a in columns
+        for b in columns
+        if a != b
+    )
+    return f"""
+WITH kv AS (
+{arms}
+),
+per AS (
+  SELECT lhs, rhs, lhs_val, count(DISTINCT rhs_val) AS n_rhs
+  FROM kv GROUP BY 1, 2, 3
+)
+SELECT lhs, rhs,
+       CAST(count(*) AS BIGINT) AS n_lhs_values,
+       CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       CAST(min(CASE WHEN n_rhs > 1 THEN 0 ELSE 1 END) AS BIGINT) AS holds
+FROM per GROUP BY 1, 2
+"""
+
+
+def rolling_time_stats_sql(window_us: int = 3_600_000_000) -> str:
+    """Twin of q_events_time_rolling: the same RANGE frame on epoch
+    micros — frame membership depends on the ORDER value only, so
+    equal-timestamp peers share frames in both engines; count is
+    integer, the sum an exact decimal cast once."""
+    return f"""
+SELECT event_id, user_id, us,
+       CAST(count(*) OVER w AS BIGINT) AS n_window,
+       CAST(sum(v) OVER w AS DOUBLE) AS win_sum
+FROM (SELECT event_id, user_id, epoch_us(ts) AS us,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN {window_us} PRECEDING AND CURRENT ROW)
+"""
+
+
+def ams_f2_sql(r: int = 64) -> str:
+    """Twin of q_ams_f2: the one-shot sketch build — equal to the
+    Spark side's parity-half merge because every register is an
+    integer SUM (commutes over any slicing). The ±1 sign is the
+    parity of one md5 nibble of 'r:term'; estimate and error are
+    integer floor divisions."""
+    return f"""
+WITH tc AS (
+  SELECT term, count(*) AS cnt
+  FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+  GROUP BY 1
+),
+regs AS (
+  SELECT g.r, sum(tc.cnt * ((CAST(('0x' || substr(md5(CAST(g.r AS VARCHAR)
+                     || ':' || tc.term), 1, 1)) AS BIGINT) % 2) * 2 - 1))
+           AS reg
+  FROM tc CROSS JOIN (SELECT unnest(range(0, {r})) AS r) g
+  GROUP BY 1
+),
+est AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_registers,
+         CAST(sum(reg * reg) // count(*) AS BIGINT) AS f2_estimate
+  FROM regs
+),
+ex AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS f2_exact FROM tc)
+SELECT n_registers, f2_exact, f2_estimate,
+       CAST(abs(f2_estimate - f2_exact) * 10000
+            // greatest(f2_exact, 1) AS BIGINT) AS err_bp
+FROM est, ex
+"""
+
+
+def phrase_match_sql(phrase: tuple = ("batch", "batch")) -> str:
+    """Twin of q_phrase_match: per phrase slot a filtered positional
+    posting list aligned to its start position, joined on (doc,
+    start) — overlapping self-repeating occurrences count once per
+    start in both engines."""
+    arms = ",\n".join(
+        f"s{i} AS (SELECT doc_id, tp - {i} AS p0 FROM tok WHERE term = '{w}')"
+        for i, w in enumerate(phrase)
+    )
+    joins = " ".join(
+        f"JOIN s{i} USING (doc_id, p0)" for i in range(1, len(phrase))
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS tp
+  FROM t
+),
+{arms}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM s0 {joins}
+GROUP BY 1
+"""
+
+
+def enriched_event_totals_sql() -> str:
+    """Twin of q_stream_enriched: the one-shot stream-static join —
+    per-user tier dim from the full batch, inner join, (tier, type)
+    counts and exact decimal sums. Equal to the epoch-delta merge
+    because counts and decimal sums commute over any batch
+    slicing."""
+    return """
+WITH dim AS (
+  SELECT user_id,
+         CASE WHEN count(*) >= 75 THEN 2
+              WHEN count(*) >= 60 THEN 1
+              ELSE 0 END AS tier
+  FROM events GROUP BY 1
+)
+SELECT tier, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN dim USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def vocab_coverage_sql(vocab_size: int = 64) -> str:
     """Twin of q_vocab_coverage: same shared tokenizer fragment, same
     top-V tie rule (count DESC, term), coverage as one integer

@@ -580,3 +580,86 @@ def read_bucket_counts(spark: SparkSession, registers_dir: str):
     return deltas.groupBy("event_type", "bucket_us_start").agg(
         F.sum("n_events").alias("n_events")
     )
+
+
+def user_tier_dim(events_batch):
+    """The static enrichment dimension for ``enriched_events_stream``:
+    per-user lifetime activity tier (0/1/2 by total event count —
+    integer thresholds chosen inside the harness's 49..88
+    events-per-user band so all three tiers are inhabited).
+    Computed ONCE from the batch
+    table; at scale this is the slowly-changing dim a warehouse
+    maintains separately."""
+    from pyspark.sql import functions as F
+
+    return events_batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_total")
+    ).select(
+        "user_id",
+        F.when(F.col("n_total") >= 75, 2)
+        .when(F.col("n_total") >= 60, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("tier"),
+    )
+
+
+def enriched_events_stream(
+    spark: SparkSession,
+    input_dir: str,
+    dim_df,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int = 2,
+) -> StreamingQuery:
+    """Stream-static enrichment: the event stream inner-joins a
+    BROADCAST static dimension (no state store, no watermark — the
+    static side is re-resolvable per micro-batch, which is exactly
+    what stream-static joins are for), then each micro-batch writes
+    its per-(tier, event_type) count/decimal-sum DELTA to an
+    epoch-keyed path. Replays overwrite their own epoch (idempotent,
+    the cms/bucket-stream contract); counts and exact decimal sums
+    both merge by addition, so the merged table equals the one-shot
+    batch join under any batch slicing."""
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    enriched = stream.join(F.broadcast(dim_df), "user_id")
+
+    def commit_batch(batch_df, epoch_id: int) -> None:
+        (
+            batch_df.groupBy("tier", "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/epoch_{epoch_id}")
+        )
+
+    writer = (
+        enriched.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_enriched_totals(spark: SparkSession, out_dir: str):
+    """Merge the epoch deltas into the current (tier, event_type)
+    totals — counts and exact decimal sums both commute."""
+    from pyspark.sql import functions as F
+
+    deltas = spark.read.parquet(f"{out_dir}/epoch_*")
+    return deltas.groupBy("tier", "event_type").agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("sum_value").cast("double").alias("total_value"),
+    )
