@@ -3699,6 +3699,98 @@ def q_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_enriched_totals(spark, out)
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (operators/relational.forecast_revenue): the
+    canonical pushdown probe — date window, decimal discount band,
+    quantity cap ALL reach the parquet scan, then one global
+    map-side-combinable sum. The discount band compares as exact
+    decimals because its edges are not representable doubles."""
+    from medical_and_charity_document_extraction_system_spark.operators.relational import (
+        forecast_revenue,
+    )
+
+    return forecast_revenue(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (operators/relational.nation_trade_volume):
+    two-nation trade volume per direction and ship year. The
+    two-row nation filter broadcasts into supplier AND customer
+    before any shuffle; the one big exchange is lineitem against
+    date-filtered orders."""
+    from medical_and_charity_document_extraction_system_spark.operators.relational import (
+        nation_trade_volume,
+    )
+
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    return nation_trade_volume(
+        rd("customer"), rd("orders"), rd("supplier"), rd("lineitem"),
+        rd("nation"),
+    )
+
+
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (operators/relational.returned_item_customers):
+    top-20 customers by returned revenue in one quarter. Aggregates
+    on custkey ALONE, TakeOrdered(20) on the exact decimal, and only
+    the 20 survivors touch the wide customer/nation payload."""
+    from medical_and_charity_document_extraction_system_spark.operators.relational import (
+        returned_item_customers,
+    )
+
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    return returned_item_customers(
+        rd("customer"), rd("orders"), rd("lineitem"), rd("nation")
+    )
+
+
+def q_shipping_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (operators/relational.
+    shipping_priority_classes): critical-vs-regular order counts per
+    linestatus among late-shipped lines — the pivot-by-predicate
+    CASE-sum agg after one orderkey shuffle join; the lateness lag
+    compares exact epoch micros."""
+    from medical_and_charity_document_extraction_system_spark.operators.relational import (
+        shipping_priority_classes,
+    )
+
+    return shipping_priority_classes(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
+def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (operators/relational.top_revenue_suppliers):
+    the max-revenue supplier(s) with ALL ties kept — the max
+    comparison runs on the EXACT decimal sum, and the one-row global
+    max broadcasts back as an equi-filter."""
+    from medical_and_charity_document_extraction_system_spark.operators.relational import (
+        top_revenue_suppliers,
+    )
+
+    return top_revenue_suppliers(
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (operators/relational.small_quantity_revenue):
+    revenue locked in small orders of one brand — the correlated
+    per-part average is a re-aggregation of the SAME brand-filtered
+    join (one scan), compared as cross-multiplied integer cents; the
+    weekly average is ONE double division."""
+    from medical_and_charity_document_extraction_system_spark.operators.relational import (
+        small_quantity_revenue,
+    )
+
+    return small_quantity_revenue(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+
+
 # ---------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -3716,6 +3808,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "forecast_revenue": q_forecast_revenue,
+        "nation_trade_volume": q_nation_trade_volume,
+        "returned_item_customers": q_returned_item_customers,
+        "shipping_priority_classes": q_shipping_priority_classes,
+        "top_revenue_suppliers": q_top_revenue_suppliers,
+        "small_quantity_revenue": q_small_quantity_revenue,
         "fd_discovery": q_fd_discovery,
         "events_time_rolling": q_events_time_rolling,
         "ams_f2": q_ams_f2,
@@ -3923,6 +4021,12 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     centroids, bm25 idf/avgdl) and must re-derive them from the same
     parquet the Spark query reads, or they only match at sf0.01."""
     return {
+        "forecast_revenue": oracles.forecast_revenue_sql(),
+        "nation_trade_volume": oracles.nation_trade_volume_sql(),
+        "returned_item_customers": oracles.returned_item_customers_sql(),
+        "shipping_priority_classes": oracles.shipping_priority_classes_sql(),
+        "top_revenue_suppliers": oracles.top_revenue_suppliers_sql(),
+        "small_quantity_revenue": oracles.small_quantity_revenue_sql(),
         "fd_discovery": oracles.fd_discovery_sql(),
         "events_time_rolling": oracles.rolling_time_stats_sql(),
         "ams_f2": oracles.ams_f2_sql(),

@@ -521,3 +521,250 @@ def late_order_priorities(
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).cast("long").alias("n_late_orders"))
     )
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: str = "0.03",
+    disc_hi: str = "0.05",
+    qty_max: int = 24,
+) -> DataFrame:
+    """TPC-H Q6 shape: the what-if revenue of eliminating a discount
+    band — ``sum(ext * disc)`` over one year of shipments with the
+    discount in [lo, hi] and quantity under a cap. The canonical
+    pushdown probe: ALL THREE predicates reach the parquet scan
+    (date min/max prune row groups, the numeric filters prune pages),
+    and the agg is a single map-side-combinable global sum — zero
+    shuffle beyond the one-row combine. Discounts compare as exact
+    decimals (doubles like 0.05 are not exactly representable; the
+    decimal cast makes the band edges identical in both engines)."""
+    d_lo = F.lit(disc_lo).cast("decimal(18,2)")
+    d_hi = F.lit(disc_hi).cast("decimal(18,2)")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from))
+            & (F.col("l_shipdate") < F.lit(date_to))
+            & _dec("l_discount").between(d_lo, d_hi)
+            & (F.col("l_quantity") < F.lit(qty_max))
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("forecast_revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+def nation_trade_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    date_from: str = "1995-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations per
+    direction and year — supplier in one, customer in the other.
+    Plan: nation filters to TWO rows which broadcast into supplier
+    and customer (both fact dims shrink to ~2/|N| of their rows
+    before any shuffle); lineitem joins date-filtered orders on
+    orderkey (the one big shuffle), then the two tiny dims; the
+    cross-pair predicate keeps only (a,b)/(b,a). Year comes from the
+    ship date (integer extract, identical in both engines); revenue
+    is the exact decimal export."""
+    nat = nation.where(F.col("n_name").isin(nation_a, nation_b)).select(
+        "n_nationkey", "n_name"
+    )
+    supp = supplier.join(
+        F.broadcast(nat), supplier["s_nationkey"] == nat["n_nationkey"]
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = customer.join(
+        F.broadcast(nat), customer["c_nationkey"] == nat["n_nationkey"]
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(date_from))
+        & (F.col("l_shipdate") < F.lit(date_to))
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        (_dec("l_extendedprice") * (_one() - _dec("l_discount"))).alias("rev"),
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(F.sum("rev").cast("double").alias("revenue"))
+    )
+
+
+def returned_item_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: the ``k`` customers who returned the most
+    revenue (returnflag = 'R') on orders placed in one quarter. The
+    orders date filter cuts the fact side before the lineitem
+    shuffle; the per-customer agg keys on custkey ALONE (never the
+    name/acctbal payload — those join back after, against the
+    ALREADY top-k'd 20 rows, so the wide customer row is touched 20
+    times, not |customers|). Top-k orders on the EXACT decimal
+    revenue with custkey ties, compiling to TakeOrdered — partition
+    heaps, no global sort."""
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from))
+        & (F.col("o_orderdate") < F.lit(date_to))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (_dec("l_extendedprice") * (_one() - _dec("l_discount"))).alias("rev"),
+    )
+    per_cust = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("rev_dec"))
+        .orderBy(F.col("rev_dec").desc(), F.col("o_custkey"))
+        .limit(k)
+    )
+    wide = customer.join(
+        F.broadcast(nation),
+        customer["c_nationkey"] == nation["n_nationkey"],
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    return (
+        per_cust.join(wide, per_cust["o_custkey"] == wide["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            "n_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+def shipping_priority_classes(
+    orders: DataFrame, lineitem: DataFrame, late_days: int = 60
+) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no shipmode column, so the lines
+    partition by linestatus; "late" = shipped more than ``late_days``
+    after the order date): per linestatus, how many late lines belong
+    to critical-priority orders (1-URGENT / 2-HIGH) vs the rest. One
+    orderkey shuffle join, conditional counts as CASE sums — the
+    classic pivot-by-predicate agg. The lag compares exact epoch
+    micros (late_order_priorities precedent)."""
+    lag_us = late_days * 86_400_000_000
+    o = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("od_us"),
+    )
+    li = lineitem.select(
+        "l_orderkey",
+        "l_linestatus",
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("ship_us"),
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .where(F.col("ship_us") > F.col("od_us") + F.lit(lag_us))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).cast("long").alias("n_critical"),
+            F.sum(F.when(crit, 0).otherwise(1)).cast("long").alias("n_regular"),
+        )
+    )
+
+
+def top_revenue_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-07-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose half-year revenue equals
+    the maximum — ALL ties survive, which is why the comparison runs
+    on the EXACT decimal (a double max could disagree with a double
+    sum on which rows tie). Plan: per-supplier decimal agg, then the
+    one-row global max broadcast back as an equi-filter; the wide
+    supplier row joins only the surviving keys."""
+    rev = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from))
+            & (F.col("l_shipdate") < F.lit(date_to))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (_one() - _dec("l_discount"))
+            ).alias("rev_dec")
+        )
+    )
+    mx = rev.agg(F.max("rev_dec").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx), rev["rev_dec"] == F.col("max_rev"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              rev["l_suppkey"] == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#1",
+    num: int = 1,
+    den: int = 5,
+) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in small orders — lines of one
+    brand's parts whose quantity is under ``num/den`` of that part's
+    average quantity. The correlated average becomes a re-aggregation:
+    the brand filter broadcasts part into lineitem ONCE, per-part
+    (sum, count) re-aggregates that SAME join output (never a second
+    scan), and the threshold joins back on partkey. The fraction
+    compares as cross-multiplied integer cents — ``qty*den*cnt <
+    sum_qty*num`` — no float division anywhere; the single
+    avg-per-week export is ONE double division of identical operands
+    in both engines."""
+    qcents = (_dec("l_quantity") * 100).cast("long")
+    li = lineitem.join(
+        F.broadcast(
+            part.where(F.col("p_brand") == brand).select("p_partkey")
+        ),
+        lineitem["l_partkey"] == F.col("p_partkey"),
+    ).select(
+        "l_partkey",
+        qcents.alias("qcents"),
+        _dec("l_extendedprice").alias("price"),
+    )
+    thresh = li.groupBy("l_partkey").agg(
+        F.sum("qcents").alias("sum_qcents"),
+        F.count(F.lit(1)).alias("n_part_lines"),
+    ).withColumnRenamed("l_partkey", "t_partkey")
+    small = li.join(
+        thresh, li["l_partkey"] == F.col("t_partkey")
+    ).where(
+        F.col("qcents") * den * F.col("n_part_lines")
+        < F.col("sum_qcents") * num
+    )
+    return small.agg(
+        F.sum("price").cast("double").alias("total_revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        (F.sum("price").cast("double") / F.lit(7.0)).alias("avg_weekly"),
+    )

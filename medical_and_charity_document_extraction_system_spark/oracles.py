@@ -5351,3 +5351,151 @@ SELECT ex.node, ex.n_exact,
          / CAST(s.ss + ({M} - s.nb) * {shift53} AS DOUBLE) AS hll_estimate
 FROM ex JOIN s USING (node)
 """
+
+
+def forecast_revenue_sql(
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: str = "0.03",
+    disc_hi: str = "0.05",
+    qty_max: int = 24,
+) -> str:
+    """Twin of q_forecast_revenue: TPC-H Q6 — the discount band
+    compares as exact decimals (the band edges are not representable
+    doubles), revenue is ext*disc summed exactly and cast once."""
+    return f"""
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+         AS forecast_revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{date_from}'
+  AND l_shipdate < TIMESTAMP '{date_to}'
+  AND CAST(l_discount AS DECIMAL(18,2))
+        BETWEEN CAST('{disc_lo}' AS DECIMAL(18,2))
+            AND CAST('{disc_hi}' AS DECIMAL(18,2))
+  AND l_quantity < {qty_max}
+"""
+
+
+def nation_trade_volume_sql(
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    date_from: str = "1995-01-01",
+    date_to: str = "1998-01-01",
+) -> str:
+    """Twin of q_nation_trade_volume: TPC-H Q7 — both directions of
+    trade between two nations per ship year; exact decimal revenue."""
+    return f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(sum({_REV}) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+WHERE ns.n_name IN ('{nation_a}', '{nation_b}')
+  AND nc.n_name IN ('{nation_a}', '{nation_b}')
+  AND ns.n_name <> nc.n_name
+  AND l.l_shipdate >= TIMESTAMP '{date_from}'
+  AND l.l_shipdate < TIMESTAMP '{date_to}'
+GROUP BY 1, 2, 3
+"""
+
+
+def returned_item_customers_sql(
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    k: int = 20,
+) -> str:
+    """Twin of q_returned_item_customers: TPC-H Q10 — top-k on the
+    EXACT decimal revenue (ties by custkey) before the double export;
+    the wide customer columns join after the limit."""
+    return f"""
+WITH per AS (
+  SELECT o.o_custkey, sum({_REV}) AS rev_dec
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '{date_from}'
+    AND o.o_orderdate < TIMESTAMP '{date_to}'
+  GROUP BY 1
+  ORDER BY rev_dec DESC, o.o_custkey
+  LIMIT {k}
+)
+SELECT c.c_custkey, c.c_name, CAST(c.c_acctbal AS DOUBLE) AS acctbal,
+       n.n_name, CAST(per.rev_dec AS DOUBLE) AS revenue
+FROM per
+JOIN customer c ON per.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+def shipping_priority_classes_sql(late_days: int = 60) -> str:
+    """Twin of q_shipping_priority_classes: TPC-H Q12 adapted —
+    conditional counts per linestatus among late lines; the lag
+    compares exact epoch micros."""
+    lag_us = late_days * 86_400_000_000
+    return f"""
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_critical,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_regular
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) + {lag_us}
+GROUP BY 1
+"""
+
+
+def top_revenue_suppliers_sql(
+    date_from: str = "1996-01-01", date_to: str = "1996-07-01"
+) -> str:
+    """Twin of q_top_revenue_suppliers: TPC-H Q15 — the max compares
+    on the EXACT decimal so revenue ties survive identically."""
+    return f"""
+WITH rev AS (
+  SELECT l_suppkey, sum({_REV}) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{date_from}'
+    AND l_shipdate < TIMESTAMP '{date_to}'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, CAST(rev.rev_dec AS DOUBLE) AS total_revenue
+FROM rev
+JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+WHERE rev.rev_dec = (SELECT max(rev_dec) FROM rev)
+"""
+
+
+def small_quantity_revenue_sql(
+    brand: str = "Brand#1", num: int = 1, den: int = 5
+) -> str:
+    """Twin of q_small_quantity_revenue: TPC-H Q17 — the correlated
+    average compares as cross-multiplied integer cents (qty*den*cnt <
+    sum*num); the weekly average is ONE double division of identical
+    operands."""
+    return f"""
+WITH li AS (
+  SELECT l.l_partkey,
+         CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qcents,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS price
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = '{brand}'
+),
+th AS (
+  SELECT l_partkey, sum(qcents) AS sum_qcents,
+         count(*) AS n_part_lines
+  FROM li GROUP BY 1
+)
+SELECT CAST(sum(li.price) AS DOUBLE) AS total_revenue,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(li.price) AS DOUBLE) / CAST(7.0 AS DOUBLE) AS avg_weekly
+FROM li
+JOIN th ON li.l_partkey = th.l_partkey
+WHERE li.qcents * {den} * th.n_part_lines < th.sum_qcents * {num}
+"""
