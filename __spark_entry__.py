@@ -3791,6 +3791,136 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_inclusion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency discovery (operators/report.
+    inclusion_stats): the foreign-key-profiling pass over five
+    candidate INDs — the four real FK chains (lineitem->orders->
+    customer->nation->region) plus the reverse orders->lineitem,
+    which the data genuinely violates (lineitem-less orders). Each
+    table scans ONCE (stack-unpivot of only the referenced columns,
+    distinct bounded by the value domains), then one broadcast pair
+    tag + one left-anti equi-join."""
+    from medical_and_charity_document_extraction_system_spark.operators.report import (
+        inclusion_stats,
+    )
+
+    tables = {
+        t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        for t in ("lineitem", "orders", "customer", "nation", "region")
+    }
+    return inclusion_stats(
+        tables,
+        [
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("customer", "c_nationkey", "nation", "n_nationkey"),
+            ("nation", "n_regionkey", "region", "r_regionkey"),
+            ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+        ],
+    )
+
+
+def q_kmv_part_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct sketch with SET OPERATIONS (operators/
+    sketches.kmv_sketch — Beyer 2007): per returnflag, the 128
+    smallest 52-bit md5 hashes of its distinct partkeys; per flag
+    pair, union AND intersection estimates from the two sketches
+    alone (the property HLL registers lack), next to the exact
+    counts for honesty. Every figure is integer — the estimator is
+    (k-1)*2^52 div kth, intersection n_both*est_union div kept —
+    and a set smaller than k reports exactly. Selection reuses
+    grouped_topk, never a raw-row window."""
+    from medical_and_charity_document_extraction_system_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_pair_overlap,
+        kmv_sketch,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    items = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_partkey").cast("string").alias("item"),
+    ).distinct().cache()
+    sk = kmv_sketch(items, "flag", "item").cache()
+    est = kmv_estimate(sk)
+    exact = items.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    pairs = [("A", "N"), ("A", "R"), ("N", "R")]
+    inter = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.item") == F.col("b.item"))
+            & (F.col("a.flag") < F.col("b.flag")),
+        )
+        .groupBy(
+            F.col("a.flag").alias("key_a"), F.col("b.flag").alias("key_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact_inter"))
+    )
+    ov = kmv_pair_overlap(sk, *pairs[0])
+    for p in pairs[1:]:
+        ov = ov.unionByName(kmv_pair_overlap(sk, *p))
+    ea = est.select(
+        F.col("kmv_key").alias("key_a"), F.col("est").alias("est_a")
+    )
+    eb = est.select(
+        F.col("kmv_key").alias("key_b"), F.col("est").alias("est_b")
+    )
+    xa = exact.select(
+        F.col("flag").alias("key_a"), F.col("n_exact").alias("n_exact_a")
+    )
+    xb = exact.select(
+        F.col("flag").alias("key_b"), F.col("n_exact").alias("n_exact_b")
+    )
+    return (
+        ov.join(F.broadcast(ea), "key_a")
+        .join(F.broadcast(eb), "key_b")
+        .join(F.broadcast(xa), "key_a")
+        .join(F.broadcast(xb), "key_b")
+        .join(F.broadcast(inter), ["key_a", "key_b"])
+        .select(
+            "key_a", "key_b", "n_exact_a", "n_exact_b", "est_a", "est_b",
+            (F.col("n_exact_a") + F.col("n_exact_b")
+             - F.col("n_exact_inter")).cast("long").alias("n_exact_union"),
+            "n_exact_inter", "n_union_kept", "n_both", "est_union",
+            "est_intersection",
+        )
+    )
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-x-interval overlap join (operators/rangejoin.
+    interval_overlap_join): every (error-window, click-window) pair
+    of the same user that intersects — both sides explode to
+    30-minute bins, equi-join on (user, bin), and the exactly-once
+    rule keeps a pair only in the bin containing max(starts), so no
+    dedup shuffle exists. The oracle is the plain all-pairs overlap
+    join (DuckDB IEJoin); overlap_us is exact int64."""
+    from medical_and_charity_document_extraction_system_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    left = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        us.alias("l_start_us"),
+        (us + 7200 * 1_000_000).alias("l_end_us"),
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        us.alias("r_start_us"),
+        (us + 1800 * 1_000_000).alias("r_end_us"),
+    )
+    return interval_overlap_join(
+        left, right, "user_id", bin_width_us=1_800_000_000
+    ).select("user_id", "error_id", "click_id", "overlap_us")
+
+
 # ---------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -3808,6 +3938,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "inclusion_stats": q_inclusion_stats,
+        "kmv_part_overlap": q_kmv_part_overlap,
+        "interval_join": q_interval_join,
         "forecast_revenue": q_forecast_revenue,
         "nation_trade_volume": q_nation_trade_volume,
         "returned_item_customers": q_returned_item_customers,
@@ -4021,6 +4154,9 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     centroids, bm25 idf/avgdl) and must re-derive them from the same
     parquet the Spark query reads, or they only match at sf0.01."""
     return {
+        "inclusion_stats": oracles.inclusion_stats_sql(),
+        "kmv_part_overlap": oracles.kmv_part_overlap_sql(),
+        "interval_join": oracles.interval_join_sql(),
         "forecast_revenue": oracles.forecast_revenue_sql(),
         "nation_trade_volume": oracles.nation_trade_volume_sql(),
         "returned_item_customers": oracles.returned_item_customers_sql(),

@@ -63,3 +63,55 @@ def range_join_bins(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
     )
     return joined.drop("_bin")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    l_start: str = "l_start_us",
+    l_end: str = "l_end_us",
+    r_start: str = "r_start_us",
+    r_end: str = "r_end_us",
+    bin_width_us: int = 1_800_000_000,
+) -> DataFrame:
+    """Interval-x-interval overlap join: every (left, right) pair with
+    the same key whose CLOSED intervals intersect —
+    ``max(starts) <= min(ends)``. The BETWEEN-style plan is again a
+    nested loop; the scale form explodes BOTH sides to their covered
+    bins and equi-joins on (key, bin), which alone would emit a pair
+    once per SHARED bin. The exactly-once rule: a pair is kept only
+    in the bin containing ``max(starts)`` — that instant lies inside
+    both intervals whenever they overlap, so exactly one shared bin
+    qualifies and no dedup shuffle is ever needed. Column names must
+    be disjoint apart from ``key_col``; returns all columns from both
+    sides plus the exact int64 ``overlap_us``."""
+    if bin_width_us <= 0:
+        raise ValueError("bin_width_us must be positive")
+    width = int(bin_width_us)
+
+    def _expand(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    F.expr(f"CAST({s} AS BIGINT) DIV {width}"),
+                    F.expr(f"CAST({e} AS BIGINT) DIV {width}"),
+                )
+            ),
+        )
+
+    ls, le = F.col(l_start), F.col(l_end)
+    rs, re_ = F.col(r_start), F.col(r_end)
+    joined = (
+        _expand(left, l_start, l_end)
+        .join(_expand(right, r_start, r_end), on=[key_col, "_bin"])
+        .where(
+            (F.greatest(ls, rs) <= F.least(le, re_))
+            & (F.col("_bin") == F.expr(f"greatest({l_start}, {r_start}) DIV {width}"))
+        )
+    )
+    return joined.drop("_bin").withColumn(
+        "overlap_us",
+        (F.least(le, re_) - F.greatest(ls, rs)).cast("long"),
+    )

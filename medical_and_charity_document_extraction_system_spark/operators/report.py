@@ -384,3 +384,87 @@ def fd_discovery(df: DataFrame, columns: list[str]) -> DataFrame:
         .cast("long")
         .alias("holds"),
     )
+
+
+def inclusion_stats(
+    tables: dict[str, DataFrame],
+    pairs: list[tuple[str, str, str, str]],
+) -> DataFrame:
+    """Inclusion-dependency discovery (the foreign-key-profiling twin
+    of ``fd_discovery``): for each declared (child_table.child_col ->
+    parent_table.parent_col) candidate, how many DISTINCT non-NULL
+    child values are missing from the parent's value set, and does
+    the inclusion hold? Values compare on their rendered string form
+    (the table_profile rule); NULL child values are skipped, per the
+    standard IND definition.
+
+    Plan shape: each table is scanned ONCE — stack() unpivots only
+    the columns any pair references, a distinct bounded by the value
+    domains (map-side combinable), then ONE broadcast of the tiny
+    pair list tags child-side slices and ONE left-anti equi-join on
+    (parent_tbl, parent_col, val) finds the missing values. Never a
+    per-pair rescan."""
+    need: dict[str, list[str]] = {}
+    for ct, cc, pt, pc in pairs:
+        need.setdefault(ct, [])
+        need.setdefault(pt, [])
+        if cc not in need[ct]:
+            need[ct].append(cc)
+        if pc not in need[pt]:
+            need[pt].append(pc)
+    kvs = []
+    for t, cols in need.items():
+        arms = ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in cols)
+        kvs.append(
+            tables[t]
+            .select(F.expr(f"stack({len(cols)}, {arms})").alias("col", "val"))
+            .where(F.col("val").isNotNull())
+            .select(F.lit(t).alias("tbl"), "col", "val")
+            .distinct()
+        )
+    kv = kvs[0]
+    for x in kvs[1:]:
+        kv = kv.unionByName(x)
+    spark = next(iter(tables.values())).sparkSession
+    pairs_df = spark.createDataFrame(
+        [(f"{ct}.{cc}", f"{pt}.{pc}", ct, cc, pt, pc) for ct, cc, pt, pc in pairs],
+        "child string, parent string, ct string, cc string,"
+        " pt string, pc string",
+    )
+    child_vals = kv.join(
+        F.broadcast(pairs_df),
+        (kv["tbl"] == F.col("ct")) & (kv["col"] == F.col("cc")),
+    ).select("child", "parent", "pt", "pc", "val")
+    parent_kv = kv.select(
+        F.col("tbl").alias("p_tbl"),
+        F.col("col").alias("p_col"),
+        F.col("val").alias("p_val"),
+    )
+    missing = child_vals.join(
+        parent_kv,
+        (F.col("pt") == F.col("p_tbl"))
+        & (F.col("pc") == F.col("p_col"))
+        & (F.col("val") == F.col("p_val")),
+        "left_anti",
+    )
+    totals = child_vals.groupBy("child", "parent").agg(
+        F.count(F.lit(1)).cast("long").alias("n_child_values")
+    )
+    miss = missing.groupBy("child", "parent").agg(
+        F.count(F.lit(1)).cast("long").alias("n_missing")
+    )
+    return (
+        totals.join(miss, ["child", "parent"], "left")
+        .select(
+            "child",
+            "parent",
+            "n_child_values",
+            F.coalesce(F.col("n_missing"), F.lit(0))
+            .cast("long")
+            .alias("n_missing"),
+        )
+        .withColumn(
+            "contained",
+            F.when(F.col("n_missing") == 0, 1).otherwise(0).cast("long"),
+        )
+    )

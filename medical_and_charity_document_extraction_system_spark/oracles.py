@@ -5499,3 +5499,144 @@ FROM li
 JOIN th ON li.l_partkey = th.l_partkey
 WHERE li.qcents * {den} * th.n_part_lines < th.sum_qcents * {num}
 """
+
+
+def inclusion_stats_sql(
+    pairs: tuple = (
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+        ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ),
+) -> str:
+    """Twin of q_inclusion_stats: per candidate IND, distinct
+    non-NULL child values left-anti probed against the parent's
+    distinct set; values compare on their rendered string form."""
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT '{ct}.{cc}' AS child, '{pt}.{pc}' AS parent,
+       CAST(count(*) AS BIGINT) AS n_child_values,
+       CAST(sum(CASE WHEN p.val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing,
+       CAST(min(CASE WHEN p.val IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS contained
+FROM (SELECT DISTINCT CAST({cc} AS VARCHAR) AS val FROM {ct}
+      WHERE {cc} IS NOT NULL) c
+LEFT JOIN (SELECT DISTINCT CAST({pc} AS VARCHAR) AS val FROM {pt}) p
+       USING (val)"""
+        for ct, cc, pt, pc in pairs
+    )
+    return arms
+
+
+def kmv_part_overlap_sql(k: int = 128) -> str:
+    """Twin of q_kmv_part_overlap: per returnflag pair, the KMV
+    bottom-k union/intersection estimates next to the exact counts.
+    Hashes recompute from scratch (first 13 md5 hex = 52 bits);
+    bottom-k here is a plain row_number over the per-flag DISTINCT
+    hash table (tiny), the estimator (k-1)*2^52 // kth and the
+    intersection n_both * est_union // n_union_kept — integer floor
+    divisions in both engines."""
+    space = 1 << 52
+    return f"""
+WITH items AS (
+  SELECT DISTINCT l_returnflag AS flag, CAST(l_partkey AS VARCHAR) AS item
+  FROM lineitem
+),
+h AS (
+  SELECT flag,
+         CAST(('0x' || substr(md5(item), 1, 13)) AS BIGINT) AS hv
+  FROM items
+),
+sk AS (
+  SELECT flag, hv FROM (
+    SELECT flag, hv, row_number() OVER (PARTITION BY flag ORDER BY hv) AS rn
+    FROM h) WHERE rn <= {k}
+),
+est AS (
+  SELECT flag, CAST(count(*) AS BIGINT) AS n_kept, max(hv) AS kth FROM sk
+  GROUP BY 1
+),
+ex AS (SELECT flag, CAST(count(*) AS BIGINT) AS n_exact FROM items
+       GROUP BY 1),
+pairs(key_a, key_b) AS (VALUES ('A','N'), ('A','R'), ('N','R')),
+exu AS (
+  SELECT p.key_a, p.key_b, CAST(count(*) AS BIGINT) AS n_exact_inter
+  FROM pairs p
+  JOIN items a ON a.flag = p.key_a
+  JOIN items b ON b.flag = p.key_b AND b.item = a.item
+  GROUP BY 1, 2
+),
+uh AS (
+  SELECT p.key_a, p.key_b, s.hv
+  FROM pairs p JOIN sk s ON s.flag IN (p.key_a, p.key_b)
+  GROUP BY 1, 2, 3
+),
+uk AS (
+  SELECT key_a, key_b, hv FROM (
+    SELECT key_a, key_b, hv,
+           row_number() OVER (PARTITION BY key_a, key_b ORDER BY hv) AS rn
+    FROM uh) WHERE rn <= {k}
+),
+ust AS (
+  SELECT u.key_a, u.key_b,
+         CAST(count(*) AS BIGINT) AS n_union_kept,
+         max(u.hv) AS ukth,
+         CAST(sum(CASE WHEN sa.hv IS NOT NULL AND sb.hv IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+  FROM uk u
+  LEFT JOIN sk sa ON sa.flag = u.key_a AND sa.hv = u.hv
+  LEFT JOIN sk sb ON sb.flag = u.key_b AND sb.hv = u.hv
+  GROUP BY 1, 2
+)
+SELECT p.key_a, p.key_b,
+       exa.n_exact AS n_exact_a, exb.n_exact AS n_exact_b,
+       CASE WHEN ea.n_kept < {k} THEN ea.n_kept
+            ELSE CAST({k - 1} AS BIGINT) * {space} // ea.kth END AS est_a,
+       CASE WHEN eb.n_kept < {k} THEN eb.n_kept
+            ELSE CAST({k - 1} AS BIGINT) * {space} // eb.kth END AS est_b,
+       exa.n_exact + exb.n_exact - exu.n_exact_inter AS n_exact_union,
+       exu.n_exact_inter,
+       ust.n_union_kept, ust.n_both,
+       CASE WHEN ust.n_union_kept < {k} THEN ust.n_union_kept
+            ELSE CAST({k - 1} AS BIGINT) * {space} // ust.ukth END
+         AS est_union,
+       CAST((ust.n_both *
+             CASE WHEN ust.n_union_kept < {k} THEN ust.n_union_kept
+                  ELSE CAST({k - 1} AS BIGINT) * {space} // ust.ukth END)
+            // ust.n_union_kept AS BIGINT) AS est_intersection
+FROM pairs p
+JOIN est ea ON ea.flag = p.key_a
+JOIN est eb ON eb.flag = p.key_b
+JOIN ex exa ON exa.flag = p.key_a
+JOIN ex exb ON exb.flag = p.key_b
+JOIN exu ON exu.key_a = p.key_a AND exu.key_b = p.key_b
+JOIN ust ON ust.key_a = p.key_a AND ust.key_b = p.key_b
+"""
+
+
+def interval_join_sql(
+    error_window_s: int = 7200, click_window_s: int = 1800
+) -> str:
+    """Twin of q_interval_join: the plain all-pairs overlap join
+    (DuckDB plans it as IEJoin) — max(starts) <= min(ends) on closed
+    intervals, exact int64 micros, overlap_us = min(ends) -
+    max(starts)."""
+    ew, cw = error_window_s * 1_000_000, click_window_s * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id AS error_id, epoch_us(ts) AS l_start_us,
+         epoch_us(ts) + {ew} AS l_end_us
+  FROM events WHERE event_type = 'error'
+),
+c AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS r_start_us,
+         epoch_us(ts) + {cw} AS r_end_us
+  FROM events WHERE event_type = 'click'
+)
+SELECT e.user_id, e.error_id, c.click_id,
+       CAST(least(e.l_end_us, c.r_end_us)
+            - greatest(e.l_start_us, c.r_start_us) AS BIGINT) AS overlap_us
+FROM e JOIN c ON e.user_id = c.user_id
+WHERE greatest(e.l_start_us, c.r_start_us) <= least(e.l_end_us, c.r_end_us)
+"""
