@@ -3921,6 +3921,32 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "error_id", "click_id", "overlap_us")
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (streaming/stream.
+    stream_stream_click_attribution): clicks and errors arrive as
+    TWO event-time streams of the same staged corpus (8 files, 2 per
+    trigger); Spark buffers each side in the state store and emits
+    every (click within 30min after error, same user) pair exactly
+    once. The union of epoch outputs must equal the one-shot batch
+    range join — the SAME oracle as range_join. The watermark is set
+    beyond the corpus span so state eviction can never drop a
+    late-sliced partner (documented in the operator)."""
+    from medical_and_charity_document_extraction_system_spark.streaming import (
+        read_stream_join_pairs,
+        stream_stream_click_attribution,
+    )
+
+    base = _stage_dir("stream_ssj_")
+    inp, out, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(8).write.mode("overwrite").parquet(inp)
+    q = stream_stream_click_attribution(
+        spark, inp, out, ck, max_files_per_trigger=2
+    )
+    q.awaitTermination()
+    return read_stream_join_pairs(spark, out)
+
+
 # ---------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -3938,6 +3964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "stream_stream_join": q_stream_stream_join,
         "inclusion_stats": q_inclusion_stats,
         "kmv_part_overlap": q_kmv_part_overlap,
         "interval_join": q_interval_join,
@@ -4154,6 +4181,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     centroids, bm25 idf/avgdl) and must re-derive them from the same
     parquet the Spark query reads, or they only match at sf0.01."""
     return {
+        # stream-stream join: epoch union must equal the batch range join
+        "stream_stream_join": oracles.range_join_sql(),
         "inclusion_stats": oracles.inclusion_stats_sql(),
         "kmv_part_overlap": oracles.kmv_part_overlap_sql(),
         "interval_join": oracles.interval_join_sql(),

@@ -663,3 +663,104 @@ def read_enriched_totals(spark: SparkSession, out_dir: str):
         F.sum("n_events").cast("long").alias("n_events"),
         F.sum("sum_value").cast("double").alias("total_value"),
     )
+
+
+def stream_stream_click_attribution(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window_us: int = 1_800_000_000,
+    watermark_delay: str = "3650 days",
+    available_now: bool = True,
+    max_files_per_trigger: int = 2,
+) -> StreamingQuery:
+    """STREAM-STREAM inner join (the one Structured Streaming join
+    class the suite didn't yet exercise): clicks join errors of the
+    same user within ``window_us`` after the error — the streaming
+    twin of the batch ``range_join`` catalog query, sharing its
+    oracle. Both sides are event-time streams of the SAME staged
+    corpus; Spark buffers each side in the state store and emits a
+    pair exactly ONCE when its partner arrives, so the union of
+    epoch outputs equals the one-shot batch join under any file
+    slicing.
+
+    The watermark bounds the buffered state: a side's rows older
+    than max(event time) - delay are evicted, and a pair whose
+    partner arrives later than that is silently DROPPED — which is
+    correct streaming semantics but nondeterministic under replay
+    slicing. Here the delay is set beyond the corpus's total time
+    span so eviction can never fire and the result is a pure
+    function of the data; a production deployment sets it to the
+    real out-of-orderness bound. Epoch outputs are overwrite-keyed
+    (replay-idempotent, the cms/bucket contract)."""
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(input_dir).schema
+
+    def _src():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(input_dir)
+        )
+
+    clicks = (
+        _src()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark_delay)
+    )
+    errors = (
+        _src()
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user_id"),
+            F.col("ts").cast("timestamp").alias("error_ts"),
+        )
+        .withWatermark("error_ts", watermark_delay)
+    )
+    joined = clicks.join(
+        errors,
+        (F.col("c_user_id") == F.col("e_user_id"))
+        & (F.col("click_ts") >= F.col("error_ts"))
+        & (
+            F.unix_micros(F.col("click_ts"))
+            <= F.unix_micros(F.col("error_ts")) + F.lit(window_us)
+        ),
+        "inner",
+    ).select(
+        "click_id",
+        "error_id",
+        F.col("c_user_id").alias("user_id"),
+        F.unix_micros(F.col("click_ts")).alias("click_ts_us"),
+        F.unix_micros(F.col("error_ts")).alias("error_ts_us"),
+        (
+            F.unix_micros(F.col("click_ts")) - F.unix_micros(F.col("error_ts"))
+        ).alias("delta_us"),
+    )
+
+    def commit_batch(batch_df, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/epoch_{epoch_id}"
+        )
+
+    writer = (
+        joined.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_stream_join_pairs(spark: SparkSession, out_dir: str):
+    """Union the epoch outputs — each matched pair was emitted in
+    exactly one epoch, so plain concatenation IS the join result."""
+    return spark.read.parquet(f"{out_dir}/epoch_*")

@@ -274,3 +274,43 @@ def test_enriched_stream_matches_one_shot_batch_join(spark, tmp_path):
         .collect()
     }
     assert merged == one_shot
+
+
+def test_stream_stream_join_equals_batch_range_join(spark, tmp_path):
+    from medical_and_charity_document_extraction_system_spark.streaming import (
+        read_stream_join_pairs,
+        stream_stream_click_attribution,
+    )
+
+    # user 1: error at t0, clicks at +10min (in), +29min (in, edge),
+    # +31min (out), and a click BEFORE the error (out); user 2's
+    # click never joins user 1's error
+    rows = [
+        (1, _T0, 1, "error", 0.0),
+        (2, _T0 + timedelta(minutes=10), 1, "click", 0.0),
+        (3, _T0 + timedelta(minutes=29), 1, "click", 0.0),
+        (4, _T0 + timedelta(minutes=31), 1, "click", 0.0),
+        (5, _T0 - timedelta(minutes=5), 1, "click", 0.0),
+        (6, _T0 + timedelta(minutes=10), 2, "click", 0.0),
+        (7, _T0 + timedelta(hours=2), 1, "error", 0.0),
+        (8, _T0 + timedelta(hours=2, minutes=5), 1, "click", 0.0),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    inp, out, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    events.repartition(6).write.parquet(inp)
+    stream_stream_click_attribution(
+        spark, inp, out, ck, max_files_per_trigger=2
+    ).awaitTermination()
+    got = {
+        (r.click_id, r.error_id)
+        for r in read_stream_join_pairs(spark, out).collect()
+    }
+    assert got == {(2, 1), (3, 1), (8, 7)}
