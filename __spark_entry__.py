@@ -3947,6 +3947,47 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_stream_join_pairs(spark, out)
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split report (operators/mixing.
+    assign_split): bucket = md5(id) mod 100 — a document's split
+    NEVER changes as the corpus grows (hash of identity alone), the
+    property a random split lacks. Pure projection + one 3-group
+    agg; the share is one integer division."""
+    from medical_and_charity_document_extraction_system_spark.operators.mixing import (
+        split_report,
+    )
+
+    return split_report(_docs(spark, sf_dir))
+
+
+def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint suite (operators/report.
+    expectations_report): five declared expectations over three
+    tables — row-count floor, non-NULL custkeys, orderkey uniqueness
+    (and lineitem.l_orderkey uniqueness, which the data genuinely
+    VIOLATES — multi-line orders), an exact-decimal acctbal band.
+    Each table scans ONCE; all its checks ride one aggregate row and
+    unpivot via stack()."""
+    from medical_and_charity_document_extraction_system_spark.operators.report import (
+        expectations_report,
+    )
+
+    tables = {
+        t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        for t in ("orders", "lineitem", "customer")
+    }
+    return expectations_report(
+        tables,
+        [
+            ("row_count_min", "orders", "", 1000, 0),
+            ("not_null", "orders", "o_custkey", 0, 0),
+            ("unique", "orders", "o_orderkey", 0, 0),
+            ("unique", "lineitem", "l_orderkey", 0, 0),
+            ("value_range", "customer", "c_acctbal", -1000, 10000),
+        ],
+    )
+
+
 # ---------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -3964,6 +4005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "dataset_split": q_dataset_split,
+        "expectations_report": q_expectations_report,
         "stream_stream_join": q_stream_stream_join,
         "inclusion_stats": q_inclusion_stats,
         "kmv_part_overlap": q_kmv_part_overlap,
@@ -4181,6 +4224,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     centroids, bm25 idf/avgdl) and must re-derive them from the same
     parquet the Spark query reads, or they only match at sf0.01."""
     return {
+        "dataset_split": oracles.split_report_sql(),
+        "expectations_report": oracles.expectations_report_sql(),
         # stream-stream join: epoch union must equal the batch range join
         "stream_stream_join": oracles.range_join_sql(),
         "inclusion_stats": oracles.inclusion_stats_sql(),

@@ -229,6 +229,25 @@ CATALOG_QUERIES = [
     "disjunctive_part_revenue",
     "waiting_suppliers",
     "prospect_balances",
+    # continuation round 5, seventh batch: FD discovery (stack-unpivot
+    # profiler), RANGE-frame time rolling, AMS F2 sketch, positional
+    # phrase search, and the stream-static broadcast enrichment
+    "fd_discovery",
+    "events_time_rolling",
+    "ams_f2",
+    "phrase_match",
+    "stream_enriched",
+    # continuation round 5, seventh batch: Q6/Q10/Q15 pushdown /
+    # top-k-returns / max-tie shapes, IND discovery, the KMV bottom-k
+    # set sketch, the interval-overlap join, and the stream-stream
+    # state-store join
+    "forecast_revenue",
+    "returned_item_customers",
+    "top_revenue_suppliers",
+    "inclusion_stats",
+    "kmv_part_overlap",
+    "interval_join",
+    "stream_stream_join",
 ]
 
 

@@ -134,3 +134,60 @@ def shard_manifest(
             F.max("oh").alias("last_hash"),
         )
     )
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by identity hash —
+    bucket = first 4 md5 hex digits of the id, mod 100. The property
+    that matters vs a random split: a document's split NEVER changes
+    as the corpus grows or repartitions (hash of the id alone), so
+    eval contamination can't creep in across corpus versions.
+    Pure projection — no shuffle, no state."""
+    if not (0 < train_pct and 0 <= val_pct and train_pct + val_pct < 100):
+        raise ValueError("percentages must partition [0, 100)")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def split_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Per-split doc and token totals with the doc share in integer
+    basis points (ONE exact division against the corpus total) — the
+    sanity report every training run starts with. One scan, one
+    3-group agg, the total joined back as a broadcast."""
+    from ..functions.textstats import token_count
+
+    assigned = assign_split(docs, id_col, train_pct, val_pct).select(
+        "split", token_count(F.col(text_col)).alias("n_tok")
+    )
+    per = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_docs").alias("n_total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "split",
+        "n_docs",
+        "n_tokens",
+        F.expr("n_docs * 10000 div n_total").cast("long").alias("share_bp"),
+    )

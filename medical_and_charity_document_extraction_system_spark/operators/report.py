@@ -468,3 +468,79 @@ def inclusion_stats(
             F.when(F.col("n_missing") == 0, 1).otherwise(0).cast("long"),
         )
     )
+
+
+def expectations_report(
+    tables: dict[str, DataFrame],
+    checks: list[tuple[str, str, str, int, int]],
+) -> DataFrame:
+    """Deequ-style data-quality constraint suite. Each check is
+    (check_type, table, column, lo, hi):
+
+    * ``row_count_min``  — observed = row count, passes if >= lo
+    * ``not_null``       — observed = NULL count, passes if 0
+    * ``unique``         — observed = rows minus distinct non-NULL
+                           values (duplicate surplus), passes if 0
+    * ``value_range``    — observed = rows outside [lo, hi] (as
+                           DECIMAL(18,2) — exact band edges, the
+                           forecast_revenue rule), passes if 0
+
+    Plan shape: each table is scanned ONCE — all of its checks
+    compile into a single aggregate row (conditional sums /
+    count-distincts side by side), then the per-check rows unpivot
+    from that one row via stack(). Adding a check adds an expression,
+    never a scan. FK/containment checks are ``inclusion_stats``'s
+    job — compose the two reports, don't re-implement joins here."""
+    by_table: dict[str, list[tuple[str, str, str, int, int]]] = {}
+    for c in checks:
+        by_table.setdefault(c[1], []).append(c)
+    outs = []
+    for t, tchecks in by_table.items():
+        aggs, arms = [], []
+        for i, (kind, _, col, lo, hi) in enumerate(tchecks):
+            if kind == "row_count_min":
+                obs = F.count(F.lit(1))
+                passed = f"CASE WHEN _o{i} >= {lo} THEN 1 ELSE 0 END"
+            elif kind == "not_null":
+                obs = F.sum(
+                    F.when(F.col(col).isNull(), 1).otherwise(0)
+                )
+                passed = f"CASE WHEN _o{i} = 0 THEN 1 ELSE 0 END"
+            elif kind == "unique":
+                obs = F.sum(
+                    F.when(F.col(col).isNotNull(), 1).otherwise(0)
+                ) - F.countDistinct(F.col(col))
+                passed = f"CASE WHEN _o{i} = 0 THEN 1 ELSE 0 END"
+            elif kind == "value_range":
+                v = F.col(col).cast("decimal(18,2)")
+                obs = F.sum(
+                    F.when(
+                        v.isNotNull()
+                        & (
+                            (v < F.lit(str(lo)).cast("decimal(18,2)"))
+                            | (v > F.lit(str(hi)).cast("decimal(18,2)"))
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+                passed = f"CASE WHEN _o{i} = 0 THEN 1 ELSE 0 END"
+            else:
+                raise ValueError(f"unknown check type: {kind}")
+            aggs.append(obs.cast("long").alias(f"_o{i}"))
+            target = f"{t}.{col}" if col else t
+            arms.append(
+                f"'{kind}', '{target}', CAST(_o{i} AS BIGINT),"
+                f" CAST({passed} AS BIGINT)"
+            )
+        one = tables[t].agg(*aggs)
+        outs.append(
+            one.select(
+                F.expr(
+                    f"stack({len(arms)}, {', '.join(arms)})"
+                ).alias("check_type", "target", "observed", "passed")
+            )
+        )
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out

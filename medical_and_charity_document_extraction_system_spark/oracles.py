@@ -5640,3 +5640,73 @@ SELECT e.user_id, e.error_id, c.click_id,
 FROM e JOIN c ON e.user_id = c.user_id
 WHERE greatest(e.l_start_us, c.r_start_us) <= least(e.l_end_us, c.r_end_us)
 """
+
+
+def split_report_sql(train_pct: int = 90, val_pct: int = 5) -> str:
+    """Twin of q_dataset_split: identical md5-bucket assignment and
+    token totals; share is one integer division."""
+    return f"""
+WITH a AS (
+  SELECT CASE
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                     AS BIGINT) % 100 < {train_pct} THEN 'train'
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                     AS BIGINT) % 100 < {train_pct + val_pct} THEN 'val'
+           ELSE 'test' END AS split,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tok
+  FROM documents
+),
+per AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM a GROUP BY 1
+)
+SELECT split, n_docs, n_tokens,
+       CAST(n_docs * 10000 // (SELECT sum(n_docs) FROM per) AS BIGINT)
+         AS share_bp
+FROM per
+"""
+
+
+def expectations_report_sql() -> str:
+    """Twin of q_expectations_report: the same five checks as plain
+    per-check aggregates (the oracle needn't be single-scan)."""
+    return """
+SELECT 'row_count_min' AS check_type, 'orders' AS target,
+       CAST(count(*) AS BIGINT) AS observed,
+       CAST(CASE WHEN count(*) >= 1000 THEN 1 ELSE 0 END AS BIGINT)
+         AS passed
+FROM orders
+UNION ALL
+SELECT 'not_null', 'orders.o_custkey',
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(CASE WHEN sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+                 THEN 1 ELSE 0 END AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'unique', 'orders.o_orderkey',
+       CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT),
+       CAST(CASE WHEN count(o_orderkey) = count(DISTINCT o_orderkey)
+                 THEN 1 ELSE 0 END AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'unique', 'lineitem.l_orderkey',
+       CAST(count(l_orderkey) - count(DISTINCT l_orderkey) AS BIGINT),
+       CAST(CASE WHEN count(l_orderkey) = count(DISTINCT l_orderkey)
+                 THEN 1 ELSE 0 END AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'value_range', 'customer.c_acctbal',
+       CAST(sum(CASE WHEN CAST(c_acctbal AS DECIMAL(18,2))
+                          < CAST('-1000' AS DECIMAL(18,2))
+                       OR CAST(c_acctbal AS DECIMAL(18,2))
+                          > CAST('10000' AS DECIMAL(18,2))
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(CASE WHEN sum(CASE WHEN CAST(c_acctbal AS DECIMAL(18,2))
+                                    < CAST('-1000' AS DECIMAL(18,2))
+                                 OR CAST(c_acctbal AS DECIMAL(18,2))
+                                    > CAST('10000' AS DECIMAL(18,2))
+                               THEN 1 ELSE 0 END) = 0
+                 THEN 1 ELSE 0 END AS BIGINT)
+FROM customer
+"""
