@@ -530,3 +530,71 @@ def kmv_pair_overlap(
         "est_intersection",
         F.expr("n_both * est_union div n_union_kept").cast("long"),
     )
+
+
+def kmv_pairs_overlap(
+    sketch: DataFrame,
+    pairs: list[tuple[str, str]],
+    k: int = KMV_K,
+) -> DataFrame:
+    """``kmv_pair_overlap`` for MANY pairs in ONE plan: the pair list
+    broadcasts, both sides' sketch rows tag themselves with their
+    pair via two equi-joins (never an OR-join), the per-pair union
+    bottom-k goes through one grouped_topk over the concatenated pair
+    key, and membership flags ride left joins off the same tagged
+    slices. Identical output rows to N single-pair calls, one job
+    instead of 3N tiny stages."""
+    spark = sketch.sparkSession
+    pdf = F.broadcast(
+        spark.createDataFrame(list(pairs), "key_a string, key_b string")
+    )
+    a_side = pdf.join(
+        sketch, sketch["kmv_key"] == F.col("key_a")
+    ).select("key_a", "key_b", "kmv_hash")
+    b_side = pdf.join(
+        sketch, sketch["kmv_key"] == F.col("key_b")
+    ).select("key_a", "key_b", "kmv_hash")
+    u = (
+        a_side.unionByName(b_side)
+        .distinct()
+        .withColumn(
+            "_pair", F.concat_ws("|", F.col("key_a"), F.col("key_b"))
+        )
+        .withColumn("_neg", -F.col("kmv_hash"))
+    )
+    from .topk import grouped_topk
+
+    uk = grouped_topk(u, "_pair", "_neg", "kmv_hash", k).select(
+        "key_a", "key_b", "kmv_hash"
+    )
+    am = a_side.withColumn("_ina", F.lit(1))
+    bm = b_side.withColumn("_inb", F.lit(1))
+    per = (
+        uk.join(am, ["key_a", "key_b", "kmv_hash"], "left")
+        .join(bm, ["key_a", "key_b", "kmv_hash"], "left")
+        .groupBy("key_a", "key_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_union_kept"),
+            F.max("kmv_hash").alias("kth"),
+            F.sum(
+                F.when(
+                    F.col("_ina").isNotNull() & F.col("_inb").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_both"),
+        )
+    )
+    return per.select(
+        "key_a",
+        "key_b",
+        "n_union_kept",
+        "n_both",
+        F.when(F.col("n_union_kept") < k, F.col("n_union_kept"))
+        .otherwise(F.expr(f"CAST({k - 1} AS BIGINT) * {KMV_SPACE} div kth"))
+        .cast("long")
+        .alias("est_union"),
+    ).withColumn(
+        "est_intersection",
+        F.expr("n_both * est_union div n_union_kept").cast("long"),
+    )

@@ -186,3 +186,32 @@ def test_interval_join_plan_has_no_nested_loop(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmv_pairs_overlap_equals_single_pair_calls(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.sketches import (
+        kmv_pair_overlap,
+        kmv_pairs_overlap,
+        kmv_sketch,
+    )
+
+    rows = (
+        [("a", f"i{i}") for i in range(300)]
+        + [("b", f"i{i}") for i in range(150, 450)]
+        + [("c", f"j{i}") for i in range(50)]
+    )
+    sk = kmv_sketch(_items(spark, rows), "flag", "item", k=64).cache()
+    pairs = [("a", "b"), ("a", "c"), ("b", "c")]
+    one_plan = {
+        (r.key_a, r.key_b): (
+            r.n_union_kept, r.n_both, r.est_union, r.est_intersection
+        )
+        for r in kmv_pairs_overlap(sk, pairs, k=64).collect()
+    }
+    singles = {}
+    for a, b in pairs:
+        r = kmv_pair_overlap(sk, a, b, k=64).collect()[0]
+        singles[(a, b)] = (
+            r.n_union_kept, r.n_both, r.est_union, r.est_intersection
+        )
+    assert one_plan == singles and len(one_plan) == 3
