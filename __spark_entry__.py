@@ -3995,6 +3995,49 @@ def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order journey mining (operators/eventstats.
+    path_trigrams): consecutive event-type triples per user on the
+    total (epoch_us, event_id) ordering — two stacked lags collapse
+    into ONE window node (one shuffle, one sort); the count table is
+    |types|^3-bounded and the global share total re-aggregates it."""
+    from medical_and_charity_document_extraction_system_spark.operators.eventstats import (
+        path_trigrams,
+    )
+
+    return path_trigrams(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (operators/report.skew_report): the
+    audit you run BEFORE a big join to decide salting — per-key
+    counts (map-side combinable), the 10 heaviest keys via
+    TakeOrdered on (cnt DESC, key), skew factor max/mean as
+    cross-multiplied integer percent. Run here on lineitem's
+    orderkey."""
+    from medical_and_charity_document_extraction_system_spark.operators.report import (
+        skew_report,
+    )
+
+    return skew_report(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), "l_orderkey"
+    )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (operators/cohorts.rfm_segments): recency as
+    integer epoch-day difference to the corpus's last order (never a
+    calendar diff — engines disagree on conventions), frequency,
+    exact-cents monetary; fixed CASE buckets (pure projection), one
+    rollup over <= 27 segments, segment average as ONE integer
+    division."""
+    from medical_and_charity_document_extraction_system_spark.operators.cohorts import (
+        rfm_segments,
+    )
+
+    return rfm_segments(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+
+
 # ---------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -4012,6 +4055,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "path_trigrams": q_path_trigrams,
+        "skew_report": q_skew_report,
+        "rfm_segments": q_rfm_segments,
         "dataset_split": q_dataset_split,
         "expectations_report": q_expectations_report,
         "stream_stream_join": q_stream_stream_join,
@@ -4231,6 +4277,9 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     centroids, bm25 idf/avgdl) and must re-derive them from the same
     parquet the Spark query reads, or they only match at sf0.01."""
     return {
+        "path_trigrams": oracles.path_trigrams_sql(),
+        "skew_report": oracles.skew_report_sql(),
+        "rfm_segments": oracles.rfm_segments_sql(),
         "dataset_split": oracles.split_report_sql(),
         "expectations_report": oracles.expectations_report_sql(),
         # stream-stream join: epoch union must equal the batch range join

@@ -272,3 +272,42 @@ def trend_slopes(
             den != 0, num.cast("double") / den.cast("double")
         ).alias("slope_cents_per_min"),
     )
+
+
+def path_trigrams(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Second-order journey mining: counts of consecutive event-type
+    TRIPLES per key (ordered by the total (epoch_us, id) key — the
+    event_transitions rule), with each trigram's share of all
+    trigrams in integer basis points. Two stacked lags over the same
+    window spec collapse into ONE window node (single shuffle on the
+    key, single sort); the count table is |types|^3-bounded, and the
+    global total re-aggregates THAT table, never the raw rows."""
+    base = events.select(
+        F.col(key_col).alias("k"),
+        _us(ts_col).alias("us"),
+        F.col(id_col).alias("eid"),
+        F.col(type_col).alias("t3"),
+    )
+    w = Window.partitionBy("k").orderBy("us", "eid")
+    tri = base.select(
+        F.lag("t3", 2).over(w).alias("t1"),
+        F.lag("t3", 1).over(w).alias("t2"),
+        "t3",
+    ).where(F.col("t1").isNotNull())
+    counts = tri.groupBy("t1", "t2", "t3").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paths")
+    )
+    total = counts.agg(F.sum("n_paths").alias("n_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "t1",
+        "t2",
+        "t3",
+        "n_paths",
+        F.expr("n_paths * 10000 div n_total").cast("long").alias("share_bp"),
+    )

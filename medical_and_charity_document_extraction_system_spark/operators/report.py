@@ -544,3 +544,36 @@ def expectations_report(
     for x in outs[1:]:
         out = out.unionByName(x)
     return out
+
+
+def skew_report(
+    df: DataFrame, key_col: str, k: int = 10
+) -> DataFrame:
+    """Join-key skew diagnostic (what you run BEFORE a big join to
+    decide salting): per-key row counts, the k heaviest keys with
+    their share in basis points, and the skew factor max/mean as an
+    integer percentage (max * n_keys * 100 div n_rows — cross-
+    multiplied, no float). One map-side-combinable count agg; the
+    global stats re-aggregate the count table; top-k is
+    TakeOrdered(k) on (cnt DESC, key) — per-partition heaps, no
+    global sort. NULL keys count as a key (they hash-partition
+    together too — exactly why they matter in a skew audit)."""
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("key")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    stats = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key")).limit(k)
+    return top.crossJoin(F.broadcast(stats)).select(
+        "key",
+        "cnt",
+        F.expr("cnt * 10000 div n_rows").cast("long").alias("share_bp"),
+        "n_keys",
+        "n_rows",
+        F.expr("max_cnt * n_keys * 100 div n_rows")
+        .cast("long")
+        .alias("skew_x100"),
+    )

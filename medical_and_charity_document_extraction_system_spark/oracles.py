@@ -5710,3 +5710,98 @@ SELECT 'value_range', 'customer.c_acctbal',
                  THEN 1 ELSE 0 END AS BIGINT)
 FROM customer
 """
+
+
+def path_trigrams_sql() -> str:
+    """Twin of q_path_trigrams: two lags over the same total-key
+    window; share is one integer division over the trigram total."""
+    return """
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+  FROM events
+),
+tri AS (
+  SELECT lag(event_type, 2) OVER w AS t1,
+         lag(event_type, 1) OVER w AS t2,
+         event_type AS t3
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+c AS (
+  SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_paths
+  FROM tri WHERE t1 IS NOT NULL GROUP BY 1, 2, 3
+)
+SELECT t1, t2, t3, n_paths,
+       CAST(n_paths * 10000 // (SELECT sum(n_paths) FROM c) AS BIGINT)
+         AS share_bp
+FROM c
+"""
+
+
+def skew_report_sql(k: int = 10) -> str:
+    """Twin of q_skew_report: per-key counts over lineitem's join
+    key, top-k by (cnt DESC, key), skew = max*n_keys*100 // n_rows."""
+    return f"""
+WITH c AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS key,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(max(cnt) AS BIGINT) AS max_cnt
+  FROM c
+),
+top AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT {k})
+SELECT top.key, top.cnt,
+       CAST(top.cnt * 10000 // s.n_rows AS BIGINT) AS share_bp,
+       s.n_keys, s.n_rows,
+       CAST(s.max_cnt * s.n_keys * 100 // s.n_rows AS BIGINT) AS skew_x100
+FROM top, s
+"""
+
+
+def rfm_segments_sql(
+    recency_days: tuple = (90, 365),
+    freq_min: tuple = (12, 8),
+    monetary_cents: tuple = (300_000_000, 150_000_000),
+) -> str:
+    """Twin of q_rfm_segments: integer epoch-day recency (never a
+    calendar diff), exact cents, fixed CASE buckets, ONE integer
+    division for the segment average."""
+    r2, r1 = recency_days
+    f2, f1 = freq_min
+    m2, m1 = monetary_cents
+    return f"""
+WITH per AS (
+  SELECT o_custkey,
+         max(epoch_us(o_orderdate) // 86400000000) AS last_day,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT freq, cents,
+         (SELECT max(last_day) FROM per) - last_day AS rec_days
+  FROM per
+),
+b AS (
+  SELECT CASE WHEN rec_days < {r2} THEN 2
+              WHEN rec_days < {r1} THEN 1 ELSE 0 END AS r_bucket,
+         CASE WHEN freq >= {f2} THEN 2
+              WHEN freq >= {f1} THEN 1 ELSE 0 END AS f_bucket,
+         CASE WHEN cents >= {m2} THEN 2
+              WHEN cents >= {m1} THEN 1 ELSE 0 END AS m_bucket,
+         cents
+  FROM scored
+)
+SELECT CAST(r_bucket AS BIGINT) AS r_bucket,
+       CAST(f_bucket AS BIGINT) AS f_bucket,
+       CAST(m_bucket AS BIGINT) AS m_bucket,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(CAST(sum(cents) AS BIGINT) // count(*) AS BIGINT) AS avg_cents
+FROM b GROUP BY 1, 2, 3
+"""
