@@ -4038,6 +4038,41 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(spark.read.parquet(f"{sf_dir}/orders.parquet"))
 
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (operators/relational.market_share): one
+    supplier nation's share of ASIA's import market per order year.
+    Numerator and denominator are conditional sums on the SAME
+    aggregate row; the share is one integer division over scale-4
+    units; region nations semi-join customer, supplier dim
+    broadcasts."""
+    from medical_and_charity_document_extraction_system_spark.operators.relational import (
+        market_share,
+    )
+
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    return market_share(
+        rd("region"), rd("nation"), rd("customer"), rd("orders"),
+        rd("supplier"), rd("lineitem"),
+    )
+
+
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (operators/relational.nation_profit, adapted —
+    unit cost is the part's retail price): per supplier nation and
+    order year, profit = rev - retail*qty in exact decimals on the
+    row. Name-filtered part dim and supplier->nation dim broadcast;
+    one orderkey shuffle."""
+    from medical_and_charity_document_extraction_system_spark.operators.relational import (
+        nation_profit,
+    )
+
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    return nation_profit(
+        rd("nation"), rd("supplier"), rd("part"), rd("lineitem"),
+        rd("orders"),
+    )
+
+
 # ---------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -4055,6 +4090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "market_share": q_market_share,
+        "nation_profit": q_nation_profit,
         "path_trigrams": q_path_trigrams,
         "skew_report": q_skew_report,
         "rfm_segments": q_rfm_segments,
@@ -4277,6 +4314,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     centroids, bm25 idf/avgdl) and must re-derive them from the same
     parquet the Spark query reads, or they only match at sf0.01."""
     return {
+        "market_share": oracles.market_share_sql(),
+        "nation_profit": oracles.nation_profit_sql(),
         "path_trigrams": oracles.path_trigrams_sql(),
         "skew_report": oracles.skew_report_sql(),
         "rfm_segments": oracles.rfm_segments_sql(),

@@ -248,6 +248,16 @@ CATALOG_QUERIES = [
     "kmv_part_overlap",
     "interval_join",
     "stream_stream_join",
+    # continuation round 5, eighth batch: deterministic split report,
+    # Deequ-style expectations, journey trigrams, join-key skew audit,
+    # RFM segmentation, Q8 conditional share, Q9 profit rollup
+    "dataset_split",
+    "expectations_report",
+    "path_trigrams",
+    "skew_report",
+    "rfm_segments",
+    "market_share",
+    "nation_profit",
 ]
 
 

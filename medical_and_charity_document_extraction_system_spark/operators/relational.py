@@ -768,3 +768,119 @@ def small_quantity_revenue(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         (F.sum("price").cast("double") / F.lit(7.0)).alias("avg_weekly"),
     )
+
+
+def market_share(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+    supp_nation: str = "NATION_1",
+) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's
+    import market per order year — a conditional share-of-group.
+    Numerator and denominator ride the SAME aggregate row, and the
+    share is one integer floor division over per-row scale-4 units
+    (``rev * 10000`` is integral and casts to bigint exactly — the
+    promo_revenue_share rule; no float division). The region's
+    nation keys broadcast into customer (a LEFT-SEMI probe — the
+    fact row needs no customer payload); the supplier dim broadcasts
+    with its nation name; one orderkey shuffle."""
+    nat = nation.join(
+        F.broadcast(region.where(F.col("r_name") == region_name)),
+        nation["n_regionkey"] == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    cust = customer.join(
+        F.broadcast(nat), customer["c_nationkey"] == F.col("n_nationkey")
+    ).select("c_custkey")
+    supp = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    li = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        (_dec("l_extendedprice") * (_one() - _dec("l_discount"))).alias("rev"),
+    )
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cust, F.col("o_custkey") == cust["c_custkey"], "left_semi")
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+    )
+    is_nat = F.col("supp_nation") == supp_nation
+    zero = F.lit(0).cast("decimal(18,4)")
+    units = (F.col("rev") * F.lit(10000)).cast("long")
+    return (
+        j.groupBy("order_year")
+        .agg(
+            F.sum(F.when(is_nat, F.col("rev")).otherwise(zero))
+            .cast("double")
+            .alias("nation_revenue"),
+            F.sum("rev").cast("double").alias("total_revenue"),
+            F.sum(F.when(is_nat, units).otherwise(F.lit(0))).alias("_nu"),
+            F.sum(units).alias("_tu"),
+        )
+        .select(
+            "order_year",
+            "nation_revenue",
+            "total_revenue",
+            F.expr("_nu * 10000 div greatest(_tu, 1)")
+            .cast("long")
+            .alias("share_bp"),
+        )
+    )
+
+
+def nation_profit(
+    nation: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part_token: str = "widget",
+) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp, so unit cost is the
+    part's retail price): profit = ``ext*(1-disc) - retail*qty`` per
+    supplier nation per order year, over parts whose name contains a
+    token. Both profit terms are exact decimals on the SAME row
+    before the sum (scale 4 / scale 4 after widening), so the export
+    is order-free. The name-filtered part dim and the
+    supplier->nation dim broadcast; lineitem shuffles once on
+    orderkey for the year."""
+    p = part.where(F.col("p_name").contains(part_token)).select(
+        "p_partkey", _dec("p_retailprice").alias("retail")
+    )
+    supp = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    li = lineitem.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (
+            _dec("l_extendedprice") * (_one() - _dec("l_discount"))
+        ).alias("rev"),
+        _dec("l_quantity").alias("qty"),
+    )
+    o = orders.select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("order_year")
+    )
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+    )
+    profit = F.col("rev") - F.col("retail") * F.col("qty")
+    return (
+        j.groupBy("supp_nation", "order_year")
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )

@@ -5805,3 +5805,57 @@ SELECT CAST(r_bucket AS BIGINT) AS r_bucket,
        CAST(CAST(sum(cents) AS BIGINT) // count(*) AS BIGINT) AS avg_cents
 FROM b GROUP BY 1, 2, 3
 """
+
+
+def market_share_sql(
+    region_name: str = "ASIA", supp_nation: str = "NATION_1"
+) -> str:
+    """Twin of q_market_share: TPC-H Q8 — conditional share-of-group
+    per order year; the share is one integer floor division over
+    summed scale-4 units."""
+    return f"""
+WITH j AS (
+  SELECT year(o.o_orderdate) AS order_year,
+         ns.n_name AS supp_nation,
+         {_REV} AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  JOIN region r ON nc.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  WHERE r.r_name = '{region_name}'
+)
+SELECT CAST(order_year AS BIGINT) AS order_year,
+       CAST(sum(CASE WHEN supp_nation = '{supp_nation}' THEN rev
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         AS nation_revenue,
+       CAST(sum(rev) AS DOUBLE) AS total_revenue,
+       CAST(sum(CASE WHEN supp_nation = '{supp_nation}'
+                     THEN CAST(rev * 10000 AS BIGINT) ELSE 0 END) * 10000
+            // greatest(sum(CAST(rev * 10000 AS BIGINT)), 1) AS BIGINT)
+         AS share_bp
+FROM j GROUP BY 1
+"""
+
+
+def nation_profit_sql(part_token: str = "widget") -> str:
+    """Twin of q_nation_profit: TPC-H Q9 adapted — profit =
+    rev - retail*qty in exact decimals on the row, one sum, one
+    double cast."""
+    return f"""
+SELECT ns.n_name AS supp_nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+       CAST(sum({_REV}
+                - CAST(p.p_retailprice AS DECIMAL(18,2))
+                  * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%{part_token}%'
+GROUP BY 1, 2
+"""

@@ -180,3 +180,86 @@ def test_small_quantity_threshold_is_strict_cross_multiply(spark):
     r = small_quantity_revenue(li, part).collect()[0]
     assert (r.n_lines, r.total_revenue) == (1, 11.0)
     assert r.avg_weekly == 11.0 / 7.0
+
+
+def test_market_share_conditional_share_and_semi_join(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.relational import (
+        market_share,
+    )
+
+    region = spark.createDataFrame(
+        [(0, "ASIA"), (1, "EUROPE")], "r_regionkey int, r_name string"
+    )
+    nation = spark.createDataFrame(
+        [(1, "NATION_1", 0), (2, "NATION_2", 0), (3, "NATION_3", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    customer = spark.createDataFrame(
+        [(10, "c", 1, 0.0, "A"), (30, "c", 3, 0.0, "A")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    supplier = spark.createDataFrame(
+        [(100, "s", 1, 0.0), (200, "s", 2, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    orders = spark.createDataFrame(
+        [(1, 10, "O", 0.0, _D(1996, 1, 1), "5-LOW"),
+         (2, 30, "O", 0.0, _D(1996, 6, 1), "5-LOW")],  # EUROPE cust: out
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = _li(
+        spark,
+        [
+            (1, 1, 100, 1.0, 100.0, 0.0, "N", _D(1996, 2, 1)),  # NATION_1
+            (1, 1, 200, 1.0, 300.0, 0.0, "N", _D(1996, 2, 1)),  # NATION_2
+            (2, 1, 100, 1.0, 999.0, 0.0, "N", _D(1996, 7, 1)),  # out
+        ],
+    )
+    rows = market_share(
+        region, nation, customer, orders, supplier, li
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.order_year, r.nation_revenue, r.total_revenue) == (
+        1996, 100.0, 400.0,
+    )
+    assert r.share_bp == 2500
+
+
+def test_nation_profit_exact_decimal_measure(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.relational import (
+        nation_profit,
+    )
+
+    nation = spark.createDataFrame(
+        [(1, "NATION_1", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    supplier = spark.createDataFrame(
+        [(100, "s", 1, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    part = spark.createDataFrame(
+        [(1, "cold widget", "B", "t", 1, 10.0),
+         (2, "cold bolt", "B", "t", 1, 10.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    orders = spark.createDataFrame(
+        [(1, 10, "O", 0.0, _D(1996, 1, 1), "5-LOW")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = _li(
+        spark,
+        [
+            (1, 1, 100, 3.0, 100.0, 0.1, "N", _D(1996, 2, 1)),  # widget
+            (1, 2, 100, 1.0, 500.0, 0.0, "N", _D(1996, 2, 1)),  # bolt: out
+        ],
+    )
+    rows = nation_profit(nation, supplier, part, li, orders).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # 100*(1-0.1) - 10*3 = 60.00 exactly
+    assert (r.supp_nation, r.order_year, r.profit) == ("NATION_1", 1996, 60.0)
