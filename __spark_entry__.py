@@ -4073,6 +4073,38 @@ def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from host0 (operators/webgraph.
+    pagerank_personalized): random walk with restart — the whole
+    teleport mass lands on the seed, so ranks measure link proximity
+    to host0 (the "related hosts" primitive). Same integer
+    fixed-point rounds, co-partitionable joins, and localCheckpoint
+    cuts as the global PageRank; the twin unrolls the same rounds
+    with a seed-conditional base."""
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        pagerank_personalized,
+    )
+
+    return pagerank_personalized(
+        _host_edges(_docs(spark, sf_dir)), seed="host0"
+    )
+
+
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted mean value per user (operators/eventstats.
+    time_weighted_means): each value holds until the user's next
+    event (lead on the total (epoch_us, id) key), so the mean is the
+    exact integral of the value staircase — decimal x int64 weighted
+    sums, ONE double division. One shuffle, one window node."""
+    from medical_and_charity_document_extraction_system_spark.operators.eventstats import (
+        time_weighted_means,
+    )
+
+    return time_weighted_means(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
 # ---------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -4090,6 +4122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "host_ppr": q_host_ppr,
+        "events_twap": q_events_twap,
         "market_share": q_market_share,
         "nation_profit": q_nation_profit,
         "path_trigrams": q_path_trigrams,
@@ -4314,6 +4348,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     centroids, bm25 idf/avgdl) and must re-derive them from the same
     parquet the Spark query reads, or they only match at sf0.01."""
     return {
+        "host_ppr": oracles.host_ppr_sql(),
+        "events_twap": oracles.time_weighted_means_sql(),
         "market_share": oracles.market_share_sql(),
         "nation_profit": oracles.nation_profit_sql(),
         "path_trigrams": oracles.path_trigrams_sql(),

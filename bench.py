@@ -258,6 +258,10 @@ CATALOG_QUERIES = [
     "rfm_segments",
     "market_share",
     "nation_profit",
+    # continuation round 5, eighth batch: seeded random-walk proximity
+    # and the exact TWAP staircase integral
+    "host_ppr",
+    "events_twap",
 ]
 
 

@@ -311,3 +311,54 @@ def path_trigrams(
         "n_paths",
         F.expr("n_paths * 10000 div n_total").cast("long").alias("share_bp"),
     )
+
+
+def time_weighted_means(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-weighted mean value per key (the TWAP integral): each
+    event's value holds until the NEXT event of the same key (lead on
+    the total (epoch_us, id) ordering). Weights are WHOLE SECONDS
+    (floor of the micro gap — deterministic in both engines): cents
+    x seconds keeps the weighted sum inside exact int64, where the
+    micros form needs a 17-significant-digit decimal whose
+    double-cast rounds differently across engines (measured: last-ulp
+    mismatches). Output is all-integer plus ONE double division;
+    sub-second gaps weigh 0, the last event of a key has no
+    successor, single-event keys drop out, and keys whose whole span
+    rounds to 0 seconds are excluded (0/0 is engine-dependent). One
+    shuffle on the key, one window node."""
+    base = events.select(
+        F.col(key_col).alias("k"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(id_col).alias("eid"),
+        (F.col(value_col).cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("k").orderBy("us", "eid")
+    seg = base.select(
+        "k",
+        "cents",
+        F.expr("(lead(us) OVER (PARTITION BY k ORDER BY us, eid) - us)"
+               " div 1000000").alias("dt_s"),
+    ).where(F.col("dt_s").isNotNull())
+    per = seg.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("dt_s").cast("long").alias("span_s"),
+        F.sum(F.col("cents") * F.col("dt_s")).cast("long").alias("wsum"),
+    ).where(F.col("span_s") > 0)
+    return per.select(
+        F.col("k").alias("user_id"),
+        "n_segments",
+        "span_s",
+        F.col("wsum").alias("wsum_cents_s"),
+        (
+            F.col("wsum").cast("double")
+            / (F.col("span_s") * 100).cast("double")
+        ).alias("twap"),
+    )

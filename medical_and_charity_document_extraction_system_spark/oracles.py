@@ -5859,3 +5859,81 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE p.p_name LIKE '%{part_token}%'
 GROUP BY 1, 2
 """
+
+
+def _ppr_round_ctes(
+    iterations: int, unit: int, d_num: int, d_den: int, seed: str
+) -> tuple[str, str]:
+    """Personalized-PageRank rounds: identical to
+    ``_pagerank_round_ctes`` except the (1-d) base mass is
+    seed-conditional."""
+    base = unit - (d_num * unit) // d_den
+    iters = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        iters.append(f"""
+i{i} AS (
+  SELECT e.dst AS node, sum({prev}.units // deg.od) AS inflow
+  FROM e JOIN {prev} ON e.src = {prev}.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node,
+         CAST(CASE WHEN n.node = '{seed}' THEN {base} ELSE 0 END
+              + ({d_num} * coalesce(i{i}.inflow, 0)) // {d_den} AS BIGINT)
+           AS units
+  FROM nodes n LEFT JOIN i{i} USING (node)
+)""")
+        prev = f"r{i}"
+    return ",".join(iters), prev
+
+
+def host_ppr_sql(
+    seed: str = "host0",
+    iterations: int = 4,
+    unit: int = 1_000_000,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> str:
+    """Twin of q_host_ppr: personalized PageRank from one seed host —
+    r0 puts the whole unit on the seed, each round's teleport mass is
+    seed-conditional, everything else matches the host PageRank
+    twin."""
+    rounds, prev = _ppr_round_ctes(iterations, unit, d_num, d_den, seed)
+    return f"""
+WITH {_host_graph_ctes()},
+deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+r0 AS (SELECT node,
+              CAST(CASE WHEN node = '{seed}' THEN {unit} ELSE 0 END
+                   AS BIGINT) AS units
+       FROM nodes),{rounds}
+SELECT node, units AS rank_units FROM {prev}
+"""
+
+
+def time_weighted_means_sql() -> str:
+    """Twin of q_events_twap: lead-duration integration at whole-
+    second granularity — cents x seconds stays exact int64 (the
+    micros form needs a 17-digit decimal whose double-cast rounds
+    differently across engines); ONE double division."""
+    return """
+WITH base AS (
+  SELECT user_id AS k, epoch_us(ts) AS us, event_id AS eid,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+seg AS (
+  SELECT k, cents, (lead(us) OVER w - us) // 1000000 AS dt_s
+  FROM base
+  WINDOW w AS (PARTITION BY k ORDER BY us, eid)
+),
+per AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(sum(dt_s) AS BIGINT) AS span_s,
+         CAST(sum(cents * dt_s) AS BIGINT) AS wsum
+  FROM seg WHERE dt_s IS NOT NULL GROUP BY 1
+)
+SELECT k AS user_id, n_segments, span_s, wsum AS wsum_cents_s,
+       CAST(wsum AS DOUBLE) / CAST(span_s * 100 AS DOUBLE) AS twap
+FROM per WHERE span_s > 0
+"""

@@ -89,3 +89,89 @@ def test_rfm_bucket_edges(spark):
     assert out[(2, 1, 2)] == (1, 300_000_000, 300_000_000)
     assert out[(2, 0, 0)] == (1, 1000, 1000)  # cust 3: recency 0
     assert len(out) == 3
+
+
+def test_time_weighted_mean_staircase(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.eventstats import (
+        time_weighted_means,
+    )
+
+    # user 1: value 10.00 held 60s, then 20.00 held 180s ->
+    # twap = (10*60 + 20*180) / 240 = 17.50; last event weightless.
+    # user 2: single event -> drops out entirely.
+    rows = [
+        (1, 1, 0, "view", 10.0),
+        (2, 1, 1, "view", 20.0),
+        (3, 1, 4, "view", 99.0),
+        (4, 2, 0, "view", 5.0),
+    ]
+    out = time_weighted_means(_ev2(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.user_id, r.n_segments, r.span_s) == (1, 2, 240)
+    assert r.wsum_cents_s == 1000 * 60 + 2000 * 180
+    assert r.twap == (1000 * 60 + 2000 * 180) / (240 * 100)
+
+
+def test_time_weighted_mean_tiebreak_and_subsecond(spark):
+    from datetime import timedelta
+
+    from medical_and_charity_document_extraction_system_spark.operators.eventstats import (
+        time_weighted_means,
+    )
+
+    # two events in the SAME second (dt_s = 0 segment), then +60s:
+    # the zero-weight segment still counts as a segment but adds no
+    # mass; frame order is (us, event_id)
+    data = [
+        (2, _T0 + timedelta(milliseconds=500), 1, "v", 50.0),
+        (1, _T0, 1, "v", 10.0),
+        (3, _T0 + timedelta(seconds=60), 1, "v", 7.0),
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    r = time_weighted_means(df).collect()[0]
+    assert (r.n_segments, r.span_s) == (2, 59)  # 0s + floor(59.5s)
+    assert r.wsum_cents_s == 5000 * 59
+
+
+def _ev2(spark, rows):
+    from datetime import timedelta
+
+    return spark.createDataFrame(
+        [
+            (e, _T0 + timedelta(minutes=m), u, t, v)
+            for (e, u, m, t, v) in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+
+
+def test_personalized_pagerank_mass_stays_near_seed(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.webgraph import (
+        pagerank_fixed,
+        pagerank_personalized,
+    )
+
+    # a -> b -> c chain plus a disconnected d <-> e pair
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("e", "d")],
+        "src string, dst string",
+    )
+    ppr = {
+        r.node: r.rank_units
+        for r in pagerank_personalized(edges, seed="a", iterations=4).collect()
+    }
+    # unreachable-from-seed nodes end with exactly zero mass
+    assert ppr["d"] == 0 and ppr["e"] == 0
+    assert ppr["a"] > ppr["b"] > 0 and ppr["b"] > ppr["c"] > 0
+    # global pagerank gives d/e nonzero mass — the seeding is real
+    gpr = {
+        r.node: r.rank_units
+        for r in pagerank_fixed(edges, iterations=4).collect()
+    }
+    assert gpr["d"] > 0 and gpr["e"] > 0
