@@ -4105,6 +4105,27 @@ def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_topk_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-rank top-k per group (operators/topk.grouped_topk_dense):
+    every doc whose token count is among its source's 3 highest
+    DISTINCT counts — ALL ties kept, the complement of source_topk's
+    row_number semantics. Membership is a pure function of the score
+    class, so the plan is one hash-agg to the distinct-score table, a
+    window over THAT, and an equi-join back — never a raw-row
+    window."""
+    from medical_and_charity_document_extraction_system_spark.operators.topk import (
+        grouped_topk_dense,
+    )
+    from medical_and_charity_document_extraction_system_spark.functions.textstats import (
+        token_count,
+    )
+
+    t = _docs(spark, sf_dir).select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    return grouped_topk_dense(t, "source", "n_tokens", "doc_id", k=3)
+
+
 # ---------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -4122,6 +4143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "source_topk_dense": q_source_topk_dense,
         "host_ppr": q_host_ppr,
         "events_twap": q_events_twap,
         "market_share": q_market_share,
@@ -4348,6 +4370,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     centroids, bm25 idf/avgdl) and must re-derive them from the same
     parquet the Spark query reads, or they only match at sf0.01."""
     return {
+        "source_topk_dense": oracles.source_topk_dense_sql(),
         "host_ppr": oracles.host_ppr_sql(),
         "events_twap": oracles.time_weighted_means_sql(),
         "market_share": oracles.market_share_sql(),

@@ -90,3 +90,35 @@ def grouped_topk(
     ).drop("_r")
     out = whole.unionByName(bkeep)
     return out.select(*df.columns)
+
+
+def grouped_topk_dense(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """DENSE-rank top-k: exactly the rows ``dense_rank() OVER
+    (PARTITION BY group ORDER BY score DESC) <= k`` keeps — every row
+    whose score is among the group's k highest DISTINCT scores, ALL
+    ties included (row_number semantics are ``grouped_topk``'s job).
+    No per-row tiebreak exists because none is needed: membership is
+    a pure function of the score class. Same scale shape — one
+    hash-agg to the DISTINCT-score class table, a window over THAT
+    (<= distinct scores per group), and an equi-join back; never a
+    window over raw rows. ``id_col`` is accepted for signature parity
+    and ignored."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    del id_col
+    classes = df.select(group_col, score_col).where(
+        F.col(score_col).isNotNull()
+    ).distinct()
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col).desc())
+    keep = (
+        classes.withColumn("_dr", F.row_number().over(w))
+        .where(F.col("_dr") <= k)
+        .drop("_dr")
+    )
+    return df.join(keep, [group_col, score_col]).select(*df.columns)

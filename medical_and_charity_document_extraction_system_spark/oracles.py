@@ -5937,3 +5937,21 @@ SELECT k AS user_id, n_segments, span_s, wsum AS wsum_cents_s,
        CAST(wsum AS DOUBLE) / CAST(span_s * 100 AS DOUBLE) AS twap
 FROM per WHERE span_s > 0
 """
+
+
+def source_topk_dense_sql(k: int = 3) -> str:
+    """Twin of q_source_topk_dense: the textbook dense_rank window —
+    equal to the class-table agg+join rule because membership is a
+    pure function of the score class."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, n_tokens FROM (
+  SELECT doc_id, source, n_tokens,
+         dense_rank() OVER (PARTITION BY source ORDER BY n_tokens DESC)
+           AS dr
+  FROM t
+) WHERE dr <= {k}
+"""

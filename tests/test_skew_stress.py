@@ -250,3 +250,48 @@ def test_event_transitions_whale_user_within_budget(spark):
     assert 0 < len(rows) <= 25  # |types|^2 bound
     assert sum(r.n_trans for r in rows) == n - 2  # two users
     assert elapsed < BUDGET_SEC, f"whale transitions took {elapsed:.0f}s"
+
+
+def test_interval_overlap_join_whale_user_within_budget(spark):
+    """The interval-overlap join's skew story: a whale user owning
+    most intervals on BOTH sides hashes to one (key, bin) partition
+    stream, but the bin explosion spreads its intervals across many
+    bins, so the equi-join stays AQE-splittable. 20k x 20k whale
+    intervals laid out so each bin meets ~2 per side must finish
+    inside budget with the exact pair count (each left interval
+    overlaps its right twin and the next one)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from medical_and_charity_document_extraction_system_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    n = 20_000
+    w = 10_000_000  # 10s bins
+    left = spark.range(n).select(
+        F.lit(0).cast("long").alias("user_id"),
+        F.col("id").alias("l_id"),
+        (F.col("id") * w).alias("l_start_us"),
+        (F.col("id") * w + w // 2).alias("l_end_us"),
+    )
+    right = spark.range(n).select(
+        F.lit(0).cast("long").alias("user_id"),
+        F.col("id").alias("r_id"),
+        (F.col("id") * w + w // 4).alias("r_start_us"),
+        (F.col("id") * w + w + w // 4).alias("r_end_us"),
+    )
+    t0 = time.time()
+    out = interval_overlap_join(
+        left, right, "user_id",
+        l_start="l_start_us", l_end="l_end_us",
+        r_start="r_start_us", r_end="r_end_us",
+        bin_width_us=w,
+    )
+    n_pairs = out.count()
+    elapsed = time.time() - t0
+    # left i overlaps right i ([i*w + w/4, i*w + w/2]) and right i-1
+    # (its tail [i*w, i*w + w/4] covers left i's head)
+    assert n_pairs == 2 * n - 1
+    assert elapsed < BUDGET_SEC, f"whale interval join took {elapsed:.0f}s"

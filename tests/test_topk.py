@@ -125,3 +125,46 @@ def test_stratified_sample_exact_quota_and_stability(spark):
     for r in stratified_sample(df, "grp", "id", k=4).collect():
         again.setdefault(r.grp, set()).add(r.id)
     assert again == got
+
+
+def test_grouped_topk_dense_keeps_all_ties(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.topk import (
+        grouped_topk,
+        grouped_topk_dense,
+    )
+
+    rows = [
+        ("g", 10, 1), ("g", 10, 2), ("g", 9, 3), ("g", 8, 4),
+        ("g", 8, 5), ("g", 7, 6), ("h", 1, 7), (None and "x" or "h", 1, 8),
+    ]
+    df = spark.createDataFrame(rows, "grp string, score int, id int")
+    dense = sorted(
+        r.id for r in grouped_topk_dense(df, "grp", "score", "id", 3).collect()
+        if r.grp == "g"
+    )
+    # 3 distinct scores {10, 9, 8} -> 5 rows, both 8-ties kept
+    assert dense == [1, 2, 3, 4, 5]
+    rn = sorted(
+        r.id for r in grouped_topk(df, "grp", "score", "id", 3).collect()
+        if r.grp == "g"
+    )
+    # row_number semantics cap at exactly 3 rows
+    assert rn == [1, 2, 3]
+    # groups smaller than k keep everything, NULL scores never rank
+    h = sorted(
+        r.id for r in grouped_topk_dense(df, "grp", "score", "id", 3).collect()
+        if r.grp == "h"
+    )
+    assert h == [7, 8]
+
+
+def test_grouped_topk_dense_rejects_bad_k(spark):
+    import pytest
+
+    from medical_and_charity_document_extraction_system_spark.operators.topk import (
+        grouped_topk_dense,
+    )
+
+    df = spark.createDataFrame([("g", 1, 1)], "grp string, score int, id int")
+    with pytest.raises(ValueError):
+        grouped_topk_dense(df, "grp", "score", "id", 0)
