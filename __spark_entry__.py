@@ -4126,6 +4126,34 @@ def q_source_topk_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_topk_dense(t, "source", "n_tokens", "doc_id", k=3)
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity-interval build (operators/eventstats.
+    scd2_intervals): per user, consecutive runs of the same event
+    type collapse to [valid_from, valid_to) rows — the CDC-to-
+    slowly-changing-dimension compression. One lag marks change
+    points, one lead over the change points alone closes intervals;
+    both windows share the key shuffle."""
+    from medical_and_charity_document_extraction_system_spark.operators.eventstats import (
+        scd2_intervals,
+    )
+
+    return scd2_intervals(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit (operators/eventstats.drift_report):
+    per event type, first-half vs second-half counts and a scaled
+    chi-square contribution — abs() BEFORE the split floor divisions
+    (signed integer division conventions differ across engines; the
+    single-division form would need d^2*10^4 ~ 4e22, past int64 in
+    BOTH engines)."""
+    from medical_and_charity_document_extraction_system_spark.operators.eventstats import (
+        drift_report,
+    )
+
+    return drift_report(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 # ---------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -4143,6 +4171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recorded in BASELINE.md each round regardless."""
     return {
         # --- new in round 5 (never driver-attested) ---
+        "scd2_intervals": q_scd2_intervals,
+        "drift_report": q_drift_report,
         "source_topk_dense": q_source_topk_dense,
         "host_ppr": q_host_ppr,
         "events_twap": q_events_twap,
@@ -4370,6 +4400,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     centroids, bm25 idf/avgdl) and must re-derive them from the same
     parquet the Spark query reads, or they only match at sf0.01."""
     return {
+        "scd2_intervals": oracles.scd2_intervals_sql(),
+        "drift_report": oracles.drift_report_sql(),
         "source_topk_dense": oracles.source_topk_dense_sql(),
         "host_ppr": oracles.host_ppr_sql(),
         "events_twap": oracles.time_weighted_means_sql(),

@@ -262,6 +262,11 @@ CATALOG_QUERIES = [
     # and the exact TWAP staircase integral
     "host_ppr",
     "events_twap",
+    # continuation round 5, ninth batch: dense-rank top-k, SCD2
+    # change-point compression, integer chi-square drift audit
+    "source_topk_dense",
+    "scd2_intervals",
+    "drift_report",
 ]
 
 

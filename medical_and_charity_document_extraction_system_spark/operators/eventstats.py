@@ -362,3 +362,92 @@ def time_weighted_means(
             / (F.col("span_s") * 100).cast("double")
         ).alias("twap"),
     )
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    attr_col: str = "event_type",
+) -> DataFrame:
+    """Change-point compression into SCD2 validity intervals: per key,
+    consecutive runs of the same attribute value (on the total
+    (epoch_us, id) ordering) collapse to one row with
+    [valid_from_us, valid_to_us) — valid_to is the next CHANGE's
+    timestamp, NULL for the current run. The warehouse CDC-to-
+    slowly-changing-dimension build. Plan: one lag to mark change
+    points (a run's first row), one lead OVER THE CHANGE POINTS ONLY
+    for the run's end — both windows share the key shuffle; repeated
+    values never materialize per-row state."""
+    base = events.select(
+        F.col(key_col).alias("k"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(id_col).alias("eid"),
+        F.col(attr_col).alias("attr"),
+    )
+    w = Window.partitionBy("k").orderBy("us", "eid")
+    marked = base.select(
+        "k", "us", "attr", F.lag("attr").over(w).alias("prev_attr")
+    ).where(F.col("prev_attr").isNull() | (F.col("attr") != F.col("prev_attr")))
+    w2 = Window.partitionBy("k").orderBy("us")
+    return marked.select(
+        F.col("k").alias("user_id"),
+        "attr",
+        F.col("us").alias("valid_from_us"),
+        F.lead("us").over(w2).alias("valid_to_us"),
+    )
+
+
+def drift_report(
+    events: DataFrame,
+    split_ts: str = "2024-01-16",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Distribution-drift audit between two time halves (the retrain
+    trigger a production pipeline watches): per category, reference
+    and current counts plus a scaled chi-square contribution —
+    ``(cur*n_ref - ref*n_cur)^2 * 10000 div (ref * n_ref * n_cur)``,
+    every term an int64 cross product, ONE floor division per bin
+    (each bin's statistic is exact; the total is the sum of the
+    floored bins — deterministic in both engines, and floor error is
+    < 1 unit per bin). Zero-reference bins report -1 (new category —
+    the strongest drift signal, flagged rather than divided by
+    zero)."""
+    half = F.when(
+        F.col(ts_col).cast("timestamp") < F.lit(split_ts).cast("timestamp"),
+        F.lit("ref"),
+    ).otherwise(F.lit("cur"))
+    counts = (
+        events.select(F.col(type_col).alias("category"), half.alias("h"))
+        .groupBy("category")
+        .agg(
+            F.sum(F.when(F.col("h") == "ref", 1).otherwise(0))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("h") == "cur", 1).otherwise(0))
+            .cast("long")
+            .alias("n_cur"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_ref").alias("tot_ref"), F.sum("n_cur").alias("tot_cur")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "category",
+        "n_ref",
+        "n_cur",
+        F.when(F.col("n_ref") == 0, F.lit(-1))
+        .otherwise(
+            F.expr(
+                "((abs(n_cur * tot_ref - n_ref * tot_cur) * 100)"
+                " div tot_ref)"
+                " * ((abs(n_cur * tot_ref - n_ref * tot_cur) * 100)"
+                " div tot_cur)"
+                " div n_ref"
+            )
+        )
+        .cast("long")
+        .alias("chi2_contrib_bp"),
+    )

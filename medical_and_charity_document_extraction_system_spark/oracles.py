@@ -5955,3 +5955,52 @@ SELECT doc_id, source, n_tokens FROM (
   FROM t
 ) WHERE dr <= {k}
 """
+
+
+def scd2_intervals_sql() -> str:
+    """Twin of q_scd2_intervals: lag marks change points on the total
+    (epoch_us, id) ordering, lead over the change points alone closes
+    each interval."""
+    return """
+WITH base AS (
+  SELECT user_id AS k, epoch_us(ts) AS us, event_id AS eid,
+         event_type AS attr
+  FROM events
+),
+marked AS (
+  SELECT k, us, attr, lag(attr) OVER w AS prev_attr
+  FROM base
+  WINDOW w AS (PARTITION BY k ORDER BY us, eid)
+)
+SELECT k AS user_id, attr, us AS valid_from_us,
+       lead(us) OVER (PARTITION BY k ORDER BY us) AS valid_to_us
+FROM marked
+WHERE prev_attr IS NULL OR attr <> prev_attr
+"""
+
+
+def drift_report_sql(split_ts: str = "2024-01-16") -> str:
+    """Twin of q_drift_report: per-category halves counts; the
+    chi-square contribution takes abs(d) BEFORE the two floor
+    divisions (signed integer division conventions differ across
+    engines)."""
+    return f"""
+WITH c AS (
+  SELECT event_type AS category,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '{split_ts}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '{split_ts}' THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_cur
+  FROM events GROUP BY 1
+),
+t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+             CAST(sum(n_cur) AS BIGINT) AS tot_cur FROM c)
+SELECT c.category, c.n_ref, c.n_cur,
+       CAST(CASE WHEN c.n_ref = 0 THEN -1
+            ELSE ((abs(c.n_cur * t.tot_ref - c.n_ref * t.tot_cur) * 100)
+                  // t.tot_ref)
+                 * ((abs(c.n_cur * t.tot_ref - c.n_ref * t.tot_cur) * 100)
+                    // t.tot_cur)
+                 // c.n_ref END AS BIGINT) AS chi2_contrib_bp
+FROM c, t
+"""

@@ -175,3 +175,59 @@ def test_personalized_pagerank_mass_stays_near_seed(spark):
         for r in pagerank_fixed(edges, iterations=4).collect()
     }
     assert gpr["d"] > 0 and gpr["e"] > 0
+
+
+def test_scd2_intervals_compress_runs(spark):
+    from medical_and_charity_document_extraction_system_spark.operators.eventstats import (
+        scd2_intervals,
+    )
+
+    rows = [
+        (1, 1, 0, "a"), (2, 1, 1, "a"), (3, 1, 2, "b"),
+        (4, 1, 3, "b"), (5, 1, 4, "a"),  # a-run, b-run, a again
+        (6, 2, 0, "x"),
+    ]
+    out = sorted(
+        (r.user_id, r.attr, r.valid_from_us, r.valid_to_us)
+        for r in scd2_intervals(_ev(spark, rows)).collect()
+    )
+    m = 60_000_000
+    t0 = 1_709_251_200_000_000  # 2024-03-01 UTC epoch micros
+    assert out == [
+        (1, "a", t0, t0 + 2 * m),
+        (1, "a", t0 + 4 * m, None),  # current run stays open
+        (1, "b", t0 + 2 * m, t0 + 4 * m),
+        (2, "x", t0, None),
+    ]
+
+
+def test_drift_report_detects_shift_and_new_category(spark):
+    from datetime import datetime, timedelta
+
+    from medical_and_charity_document_extraction_system_spark.operators.eventstats import (
+        drift_report,
+    )
+
+    ref_t, cur_t = datetime(2024, 1, 2), datetime(2024, 1, 20)
+    rows = (
+        [(i, ref_t + timedelta(seconds=i), 1, "steady", 0.0) for i in range(50)]
+        + [(100 + i, cur_t + timedelta(seconds=i), 1, "steady", 0.0) for i in range(50)]
+        + [(200 + i, ref_t, 1, "fading", 0.0) for i in range(50)]
+        + [(300 + i, cur_t, 1, "fading", 0.0) for i in range(10)]
+        + [(400 + i, cur_t, 1, "brand_new", 0.0) for i in range(40)]
+    )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    out = {
+        r.category: (r.n_ref, r.n_cur, r.chi2_contrib_bp)
+        for r in drift_report(df).collect()
+    }
+    assert out["brand_new"] == (0, 40, -1)  # new category flags, no /0
+    assert out["fading"][2] > out["steady"][2] >= 0
+    # hand-check the split-division arithmetic for one bin
+    n_ref, n_cur, tot_ref, tot_cur = 50, 50, 100, 100
+    d = abs(n_cur * tot_ref - n_ref * tot_cur)
+    assert out["steady"][2] == (d * 100 // tot_ref) * (d * 100 // tot_cur) // n_ref
