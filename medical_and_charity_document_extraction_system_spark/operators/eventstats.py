@@ -388,9 +388,11 @@ def scd2_intervals(
     )
     w = Window.partitionBy("k").orderBy("us", "eid")
     marked = base.select(
-        "k", "us", "attr", F.lag("attr").over(w).alias("prev_attr")
+        "k", "us", "eid", "attr", F.lag("attr").over(w).alias("prev_attr")
     ).where(F.col("prev_attr").isNull() | (F.col("attr") != F.col("prev_attr")))
-    w2 = Window.partitionBy("k").orderBy("us")
+    # the closing lead keeps the SAME total (us, eid) ordering: two
+    # change points in one microsecond must close deterministically
+    w2 = Window.partitionBy("k").orderBy("us", "eid")
     return marked.select(
         F.col("k").alias("user_id"),
         "attr",

@@ -5968,12 +5968,12 @@ WITH base AS (
   FROM events
 ),
 marked AS (
-  SELECT k, us, attr, lag(attr) OVER w AS prev_attr
+  SELECT k, us, eid, attr, lag(attr) OVER w AS prev_attr
   FROM base
   WINDOW w AS (PARTITION BY k ORDER BY us, eid)
 )
 SELECT k AS user_id, attr, us AS valid_from_us,
-       lead(us) OVER (PARTITION BY k ORDER BY us) AS valid_to_us
+       lead(us) OVER (PARTITION BY k ORDER BY us, eid) AS valid_to_us
 FROM marked
 WHERE prev_attr IS NULL OR attr <> prev_attr
 """
